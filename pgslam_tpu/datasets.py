@@ -1,0 +1,178 @@
+"""Synthetic scan-sequence generators for tests and benchmarks.
+
+The reference ships no datasets or fixtures (SURVEY.md §4); these
+generators implement the five BASELINE.json benchmark configs: a single
+ICP pair, a corridor odometry run, a loop trajectory, and Velodyne-scale
+scans with structured geometry (so point-to-plane has meaningful normals).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+
+def _se3(x=0.0, y=0.0, z=0.0, yaw=0.0) -> np.ndarray:
+    T = np.eye(4, dtype=np.float32)
+    c, s = np.cos(yaw), np.sin(yaw)
+    T[0, 0], T[0, 1], T[1, 0], T[1, 1] = c, -s, s, c
+    T[:3, 3] = [x, y, z]
+    return T
+
+
+def corridor_world(rng, n_points: int = 20000, length: float = 60.0,
+                   width: float = 4.0, height: float = 3.0) -> np.ndarray:
+    """A corridor: two walls, floor and ceiling, with wall-mounted boxes
+    for longitudinal texture (pure planes make x unobservable for ICP)."""
+    counts = np.floor(n_points * np.array([0.3, 0.3, 0.2, 0.2])).astype(int)
+    pts = []
+    x = rng.uniform(0, length, counts[0])
+    pts.append(np.stack([x, np.full_like(x, -width / 2),
+                         rng.uniform(0, height, counts[0])], -1))
+    x = rng.uniform(0, length, counts[1])
+    pts.append(np.stack([x, np.full_like(x, width / 2),
+                         rng.uniform(0, height, counts[1])], -1))
+    x = rng.uniform(0, length, counts[2])
+    pts.append(np.stack([x, rng.uniform(-width / 2, width / 2, counts[2]),
+                         np.zeros(counts[2])], -1))
+    x = rng.uniform(0, length, counts[3])
+    pts.append(np.stack([x, rng.uniform(-width / 2, width / 2, counts[3]),
+                         np.full(counts[3], height)], -1))
+    world = np.concatenate(pts, 0)
+    # Boxes every 5 m alternating sides.
+    n_box = max(1, n_points // 20)
+    for i, bx in enumerate(np.arange(2.5, length, 5.0)):
+        side = -1 if i % 2 == 0 else 1
+        c = np.array([bx, side * (width / 2 - 0.4), 0.6])
+        box = rng.uniform(-0.4, 0.4, (n_box, 3)) + c
+        world = np.concatenate([world, box], 0)
+    return world.astype(np.float32)
+
+
+def render_scan(world: np.ndarray, T_world_sensor: np.ndarray, rng,
+                n_points: int = 1000, max_range: float = 15.0,
+                noise: float = 0.0) -> np.ndarray:
+    """Sample a scan: world points within range, expressed in sensor frame."""
+    rel = world - T_world_sensor[:3, 3]
+    d = np.linalg.norm(rel, axis=-1)
+    visible = np.nonzero(d <= max_range)[0]
+    if len(visible) == 0:
+        raise ValueError("no world points in range")
+    take = rng.choice(visible, size=min(n_points, len(visible)),
+                      replace=len(visible) < n_points)
+    R = T_world_sensor[:3, :3]
+    local = (world[take] - T_world_sensor[:3, 3]) @ R
+    if noise:
+        local = local + rng.normal(size=local.shape) * noise
+    return local.astype(np.float32)
+
+
+def corridor_sequence(rng, n_scans: int = 200, scan_points: int = 1000,
+                      step: float = 0.25, noise: float = 0.005,
+                      odom_noise: float = 0.01,
+                      length: float = 60.0
+                      ) -> Tuple[List[np.ndarray], List[np.ndarray],
+                                 List[np.ndarray]]:
+    """BASELINE config 2: straight corridor run.
+
+    Returns (scans, odometry T_world_robot w/ drift, ground-truth poses).
+    """
+    world = corridor_world(rng, length=length)
+    scans, odom, truth = [], [], []
+    T_odom = _se3(1.0, 0.0, 1.2)
+    for i in range(n_scans):
+        T_true = _se3(1.0 + i * step, 0.0, 1.2)
+        scans.append(render_scan(world, T_true, rng, scan_points,
+                                 noise=noise))
+        if i > 0:
+            d = np.array([step, 0, 0]) + rng.normal(size=3) * odom_noise
+            T_odom = T_odom @ _se3(*d)
+        truth.append(T_true)
+        odom.append(T_odom.copy())
+    return scans, odom, truth
+
+
+def loop_world(rng, n_points: int = 40000, radius: float = 12.0,
+               width: float = 4.0, height: float = 3.0) -> np.ndarray:
+    """An annular corridor (ring) with boxes for angular texture."""
+    n_wall = n_points // 3
+    pts = []
+    for r in (radius - width / 2, radius + width / 2):
+        a = rng.uniform(0, 2 * np.pi, n_wall)
+        pts.append(np.stack([r * np.cos(a), r * np.sin(a),
+                             rng.uniform(0, height, n_wall)], -1))
+    a = rng.uniform(0, 2 * np.pi, n_wall)
+    rr = rng.uniform(radius - width / 2, radius + width / 2, n_wall)
+    pts.append(np.stack([rr * np.cos(a), rr * np.sin(a),
+                         np.zeros(n_wall)], -1))
+    world = np.concatenate(pts, 0)
+    n_box = max(1, n_points // 30)
+    for ang in np.arange(0, 2 * np.pi, np.pi / 8):
+        r = radius + (width / 2 - 0.4) * (1 if int(ang * 8 / np.pi) % 2 else -1)
+        c = np.array([r * np.cos(ang), r * np.sin(ang), 0.6])
+        box = rng.uniform(-0.4, 0.4, (n_box, 3)) + c
+        world = np.concatenate([world, box], 0)
+    return world.astype(np.float32)
+
+
+def loop_sequence(rng, n_scans: int = 120, scan_points: int = 1000,
+                  radius: float = 12.0, noise: float = 0.005,
+                  odom_drift: float = 0.002,
+                  revolutions: float = 1.08
+                  ) -> Tuple[List[np.ndarray], List[np.ndarray],
+                             List[np.ndarray]]:
+    """BASELINE config 3: loop trajectory with odometric drift; the robot
+    passes its starting area again at the end (loop-closure opportunity)."""
+    world = loop_world(rng, radius=radius)
+    scans, odom, truth = [], [], []
+    T_odom = None
+    prev_true = None
+    for i in range(n_scans):
+        ang = 2 * np.pi * revolutions * i / n_scans
+        T_true = _se3(radius * np.cos(ang), radius * np.sin(ang), 1.2,
+                      yaw=ang + np.pi / 2)
+        scans.append(render_scan(world, T_true, rng, scan_points,
+                                 noise=noise))
+        if T_odom is None:
+            T_odom = T_true.copy()
+        else:
+            dT = np.linalg.inv(prev_true) @ T_true
+            drift = _se3(odom_drift * rng.normal(),
+                         odom_drift * rng.normal(), 0.0,
+                         yaw=odom_drift * rng.normal())
+            T_odom = T_odom @ dT @ drift
+        truth.append(T_true)
+        odom.append(T_odom.copy())
+        prev_true = T_true
+    return scans, odom, truth
+
+
+def velodyne_like_scan(rng, n_points: int = 65536, n_rings: int = 64,
+                       max_range: float = 50.0) -> np.ndarray:
+    """BASELINE config 4 source: a synthetic 64-ring spin over a structured
+    scene (ground plane + random walls/boxes), ~64k points."""
+    world_boxes = []
+    for _ in range(40):
+        c = np.array([rng.uniform(-30, 30), rng.uniform(-30, 30),
+                      rng.uniform(0, 2)])
+        size = rng.uniform(0.5, 4.0, 3)
+        world_boxes.append((c, size))
+    per_ring = n_points // n_rings
+    pts = []
+    for ring in range(n_rings):
+        elev = np.deg2rad(-24.0 + ring * (26.0 / n_rings))
+        az = rng.uniform(0, 2 * np.pi, per_ring)
+        # Ray-cast against ground plane (z=0 from sensor at z=1.8).
+        dz = np.sin(elev)
+        rng_ground = np.where(dz < -1e-3, -1.8 / np.minimum(dz, -1e-3),
+                              max_range)
+        r = np.minimum(rng_ground, max_range)
+        # Random wall hits shorten some rays.
+        hit = rng.uniform(0, 1, per_ring) < 0.35
+        r = np.where(hit, rng.uniform(2, 30, per_ring), r)
+        cos_e = np.cos(elev)
+        pts.append(np.stack([r * cos_e * np.cos(az), r * cos_e * np.sin(az),
+                             1.8 + r * dz], -1))
+    out = np.concatenate(pts, 0)[:n_points]
+    return out.astype(np.float32)

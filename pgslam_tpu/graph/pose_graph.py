@@ -1,0 +1,254 @@
+"""Pose-graph store + MapManager — single-writer host state.
+
+TPU-native replacement for the reference's Boost.Graph ``adjacency_list``
+(``types.h:57``) and ``MapManager`` (``MapManager.h:17-65``,
+``MapManager.hpp``). Instead of a pointer-based graph we keep a
+struct-of-arrays layout (poses ``[V, 4, 4]``, edge endpoint ids ``[E, 2]``,
+measurements ``[E, 4, 4]``, covariances ``[E, 6, 6]``) that exports
+directly to device for vectorized distance queries and the jitted
+pose-graph optimizer — no per-vertex host loops on the hot paths.
+
+Vertices are integer ids (0..n-1, insertion order), which also matches the
+reference's sequential ``Keyframe::id`` assignment (``MapManager.hpp:50``).
+``update_time`` is a monotonically increasing integer stamp; the reference
+uses wall-clock timestamps but only ever *compares* them for staleness
+(``LocalMap.hpp:169-183``), so ordering is all that matters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..cloud import Cloud
+from ..metrics import weight as edge_weight
+
+ODOM_CONSTRAINT = 0   # Constraint::kOdomConstraint (types.h:42-45)
+LOOP_CONSTRAINT = 1   # Constraint::kLoopConstraint
+
+
+@dataclasses.dataclass
+class Keyframe:
+    """Vertex payload snapshot (``types.h:32-38``)."""
+
+    id: int
+    cloud: Cloud
+    T_world_kf: np.ndarray            # [4, 4] pose at creation
+    optimized_T_world_kf: np.ndarray  # [4, 4] current best pose
+    update_time: int
+
+
+class PoseGraph:
+    """Growable struct-of-arrays pose graph.
+
+    Arrays are numpy on the host (the single writer); device exports are
+    produced on demand. Capacities grow by doubling so jitted consumers see
+    a small number of distinct static shapes.
+    """
+
+    def __init__(self, initial_vertex_capacity: int = 64,
+                 initial_edge_capacity: int = 128):
+        self.n_vertices = 0
+        self.n_edges = 0
+        vc, ec = initial_vertex_capacity, initial_edge_capacity
+        self.poses = np.zeros((vc, 4, 4), np.float32)
+        self.optimized_poses = np.zeros((vc, 4, 4), np.float32)
+        self.update_times = np.zeros((vc,), np.int64)
+        self.clouds: List[Optional[Cloud]] = []
+        self.edge_from = np.zeros((ec,), np.int32)
+        self.edge_to = np.zeros((ec,), np.int32)
+        self.edge_T = np.zeros((ec, 4, 4), np.float32)
+        self.edge_cov = np.zeros((ec, 6, 6), np.float32)
+        self.edge_type = np.zeros((ec,), np.int32)
+        self.edge_weight = np.zeros((ec,), np.float32)
+
+    # -- growth ------------------------------------------------------------
+
+    def _ensure_vertex_capacity(self, n: int):
+        cap = self.poses.shape[0]
+        if n <= cap:
+            return
+        new = max(cap * 2, n)
+        self.poses = _grow(self.poses, new)
+        self.optimized_poses = _grow(self.optimized_poses, new)
+        self.update_times = _grow(self.update_times, new)
+
+    def _ensure_edge_capacity(self, n: int):
+        cap = self.edge_from.shape[0]
+        if n <= cap:
+            return
+        new = max(cap * 2, n)
+        self.edge_from = _grow(self.edge_from, new)
+        self.edge_to = _grow(self.edge_to, new)
+        self.edge_T = _grow(self.edge_T, new)
+        self.edge_cov = _grow(self.edge_cov, new)
+        self.edge_type = _grow(self.edge_type, new)
+        self.edge_weight = _grow(self.edge_weight, new)
+
+    # -- mutation ----------------------------------------------------------
+
+    def add_vertex(self, cloud: Cloud, T_world_kf, update_time: int) -> int:
+        v = self.n_vertices
+        self._ensure_vertex_capacity(v + 1)
+        self.poses[v] = np.asarray(T_world_kf, np.float32)
+        self.optimized_poses[v] = np.asarray(T_world_kf, np.float32)
+        self.update_times[v] = update_time
+        self.clouds.append(cloud)
+        self.n_vertices += 1
+        return v
+
+    def add_edge(self, u: int, v: int, T_from_to, cov, etype: int) -> int:
+        if self.has_edge(u, v):
+            # Mirrors the reference's duplicate-edge guard
+            # (MapManager.hpp:88,122).
+            raise ValueError(f"edge ({u}, {v}) already exists in the graph")
+        e = self.n_edges
+        self._ensure_edge_capacity(e + 1)
+        self.edge_from[e] = u
+        self.edge_to[e] = v
+        T = np.asarray(T_from_to, np.float32)
+        self.edge_T[e] = T
+        self.edge_cov[e] = np.asarray(cov, np.float32)
+        self.edge_type[e] = etype
+        self.edge_weight[e] = float(edge_weight(jnp.asarray(T)))
+        self.n_edges += 1
+        return e
+
+    def has_edge(self, u: int, v: int) -> bool:
+        f = self.edge_from[:self.n_edges]
+        t = self.edge_to[:self.n_edges]
+        return bool(np.any(((f == u) & (t == v)) | ((f == v) & (t == u))))
+
+    # -- queries -----------------------------------------------------------
+
+    def keyframe(self, v: int) -> Keyframe:
+        """Snapshot of vertex payload (copy semantics, like ``graph_[v]``)."""
+        return Keyframe(id=v, cloud=self.clouds[v],
+                        T_world_kf=self.poses[v].copy(),
+                        optimized_T_world_kf=self.optimized_poses[v].copy(),
+                        update_time=int(self.update_times[v]))
+
+    def adjacent_vertices(self, v: int) -> np.ndarray:
+        """Neighbors of v (``boost::adjacent_vertices``, Localizer.hpp:400)."""
+        f = self.edge_from[:self.n_edges]
+        t = self.edge_to[:self.n_edges]
+        out = np.concatenate([t[f == v], f[t == v]])
+        return np.unique(out)
+
+    def edges_between(self, vertex_set) -> np.ndarray:
+        """Edge indices with both endpoints inside ``vertex_set``."""
+        vs = np.asarray(sorted(vertex_set))
+        f = self.edge_from[:self.n_edges]
+        t = self.edge_to[:self.n_edges]
+        keep = np.isin(f, vs) & np.isin(t, vs)
+        return np.nonzero(keep)[0]
+
+    # -- device exports ----------------------------------------------------
+
+    def device_poses(self, optimized: bool = True):
+        arr = self.optimized_poses if optimized else self.poses
+        return jnp.asarray(arr[:self.n_vertices])
+
+    def device_edges(self):
+        e = self.n_edges
+        return (jnp.asarray(self.edge_from[:e]), jnp.asarray(self.edge_to[:e]),
+                jnp.asarray(self.edge_T[:e]), jnp.asarray(self.edge_cov[:e]),
+                jnp.asarray(self.edge_type[:e]),
+                jnp.asarray(self.edge_weight[:e]))
+
+
+def _grow(arr: np.ndarray, n: int) -> np.ndarray:
+    out = np.zeros((n,) + arr.shape[1:], arr.dtype)
+    out[:arr.shape[0]] = arr
+    return out
+
+
+class MapManager:
+    """Sole owner of the pose graph + observer hub (``MapManager.h:17-65``).
+
+    Holds back-references to the Localizer and LoopCloser and pushes
+    notifications both ways, mirroring ``MapManager.hpp:96-100`` (new
+    keyframe -> LoopCloser) and ``MapManager.hpp:150-157`` (optimization
+    writeback -> Localizer).
+    """
+
+    def __init__(self):
+        self.graph = PoseGraph()
+        self.fixed_vertex: Optional[int] = None
+        self._clock = 0
+        self._localizer = None     # weak-ref analog (MapManager.h:61-63)
+        self._loop_closer = None
+
+    # -- wiring ------------------------------------------------------------
+
+    def set_localizer(self, localizer) -> None:
+        self._localizer = localizer
+
+    def set_loop_closer(self, loop_closer) -> None:
+        self._loop_closer = loop_closer
+
+    def get_graph(self) -> PoseGraph:
+        return self.graph
+
+    def get_fixed_vertex(self) -> int:
+        return self.fixed_vertex
+
+    def now(self) -> int:
+        self._clock += 1
+        return self._clock
+
+    # -- mutating API (MapManager.h:43-48) ---------------------------------
+
+    def add_first_keyframe(self, cloud: Cloud, T_world_kf) -> int:
+        """``MapManager.hpp:46-62``: first vertex becomes the optimization
+        anchor."""
+        v = self.graph.add_vertex(cloud, T_world_kf, self.now())
+        self.fixed_vertex = v
+        return v
+
+    def add_new_keyframe(self, from_v: int, T_world_newkf, meas_T_from_newkf,
+                         meas_cov_from_newkf, cloud: Cloud) -> int:
+        """``MapManager.hpp:65-105``: vertex + odometry edge + LoopCloser
+        notification."""
+        if not (0 <= from_v < self.graph.n_vertices):
+            raise ValueError("AddNewKeyframe: vertex 'from' must exist")
+        v = self.graph.add_vertex(cloud, T_world_newkf, self.now())
+        self.graph.add_edge(from_v, v, meas_T_from_newkf,
+                            meas_cov_from_newkf, ODOM_CONSTRAINT)
+        if self._loop_closer is not None:
+            self._loop_closer.add_new_vertex(v)
+        return v
+
+    def add_loop_closing_constraint(self, from_v: int, to_v: int, T_from_to,
+                                    cov_from_to) -> None:
+        """``MapManager.hpp:115-127``."""
+        self.graph.add_edge(from_v, to_v, T_from_to, cov_from_to,
+                            LOOP_CONSTRAINT)
+
+    def update_keyframe_transform(self, v: int, T, update_time: int) -> None:
+        """``MapManager.hpp:130-134``: optimizer writeback."""
+        self.graph.optimized_poses[v] = np.asarray(T, np.float32)
+        self.graph.update_times[v] = update_time
+
+    def notify_keyframe_update(self) -> None:
+        """``MapManager.hpp:150-157``: tell the Localizer poses moved."""
+        if self._localizer is not None:
+            self._localizer.update_from_graph()
+
+    # -- export ------------------------------------------------------------
+
+    def write_graphviz(self, path: str) -> None:
+        """DOT dump of the graph topology (``MapManager.hpp:137-147``)."""
+        g = self.graph
+        lines = ["graph G {"]
+        for v in range(g.n_vertices):
+            lines.append(f"{v} [label={v}];")
+        for e in range(g.n_edges):
+            attr = "" if g.edge_type[e] == ODOM_CONSTRAINT else " [style=dashed]"
+            lines.append(f"{g.edge_from[e]}--{g.edge_to[e]}{attr};")
+        lines.append("}")
+        with open(path, "w") as fh:
+            fh.write("\n".join(lines) + "\n")

@@ -1,0 +1,321 @@
+"""Localizer — front-end odometry: input filtering, scan-to-local-map ICP,
+keyframe spawning and local-map composition management.
+
+Faithful rebuild of the reference's decision logic
+(``Localizer.h/hpp``): the numerics underneath (filters, ICP, overlap)
+are TPU kernels, but the control flow — overlap gating
+(``Localizer.hpp:196-245``), neighbor-composition search
+(``Localizer.hpp:393-483``), composition swap to the closest vertex
+(``Localizer.hpp:214-221``), pose re-anchoring after composition/graph
+changes (``Localizer.hpp:264-273``) — is reproduced step for step so
+trajectories match the reference within pose tolerance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import se3
+from .cloud import Cloud, transform_cloud
+from .graph.pose_graph import MapManager
+from .graph.shortest_path import dijkstra
+from .localmap import Composition, LocalMap
+from .metrics import distance
+from .ops import filters as F
+from .ops.icp import ICPConfig, ICPEngine, ICPResult, compute_overlap
+
+log = logging.getLogger("pgslam_tpu.localizer")
+
+
+@dataclasses.dataclass(frozen=True)
+class LocalizerConfig:
+    # Reference defaults: Localizer.hpp:25-28
+    local_map_size: int = 3
+    overlap_threshold: float = 0.8
+    minimal_overlap: float = 0.5
+    input_filters: Tuple = ()
+    icp: ICPConfig = ICPConfig()
+    # Fixed capacity of keyframe clouds after input filtering (compaction
+    # target; fixed-shape discipline for the local-map builder).
+    keyframe_cloud_capacity: int = 1024
+
+
+class Localizer:
+    """Consumes odometry+cloud inputs, runs scan-to-local-map ICP, decides
+    keyframe creation, manages the live local map (``Localizer.h:16-108``)."""
+
+    def __init__(self, map_manager: MapManager,
+                 config: LocalizerConfig = LocalizerConfig()):
+        self.mm = map_manager
+        self.config = config
+        self.icp_engine = ICPEngine(config.icp)
+        self.local_map = LocalMap(config.local_map_size)
+        # Persistent across calls, mirroring next_local_map_composition_
+        # (mutated in place at Localizer.hpp:211,217,240).
+        self.next_composition = Composition(config.local_map_size)
+        self.T_refkf_robot = np.eye(4, dtype=np.float32)
+        self.T_world_robot = np.eye(4, dtype=np.float32)
+        self.last_input_T_world_robot = np.eye(4, dtype=np.float32)
+        self.count = 0
+        self.input_cloud: Optional[Cloud] = None
+        self.last_result: Optional[ICPResult] = None
+
+    # -- configuration setters (Localizer.h:33-37 parity) ------------------
+
+    def set_local_map_max_size(self, size: int) -> None:
+        self.local_map = LocalMap(size)
+        self.next_composition = Composition(size)
+
+    def set_overlap_threshold(self, v: float) -> None:
+        object.__setattr__(self, "config",
+                           dataclasses.replace(self.config,
+                                               overlap_threshold=v))
+
+    def set_minimal_overlap_threshold(self, v: float) -> None:
+        object.__setattr__(self, "config",
+                           dataclasses.replace(self.config,
+                                               minimal_overlap=v))
+
+    # -- data entry (Localizer.hpp:81-135) ---------------------------------
+
+    def add_new_data(self, timestamp, world_frame_id, T_world_robot,
+                     T_robot_sensor, cloud: Cloud) -> None:
+        del timestamp, world_frame_id
+        self.process_data(np.asarray(T_world_robot, np.float32),
+                          np.asarray(T_robot_sensor, np.float32), cloud)
+
+    def process_data(self, input_T_world_robot: np.ndarray,
+                     input_T_robot_sensor: np.ndarray,
+                     input_cloud: Cloud) -> None:
+        log.info("[Localizer] Processing cloud #%d", self.count)
+        key = jax.random.PRNGKey(self.count)
+        self.count += 1
+
+        # Input filters run in the sensor frame (observation directions
+        # must point at the sensor, Localizer.hpp:100-103), then the cloud
+        # moves to the robot frame (Localizer.hpp:106). Compact to the
+        # fixed keyframe capacity so all downstream shapes are static.
+        cloud = F.apply_chain(self.config.input_filters, input_cloud, key)
+        cloud = F.compact(cloud, self.config.keyframe_cloud_capacity)
+        cloud = transform_cloud(jnp.asarray(input_T_robot_sensor), cloud)
+        self.input_cloud = cloud
+
+        if not self.local_map.has_cloud():
+            self.process_first_cloud(cloud, input_T_world_robot)
+            self.last_input_T_world_robot = input_T_world_robot
+            return
+
+        # Delta-pose prediction from odometry (Localizer.hpp:119-123).
+        input_dT_robot = np.asarray(
+            se3.inverse(jnp.asarray(self.last_input_T_world_robot))
+            @ jnp.asarray(input_T_world_robot))
+        input_T_refkf_robot = self.T_refkf_robot @ input_dT_robot
+
+        # Scan-to-map ICP (Localizer.hpp:126).
+        result = self.icp_engine(cloud, jnp.asarray(input_T_refkf_robot))
+        self.last_result = result
+        self.T_refkf_robot = np.asarray(result.T)
+        self.T_world_robot = (
+            self.local_map.reference_keyframe().optimized_T_world_kf
+            @ self.T_refkf_robot)
+
+        self.update_after_icp(result)
+        self.last_input_T_world_robot = input_T_world_robot
+
+    def process_first_cloud(self, cloud: Cloud, T_world_robot) -> None:
+        """``Localizer.hpp:138-152``."""
+        v = self.mm.add_first_keyframe(cloud, T_world_robot)
+        self.next_composition.clear()
+        self.next_composition.push_back(v)
+        self.local_map.update_to_new_composition(self.mm.get_graph(),
+                                                 self.next_composition)
+        self.icp_engine.set_map(self.local_map.cloud())
+        self.T_refkf_robot = np.eye(4, dtype=np.float32)
+        self.T_world_robot = np.asarray(T_world_robot, np.float32)
+
+    # -- post-ICP decision tree (Localizer.hpp:179-261) --------------------
+
+    def update_after_icp(self, result: ICPResult) -> None:
+        graph = self.mm.get_graph()
+        overlap = float(result.overlap)
+        log.info("[Localizer] current overlap = %.4f", overlap)
+
+        if self.is_overlap_enough(overlap):
+            neighbor_comp, found = self.find_neighbor_local_map_composition()
+            if found and self.is_better_composition(overlap, neighbor_comp):
+                self.next_composition = neighbor_comp
+            else:
+                # Re-reference the local map on the closest vertex
+                # (Localizer.hpp:214-221).
+                closest_v = self.local_map.find_closest_vertex(
+                    jnp.asarray(self.T_world_robot))
+                ref_v = self.local_map.reference_vertex()
+                if closest_v != ref_v:
+                    comp = self.local_map.get_composition()
+                    items = comp.as_list()
+                    i, j = items.index(closest_v), items.index(ref_v)
+                    items[i], items[j] = items[j], items[i]
+                    self.next_composition = Composition(comp.capacity, items)
+        else:
+            neighbor_comp, found = self.find_neighbor_local_map_composition()
+            if found and self.is_better_composition(overlap, neighbor_comp):
+                self.next_composition = neighbor_comp
+            else:
+                # Spawn a new keyframe (Localizer.hpp:234-240). NOTE: in the
+                # single-threaded reference this call cascades synchronously
+                # into LoopCloser and possibly the Optimizer before
+                # returning (MapManager.hpp:96-100) — reproduced here.
+                v = self.mm.add_new_keyframe(
+                    self.local_map.reference_vertex(),
+                    self.T_world_robot,
+                    self.T_refkf_robot,
+                    np.asarray(result.cov),
+                    self.input_cloud)
+                self.next_composition.push_back(v)
+                log.info("[Localizer] next composition = %s",
+                         self.next_composition)
+
+        # Rebuild local map if the composition changed
+        # (Localizer.hpp:248-259).
+        if not self.local_map.has_same_composition(self.next_composition):
+            old_ref = self.local_map.reference_vertex()
+            self.local_map.update_to_new_composition(graph,
+                                                     self.next_composition)
+            self.icp_engine.set_map(self.local_map.cloud())
+            if self.local_map.reference_vertex() != old_ref:
+                self.update_refkf_robot_pose()
+
+    def update_refkf_robot_pose(self) -> None:
+        """``Localizer.hpp:264-267``."""
+        T_ref = jnp.asarray(
+            self.local_map.reference_keyframe().optimized_T_world_kf)
+        self.T_refkf_robot = np.asarray(
+            se3.inverse(T_ref) @ jnp.asarray(self.T_world_robot))
+
+    def update_world_robot_pose(self) -> None:
+        """``Localizer.hpp:270-273``."""
+        self.T_world_robot = (
+            self.local_map.reference_keyframe().optimized_T_world_kf
+            @ self.T_refkf_robot)
+
+    # -- graph-update notification (Localizer.hpp:156-176) -----------------
+
+    def update_from_graph(self) -> None:
+        if not self.local_map.has_cloud():
+            return
+        graph = self.mm.get_graph()
+        lm_outdated = self.local_map.is_outdated(graph)
+        ref_outdated = self.local_map.is_reference_keyframe_outdated(graph)
+        if lm_outdated:
+            self.local_map.update_from_graph(graph)
+            self.icp_engine.set_map(self.local_map.cloud())
+        if ref_outdated:
+            self.update_world_robot_pose()
+
+    # -- overlap logic (Localizer.hpp:276-372) -----------------------------
+
+    def is_overlap_enough(self, overlap: float) -> bool:
+        if overlap < self.config.minimal_overlap:
+            log.warning("[Localizer] overlap below minimal overlap! "
+                        "(%.3f < %.3f)", overlap, self.config.minimal_overlap)
+        if overlap < self.config.overlap_threshold:
+            log.info("[Localizer] overlap below threshold! (%.3f < %.3f)",
+                     overlap, self.config.overlap_threshold)
+        return overlap >= self.config.overlap_threshold
+
+    def compute_overlap_with(self, comp: Composition) -> float:
+        """Partial-ICP overlap probe against an arbitrary composition
+        (``Localizer.hpp:282-348``): build the candidate map in the world
+        frame, apply reference/reading filter chains, match + weigh only."""
+        temp_map = LocalMap.from_graph(self.mm.get_graph(), comp)
+        reference = self.icp_engine.prepare_reference(
+            temp_map.cloud_in_world_frame())
+        reading = self.icp_engine.prepare_reading(self.input_cloud)
+        ov = compute_overlap(reading, reference,
+                             jnp.asarray(self.T_world_robot),
+                             self.config.icp)
+        return float(ov)
+
+    def is_better_composition(self, current_overlap: float,
+                              candidate: Composition) -> bool:
+        """``Localizer.hpp:363-372``."""
+        if self.local_map.has_same_composition(candidate):
+            return False
+        candidate_overlap = self.compute_overlap_with(candidate)
+        return (self.is_overlap_enough(candidate_overlap)
+                and candidate_overlap > current_overlap)
+
+    # -- neighbor-composition search (Localizer.hpp:393-483) ---------------
+
+    def find_neighbor_local_map_composition(
+            self) -> Tuple[Optional[Composition], bool]:
+        graph = self.mm.get_graph()
+        curr = self.local_map.get_composition().as_list()
+
+        # Vertices adjacent to the local map but not in it.
+        adj = set()
+        for v in curr:
+            for a in graph.adjacent_vertices(v):
+                if int(a) not in curr:
+                    adj.add(int(a))
+        if not adj:
+            return None, False
+
+        # Closest adjacent vertex to the robot.
+        adj = sorted(adj)
+        poses = jnp.asarray(graph.optimized_poses[np.asarray(adj)])
+        dists = np.asarray(distance(poses, jnp.asarray(self.T_world_robot)))
+        closest_adj = adj[int(np.argmin(dists))]
+
+        ext = curr + [closest_adj]
+
+        # Topological distances from the closest adjacent vertex on the
+        # subgraph induced by ext (filtered_graph, Localizer.hpp:432-451).
+        vertex_ok = np.zeros(graph.n_vertices, bool)
+        vertex_ok[np.asarray(ext)] = True
+        e = graph.n_edges
+        topo, _ = dijkstra(graph.n_vertices, graph.edge_from[:e],
+                           graph.edge_to[:e], graph.edge_weight[:e],
+                           closest_adj, vertex_ok=vertex_ok)
+
+        # Sort ext by DECREASING topological distance
+        # (Localizer.hpp:453-457: ascending sort through reverse iterators).
+        ext.sort(key=lambda v: topo[v], reverse=True)
+
+        # All but the last two, then the last two ordered so the vertex
+        # closest to the robot lands at the back (= reference keyframe),
+        # Localizer.hpp:459-480.
+        comp = Composition(self.local_map.capacity())
+        for v in ext[:-2]:
+            comp.push_back(v)
+        last, before_last = ext[-1], ext[-2]
+        d_last = float(distance(jnp.asarray(graph.optimized_poses[last]),
+                                jnp.asarray(self.T_world_robot)))
+        d_before = float(distance(
+            jnp.asarray(graph.optimized_poses[before_last]),
+            jnp.asarray(self.T_world_robot)))
+        if d_before < d_last:
+            comp.push_back(last)
+            comp.push_back(before_last)
+        else:
+            comp.push_back(before_last)
+            comp.push_back(last)
+        return comp, True
+
+    # -- map access (Localizer.hpp:375-390) --------------------------------
+
+    def get_local_map(self) -> Tuple[Optional[Cloud], bool]:
+        if self.local_map.has_cloud():
+            return self.local_map.cloud(), True
+        return None, False
+
+    def get_local_map_in_world_frame(self) -> Tuple[Optional[Cloud], bool]:
+        if self.local_map.has_cloud():
+            return self.local_map.cloud_in_world_frame(), True
+        return None, False

@@ -1,0 +1,216 @@
+"""LocalMap — the sliding-window submap the robot localizes against.
+
+Rebuild of ``LocalMap.h/hpp``: a circular buffer of up to N keyframe
+(vertex, payload-snapshot) pairs (``LocalMap.h:13-20``) plus the
+concatenated cloud expressed in the *reference keyframe*'s frame — the
+reference keyframe being the LAST element of the buffer
+(``LocalMap.hpp:111-120``). Staleness is tracked by comparing snapshot
+``update_time`` stamps against the live graph (``LocalMap.hpp:169-183``).
+
+The cloud build (``BuildCloudFromData``, ``LocalMap.hpp:209-224``) is a
+single jitted kernel over stacked fixed-capacity keyframe clouds, so a
+composition change costs one device dispatch regardless of window size.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import se3
+from .cloud import Cloud
+from .graph.pose_graph import Keyframe, PoseGraph
+from .metrics import distance
+
+
+class Composition:
+    """Vertex-id circular buffer (boost::circular_buffer semantics):
+    ``push_back`` evicts the *front* once capacity is reached. The back is
+    the reference keyframe."""
+
+    def __init__(self, capacity: int, items: Sequence[int] = ()):
+        self.capacity = int(capacity)
+        self._items: List[int] = []
+        for v in items:
+            self.push_back(v)
+
+    def push_back(self, v: int) -> None:
+        self._items.append(int(v))
+        if len(self._items) > self.capacity:
+            self._items.pop(0)
+
+    def clear(self) -> None:
+        self._items.clear()
+
+    def back(self) -> int:
+        return self._items[-1]
+
+    def __iter__(self):
+        return iter(self._items)
+
+    def __len__(self):
+        return len(self._items)
+
+    def __contains__(self, v) -> bool:
+        return int(v) in self._items
+
+    def __getitem__(self, i):
+        return self._items[i]
+
+    def __repr__(self):
+        return f"Composition(cap={self.capacity}, {self._items})"
+
+    def copy(self) -> "Composition":
+        return Composition(self.capacity, self._items)
+
+    def as_list(self) -> List[int]:
+        return list(self._items)
+
+
+@functools.partial(jax.jit, static_argnames=("desc_keys",))
+def _build_cloud_kernel(points, masks, descs, T_refkf_kf, slot_valid,
+                        desc_keys: Tuple[str, ...]):
+    """Transform each keyframe cloud into the reference frame and flatten.
+
+    points [C, N, 3], masks [C, N], descs {k: [C, N, D]},
+    T_refkf_kf [C, 4, 4], slot_valid [C] -> flat arrays [C*N, ...].
+    """
+    pts = se3.apply(T_refkf_kf, points)                    # [C, N, 3]
+    mask = masks & slot_valid[:, None]
+    out_desc = {}
+    for k in desc_keys:
+        v = descs[k]
+        if k in ("normals", "observationDirections", "eigVectors") \
+                and v.shape[-1] == 3:
+            v = se3.rotate(T_refkf_kf, v)
+        out_desc[k] = v.reshape(-1, v.shape[-1])
+    return (pts.reshape(-1, 3), mask.reshape(-1), out_desc)
+
+
+class LocalMap:
+    """Sliding-window submap (``LocalMap.h:8-57``)."""
+
+    def __init__(self, capacity: int):
+        self._capacity = int(capacity)
+        self._data: List[Tuple[int, Keyframe]] = []   # back = reference kf
+        self._cloud: Optional[Cloud] = None
+
+    # -- construction / refresh (LocalMap.hpp:55-80) -----------------------
+
+    @classmethod
+    def from_graph(cls, graph: PoseGraph, comp: Composition) -> "LocalMap":
+        lm = cls(comp.capacity)
+        lm.update_to_new_composition(graph, comp)
+        return lm
+
+    def update_to_new_composition(self, graph: PoseGraph,
+                                  comp: Composition) -> None:
+        self._capacity = comp.capacity
+        self._data = [(v, graph.keyframe(v)) for v in comp]
+        self._build_cloud()
+
+    def update_from_graph(self, graph: PoseGraph) -> None:
+        """Refresh payload snapshots for the current vertices."""
+        self._data = [(v, graph.keyframe(v)) for v, _ in self._data]
+        self._build_cloud()
+
+    # -- basic accessors ---------------------------------------------------
+
+    def capacity(self) -> int:
+        return self._capacity
+
+    def has_cloud(self) -> bool:
+        return self._cloud is not None and len(self._data) > 0
+
+    def cloud(self) -> Cloud:
+        return self._cloud
+
+    def cloud_in_world_frame(self) -> Cloud:
+        """``LocalMap.hpp:95-98``."""
+        from .cloud import transform_cloud
+        T = jnp.asarray(self.reference_keyframe().optimized_T_world_kf)
+        return transform_cloud(T, self._cloud)
+
+    def get_composition(self) -> Composition:
+        return Composition(self._capacity, [v for v, _ in self._data])
+
+    def reference_vertex(self) -> int:
+        return self._data[-1][0]
+
+    def reference_keyframe(self) -> Keyframe:
+        return self._data[-1][1]
+
+    # -- composition comparison (LocalMap.hpp:123-166) ---------------------
+
+    def has_same_vertex_set(self, comp: Composition) -> bool:
+        return set(v for v, _ in self._data) == set(comp)
+
+    def has_same_reference_vertex(self, comp: Composition) -> bool:
+        return len(self._data) > 0 and len(comp) > 0 and \
+            self._data[-1][0] == comp.back()
+
+    def has_same_composition(self, comp: Composition) -> bool:
+        return self.has_same_reference_vertex(comp) and \
+            self.has_same_vertex_set(comp)
+
+    # -- staleness (LocalMap.hpp:169-183) ----------------------------------
+
+    def is_outdated(self, graph: PoseGraph) -> bool:
+        return any(graph.update_times[v] > kf.update_time
+                   for v, kf in self._data)
+
+    def is_reference_keyframe_outdated(self, graph: PoseGraph) -> bool:
+        v, kf = self._data[-1]
+        return graph.update_times[v] > kf.update_time
+
+    # -- queries (LocalMap.hpp:186-205) ------------------------------------
+
+    def find_closest_vertex(self, T_world_x) -> int:
+        """Nearest composition vertex to a world pose (translation metric)."""
+        poses = jnp.stack([jnp.asarray(kf.optimized_T_world_kf)
+                           for _, kf in self._data])
+        d = np.asarray(distance(poses, jnp.asarray(T_world_x)))
+        return self._data[int(np.argmin(d))][0]
+
+    # -- cloud assembly (LocalMap.hpp:209-224) -----------------------------
+
+    def _build_cloud(self) -> None:
+        if not self._data:
+            self._cloud = None
+            return
+        C = self._capacity
+        kfs = [kf for _, kf in self._data]
+        ref = kfs[-1]
+        T_refkf_world = se3.inverse(jnp.asarray(ref.optimized_T_world_kf))
+        caps = {kf.cloud.capacity for kf in kfs}
+        if len(caps) != 1:
+            raise ValueError(
+                f"LocalMap requires equal keyframe cloud capacities, got {caps}")
+        n = caps.pop()
+        desc_keys = tuple(sorted(kfs[0].cloud.descriptors.keys()))
+
+        def pad(arrs, fill):
+            missing = C - len(arrs)
+            return arrs + [fill] * missing
+
+        points = jnp.stack(pad([kf.cloud.points for kf in kfs],
+                               jnp.zeros((n, 3), jnp.float32)))
+        masks = jnp.stack(pad([kf.cloud.mask for kf in kfs],
+                              jnp.zeros((n,), bool)))
+        descs = {}
+        for k in desc_keys:
+            d = kfs[0].cloud.descriptors[k].shape[-1]
+            descs[k] = jnp.stack(pad([kf.cloud.descriptors[k] for kf in kfs],
+                                     jnp.zeros((n, d), jnp.float32)))
+        Ts = jnp.stack(pad(
+            [T_refkf_world @ jnp.asarray(kf.optimized_T_world_kf)
+             for kf in kfs], jnp.eye(4, dtype=jnp.float32)))
+        slot_valid = jnp.asarray(
+            [True] * len(kfs) + [False] * (C - len(kfs)))
+        pts, mask, out_desc = _build_cloud_kernel(points, masks, descs, Ts,
+                                                  slot_valid, desc_keys)
+        self._cloud = Cloud(points=pts, mask=mask, descriptors=out_desc)

@@ -1,0 +1,198 @@
+"""LoopCloser — loop-closure detection and verification.
+
+Rebuild of ``LoopCloser.h/hpp``: per new keyframe, find vertices that are
+geometrically close but topologically far (``LoopCloser.hpp:220-224``),
+assemble a candidate local map by Dijkstra on a loop-edge-free filtered
+graph with an early-stop visitor (``LoopCloser.hpp:263-298``), verify with
+a second ICP (``LoopCloser.hpp:98``), and accept only if the ICP did not
+hit its iteration cap, overlap clears the threshold, and the recomputed
+residual is small (``LoopCloser.hpp:308-340``).
+
+The per-vertex Dijkstra visitor computing geometric distances
+(``LoopCloser.hpp:139-161``) collapses into one vectorized norm over the
+pose array.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import se3
+from .cloud import Cloud
+from .graph.pose_graph import LOOP_CONSTRAINT, MapManager
+from .graph.shortest_path import candidate_composition, dijkstra
+from .localmap import Composition, LocalMap
+from .metrics import distance
+from .ops.icp import ICPConfig, ICPEngine, ICPResult, compute_residual
+
+log = logging.getLogger("pgslam_tpu.loopcloser")
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopCloserConfig:
+    # Reference defaults: LoopCloser.hpp:16-21
+    topo_dist_threshold: float = 3.0
+    geom_dist_threshold: float = 3.0
+    overlap_threshold: float = 0.8
+    residual_error_threshold: float = 5000.0
+    candidate_local_map_size: int = 3
+    icp: ICPConfig = ICPConfig()
+
+
+class LoopCloser:
+    """``LoopCloser.h:14-83``."""
+
+    def __init__(self, map_manager: MapManager, optimizer,
+                 config: LoopCloserConfig = LoopCloserConfig()):
+        self.mm = map_manager
+        self.optimizer = optimizer
+        self.config = config
+        self.icp_engine = ICPEngine(config.icp)
+        self.candidate_local_map = LocalMap(config.candidate_local_map_size)
+        self.input_vertex: Optional[int] = None
+        self.input_cloud: Optional[Cloud] = None
+        self.input_T_world_kf: Optional[np.ndarray] = None
+        self.T_refkf_kf: Optional[np.ndarray] = None
+        self.last_result: Optional[ICPResult] = None
+
+    # -- entry (LoopCloser.hpp:77-110) -------------------------------------
+
+    def add_new_vertex(self, v: int) -> None:
+        self.process_vertex(v)
+
+    def process_vertex(self, input_vertex: int) -> None:
+        self.input_vertex = input_vertex
+
+        if not self.process_local_map_candidate():
+            return
+
+        # Initial guess: input keyframe pose in the candidate reference
+        # keyframe's frame (LoopCloser.hpp:95).
+        ref_kf = self.candidate_local_map.reference_keyframe()
+        input_T_refkf_kf = np.asarray(
+            se3.inverse(jnp.asarray(ref_kf.optimized_T_world_kf))
+            @ jnp.asarray(self.input_T_world_kf))
+
+        # Verification ICP against the candidate map (LoopCloser.hpp:98).
+        self.icp_engine.set_map(self.candidate_local_map.cloud())
+        result = self.icp_engine(self.input_cloud,
+                                 jnp.asarray(input_T_refkf_kf))
+        self.last_result = result
+        self.T_refkf_kf = np.asarray(result.T)
+
+        if self.check_icp_result(result):
+            log.info("[LoopCloser] Loop closure accepted: %d -> %d",
+                     self.candidate_local_map.reference_vertex(),
+                     input_vertex)
+            self.optimizer.add_new_data(
+                self.candidate_local_map.reference_vertex(),
+                input_vertex,
+                self.T_refkf_kf,
+                np.asarray(result.cov))
+        else:
+            log.info("[LoopCloser] Loop closure rejected for vertex %d",
+                     input_vertex)
+
+    def process_local_map_candidate(self) -> bool:
+        """``LoopCloser.hpp:113-136``."""
+        graph = self.mm.get_graph()
+        log.info("[LoopCloser] Looking for a loop closing candidate for "
+                 "keyframe %d", self.input_vertex)
+        if not self.find_local_map_candidate(self.input_vertex):
+            return False
+        self.input_cloud = graph.clouds[self.input_vertex]
+        self.input_T_world_kf = graph.optimized_poses[self.input_vertex].copy()
+        return True
+
+    # -- candidate search (LoopCloser.hpp:193-305) -------------------------
+
+    def find_local_map_candidate(self, input_v: int) -> bool:
+        graph = self.mm.get_graph()
+        if graph.n_vertices <= 1:
+            return False
+        cfg = self.config
+        n, e = graph.n_vertices, graph.n_edges
+
+        # Dijkstra #1 over the full graph: topological distances; geometric
+        # distances are one vectorized norm (visitor at :211-215 collapsed).
+        topo, _ = dijkstra(n, graph.edge_from[:e], graph.edge_to[:e],
+                           graph.edge_weight[:e], input_v)
+        geom = np.asarray(distance(
+            jnp.asarray(graph.optimized_poses[:n]),
+            jnp.asarray(graph.optimized_poses[input_v])))
+
+        # Gate: geometrically close AND topologically far (:220-224), then
+        # sort by geometric distance (:227-229).
+        cand = np.nonzero((geom <= cfg.geom_dist_threshold)
+                          & (topo > cfg.topo_dist_threshold))[0]
+        cand = cand[np.argsort(geom[cand], kind="stable")]
+        if len(cand) == 0:
+            log.info("[LoopCloser] Candidate NOT found!")
+            return False
+
+        # Filtered graph: drop topologically-close vertices, loop edges,
+        # and edges touching dropped vertices (:234-264).
+        vertex_ok = topo > cfg.topo_dist_threshold
+        edge_ok = graph.edge_type[:e] != LOOP_CONSTRAINT
+
+        size = self.candidate_local_map.capacity()
+        for candidate_v in cand:
+            comp = candidate_composition(
+                n, graph.edge_from[:e], graph.edge_to[:e],
+                graph.edge_weight[:e], int(candidate_v), size,
+                vertex_ok=vertex_ok, edge_ok=edge_ok)
+            if comp is not None:
+                self.candidate_local_map.update_to_new_composition(
+                    graph, Composition(size, comp))
+                log.info("[LoopCloser] Candidate found! -> %s", comp)
+                return True
+        log.info("[LoopCloser] Candidate NOT found!")
+        return False
+
+    # -- acceptance checks (LoopCloser.hpp:308-365) ------------------------
+
+    def check_icp_result(self, result: ICPResult) -> bool:
+        if bool(result.max_iter_reached):        # :317
+            return False
+        if float(result.overlap) < self.config.overlap_threshold:  # :331
+            return False
+        if self.compute_residual_error() > \
+                self.config.residual_error_threshold:              # :335
+            return False
+        return True
+
+    def compute_residual_error(self) -> float:
+        """Residual recompute with a fresh matching pipeline
+        (``LoopCloser.hpp:343-365``): reading transformed by the loop
+        transform, matched against the candidate map cloud."""
+        reading = self.icp_engine.prepare_reading(self.input_cloud)
+        reference = self.icp_engine.reference  # already prepared by set_map
+        res = compute_residual(reading, reference,
+                               jnp.asarray(self.T_refkf_kf),
+                               self.config.icp)
+        return float(res)
+
+    # -- setters (LoopCloser.h:32-37 parity) -------------------------------
+
+    def set_topological_distance_threshold(self, v: float) -> None:
+        self.config = dataclasses.replace(self.config, topo_dist_threshold=v)
+
+    def set_geometrical_distance_threshold(self, v: float) -> None:
+        self.config = dataclasses.replace(self.config, geom_dist_threshold=v)
+
+    def set_overlap_threshold(self, v: float) -> None:
+        self.config = dataclasses.replace(self.config, overlap_threshold=v)
+
+    def set_residual_error_threshold(self, v: float) -> None:
+        self.config = dataclasses.replace(self.config,
+                                          residual_error_threshold=v)
+
+    def set_candidate_local_map_max_size(self, size: int) -> None:
+        # NOTE: the reference hardcodes 3 here, ignoring its argument
+        # (LoopCloser.hpp:53-56). We honor the intent, not the bug.
+        self.candidate_local_map = LocalMap(size)

@@ -1,0 +1,254 @@
+"""The ICP driver — TPU-native analog of libpointmatcher's ``ICP`` /
+``ICPSequence`` orchestrators (invoked at ``Localizer.hpp:126`` and
+``LoopCloser.hpp:98``; ``setMap`` at ``Localizer.hpp:148,168,254``).
+
+The iterate loop (match -> outlier-weight -> minimize -> check) runs as a
+``jax.lax.while_loop`` inside one jitted function, so a whole registration
+is a single device dispatch. Convergence control reproduces the reference's
+transformation checkers (SURVEY.md §2b N7): an iteration cap plus a
+differential (min-update) test, with the *reason* for stopping reported in
+the result (``max_iter_reached``, consumed at ``LoopCloser.hpp:317``).
+
+``ICPEngine`` is the ``ICPSequence`` analog: it keeps a persistent,
+pre-filtered reference map (with precomputed normals / grid index) across
+calls so per-scan work stays minimal.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .. import se3
+from ..cloud import Cloud
+from . import filters as F
+from . import minimizer as M
+from . import outlier as O
+from .knn import Matches, knn_brute_force
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPConfig:
+    """Static ICP pipeline configuration (hashable -> jit static arg).
+
+    Mirrors the information content of a libpointmatcher YAML pipeline:
+    filter chains, matcher, outlier filters, error minimizer, checkers.
+    """
+
+    error: str = "point_to_point"          # or "point_to_plane"
+    # matcher
+    matcher: str = "brute"                  # "brute" | "grid"
+    knn: int = 1                            # matches used by the minimizer
+    tile_ref: int = 2048
+    tile_query: int = 0
+    grid_cell_size: float = 0.0             # 0 = auto from cloud extent
+    grid_bucket_cap: int = 8
+    # outlier filters. NOTE: the default pairs a relative (trimmed) filter
+    # with an absolute distance cut — without an absolute criterion the
+    # overlap statistic (weightedPointUsedRatio) degenerates to the trim
+    # ratio constant and the Localizer's keyframe gating never fires.
+    outlier: Tuple = (O.TrimmedDist(0.85), O.MaxDist(1.0))
+    # transformation checkers
+    max_iterations: int = 40
+    trans_eps: float = 1e-4
+    rot_eps: float = 1e-4
+    # data-point filter chains
+    reading_filters: Tuple = ()
+    reference_filters: Tuple = ()
+
+
+@struct.dataclass
+class ICPResult:
+    """Registration result + the introspection the framework depends on."""
+
+    T: jax.Array                 # [4, 4] corrected transform
+    iterations: jax.Array        # int32
+    converged: jax.Array         # bool: differential checker fired
+    max_iter_reached: jax.Array  # bool: stopped by the iteration cap
+    overlap: jax.Array           # weightedPointUsedRatio at the solution
+    residual: jax.Array          # weighted squared residual sum
+    cov: jax.Array               # [6, 6] measurement covariance, PM order
+
+
+# --------------------------------------------------------------------------
+# Matching + error-element assembly
+# --------------------------------------------------------------------------
+
+def match_clouds(points: jax.Array, mask: jax.Array, reference: Cloud,
+                 cfg: ICPConfig, index=None) -> Matches:
+    """Dispatch to the configured matcher. ``index`` is an optional
+    precomputed grid index (see :mod:`pgslam_tpu.ops.gridknn`)."""
+    if cfg.matcher == "grid" and index is not None:
+        from .gridknn import grid_knn
+        return grid_knn(points, mask, index, k=cfg.knn)
+    return knn_brute_force(points, mask, reference.points, reference.mask,
+                           k=cfg.knn, tile_ref=cfg.tile_ref,
+                           tile_query=cfg.tile_query)
+
+
+def build_error_elements(points, mask, reference: Cloud, matches: Matches,
+                         weights, cfg: ICPConfig) -> M.ErrorElements:
+    """Flatten [Nq, k] matches into weighted point pairs (k=1 fast path)."""
+    ids = matches.ids.reshape(-1)
+    ref_pts = jnp.take(reference.points, ids, axis=0)
+    normals = None
+    if cfg.error == "point_to_plane":
+        normals = jnp.take(reference.descriptors["normals"], ids, axis=0)
+    k = matches.k
+    reading = jnp.repeat(points, k, axis=0) if k > 1 else points
+    return M.ErrorElements(reading=reading, reference=ref_pts,
+                           weights=weights.reshape(-1), normals=normals)
+
+
+def _match_and_weigh(points, mask, reference: Cloud, cfg: ICPConfig, index):
+    matches = match_clouds(points, mask, reference, cfg, index)
+    weights = O.compute_weights(cfg.outlier, matches, mask)
+    return matches, weights
+
+
+# --------------------------------------------------------------------------
+# Core registration (single jitted dispatch)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def icp_core(reading: Cloud, reference: Cloud, T_init: jax.Array,
+             cfg: ICPConfig, index=None) -> ICPResult:
+    """Run the full ICP loop. ``reading``/``reference`` must already be
+    filtered (the engine handles chains); shapes are static."""
+    n_valid = reading.count()
+
+    def step(T):
+        pts = se3.apply(T, reading.points)
+        matches, weights = _match_and_weigh(pts, reading.mask, reference,
+                                            cfg, index)
+        elems = build_error_elements(pts, reading.mask, reference, matches,
+                                     weights, cfg)
+        if cfg.error == "point_to_plane":
+            delta = M.point_to_plane(elems)
+        else:
+            delta = M.point_to_point(elems)
+        return delta @ T, delta
+
+    def cond(state):
+        _, it, converged = state
+        return jnp.logical_and(it < cfg.max_iterations, ~converged)
+
+    def body(state):
+        T, it, _ = state
+        T_new, delta = step(T)
+        dt = se3.translation_norm(delta)
+        dr = se3.rotation_angle(delta)
+        converged = jnp.logical_and(dt < cfg.trans_eps, dr < cfg.rot_eps)
+        return (T_new, it + 1, converged)
+
+    T0 = T_init.astype(reading.points.dtype)
+    T, iterations, converged = jax.lax.while_loop(
+        cond, body, (T0, jnp.int32(0), jnp.bool_(False)))
+
+    # Final introspection at the solution (PM's lastErrorElements analog).
+    pts = se3.apply(T, reading.points)
+    matches, weights = _match_and_weigh(pts, reading.mask, reference, cfg,
+                                        index)
+    elems = build_error_elements(pts, reading.mask, reference, matches,
+                                 weights, cfg)
+    ov = M.overlap(weights, n_valid)
+    res = M.residual_error(elems, cfg.error)
+    cov = M.covariance(elems, cfg.error)
+    max_iter_reached = jnp.logical_and(iterations >= cfg.max_iterations,
+                                       ~converged)
+    return ICPResult(T=T, iterations=iterations, converged=converged,
+                     max_iter_reached=max_iter_reached, overlap=ov,
+                     residual=res, cov=cov)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def compute_overlap(reading: Cloud, reference: Cloud, T: jax.Array,
+                    cfg: ICPConfig, index=None) -> jax.Array:
+    """Partial-ICP overlap probe: filters + match + weights only, no
+    minimization (the reference's hackish replay at
+    ``Localizer.hpp:282-348``). ``reading``/``reference`` must be
+    pre-filtered; ``T`` maps reading into the reference frame."""
+    pts = se3.apply(T, reading.points)
+    _, weights = _match_and_weigh(pts, reading.mask, reference, cfg, index)
+    return M.overlap(weights, reading.count())
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def compute_residual(reading: Cloud, reference: Cloud, T: jax.Array,
+                     cfg: ICPConfig, index=None) -> jax.Array:
+    """Residual recompute pipeline (``LoopCloser.hpp:343-365``): transform
+    reading by T, match, weigh, return the scalar residual error."""
+    pts = se3.apply(T, reading.points)
+    matches, weights = _match_and_weigh(pts, reading.mask, reference, cfg,
+                                        index)
+    elems = build_error_elements(pts, reading.mask, reference, matches,
+                                 weights, cfg)
+    return M.residual_error(elems, cfg.error)
+
+
+# --------------------------------------------------------------------------
+# Engine (ICPSequence analog): persistent reference map
+# --------------------------------------------------------------------------
+
+class ICPEngine:
+    """Holds a persistent pre-processed reference map across calls,
+    mirroring ``ICPSequence``'s ``setMap`` semantics."""
+
+    def __init__(self, config: ICPConfig = ICPConfig()):
+        self.config = config
+        self._reference: Optional[Cloud] = None
+        self._index = None
+
+    @property
+    def has_map(self) -> bool:
+        return self._reference is not None
+
+    @property
+    def reference(self) -> Optional[Cloud]:
+        return self._reference
+
+    def prepare_reference(self, reference: Cloud) -> Cloud:
+        """Apply reference filter chain (incl. normals for point-to-plane)."""
+        cfg = self.config
+        chain = cfg.reference_filters
+        if cfg.error == "point_to_plane" and not any(
+                isinstance(f, F.SurfaceNormal) for f in chain):
+            if "normals" not in reference.descriptors:
+                chain = chain + (F.SurfaceNormal(),)
+        return F.apply_chain(chain, reference)
+
+    def set_map(self, reference: Cloud) -> None:
+        ref = self.prepare_reference(reference)
+        self._reference = ref
+        if self.config.matcher == "grid":
+            from .gridknn import build_grid_index
+            self._index = build_grid_index(
+                ref.points, ref.mask,
+                cell_size=self.config.grid_cell_size,
+                bucket_cap=self.config.grid_bucket_cap)
+        else:
+            self._index = None
+
+    def prepare_reading(self, reading: Cloud) -> Cloud:
+        return F.apply_chain(self.config.reading_filters, reading)
+
+    def __call__(self, reading: Cloud, T_init: jax.Array) -> ICPResult:
+        if self._reference is None:
+            raise RuntimeError("ICPEngine: set_map() must be called first")
+        reading = self.prepare_reading(reading)
+        return icp_core(reading, self._reference, T_init, self.config,
+                        self._index)
+
+
+def icp(reading: Cloud, reference: Cloud, T_init: jax.Array,
+        cfg: ICPConfig = ICPConfig()) -> ICPResult:
+    """One-shot registration (LoopCloser-style ``icp_(...)`` call):
+    applies both filter chains, then runs the loop."""
+    engine = ICPEngine(cfg)
+    engine.set_map(reference)
+    return engine(reading, T_init)

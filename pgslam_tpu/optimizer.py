@@ -1,0 +1,142 @@
+"""Optimizer component — the back-end bridging the pose graph to the
+jitted SE(3) LM solver.
+
+Rebuild of ``Optimizer.h/hpp``: per batch of verified loop constraints it
+(1) collects every existing graph edge plus the pending loop edges into a
+factor set (``Optimizer.hpp:89-112``), (2) seeds initial values from the
+current optimized poses (``:115-121``), (3) anchors the fixed vertex with a
+sigma=1e-6 prior (``:124-130``), (4) runs Levenberg-Marquardt — here the
+batched-PCG solver in :mod:`pgslam_tpu.optim.pgo` — and (5) writes the
+results back, only then inserting the loop edges into the graph
+(``:135-157``).
+
+Covariance ordering: the reference converts PM's [t; r] to GTSAM's [r; t]
+(``Optimizer.hpp:33-42``); our solver consumes PM order natively so no
+conversion happens on the hot path. :func:`pm_cov_to_gtsam_cov` is kept
+for interoperability/parity tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .graph.pose_graph import MapManager
+from .optim.pgo import PGOConfig, optimize_pose_graph
+
+log = logging.getLogger("pgslam_tpu.optimizer")
+
+
+def pm_cov_to_gtsamcov(mat: np.ndarray) -> np.ndarray:  # pragma: no cover
+    return pm_cov_to_gtsam_cov(mat)
+
+
+def pm_cov_to_gtsam_cov(mat: np.ndarray) -> np.ndarray:
+    """Swap 3x3 sub-blocks: [t; r] order -> [r; t] order
+    (``Optimizer.hpp:33-42``). Involutive."""
+    out = np.empty_like(mat)
+    out[..., :3, :3] = mat[..., 3:, 3:]
+    out[..., 3:, 3:] = mat[..., :3, :3]
+    out[..., 3:, :3] = mat[..., :3, 3:]
+    out[..., :3, 3:] = mat[..., 3:, :3]
+    return out
+
+
+def _bucket(n: int, bucket: int) -> int:
+    """Round up to the next bucket multiple (limits distinct jit shapes)."""
+    return max(bucket, ((n + bucket - 1) // bucket) * bucket)
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    pgo: PGOConfig = PGOConfig()
+    shape_bucket: int = 64
+
+
+class Optimizer:
+    """``Optimizer.h:13-55``."""
+
+    def __init__(self, map_manager: MapManager,
+                 config: OptimizerConfig = OptimizerConfig()):
+        self.mm = map_manager
+        self.config = config
+        # (from, to, T_from_to, cov_from_to) pending loop constraints.
+        self.data_buffer: List[Tuple[int, int, np.ndarray, np.ndarray]] = []
+        self.last_stats = None
+
+    # -- entry (Optimizer.hpp:25-30): single-item batch per call -----------
+
+    def add_new_data(self, from_v: int, to_v: int, T_from_to,
+                     cov_from_to) -> None:
+        self.data_buffer = [(int(from_v), int(to_v),
+                             np.asarray(T_from_to, np.float32),
+                             np.asarray(cov_from_to, np.float32))]
+        self.process_data()
+
+    def process_data(self) -> None:
+        log.info("[Optimizer] Building factor graph with %d new loop "
+                 "closing factors", len(self.data_buffer))
+        poses, vmask, ef, et, eT, ec, emask, fixed = \
+            self.prepare_for_optimization()
+        log.info("[Optimizer] Optimizing using the factor graph")
+        new_poses, stats = optimize_pose_graph(
+            poses, vmask, ef, et, eT, ec, emask, fixed,
+            config=self.config.pgo)
+        self.last_stats = {k: float(np.asarray(v)) for k, v in stats.items()}
+        log.info("[Optimizer] Updating graph poses and adding loop closing "
+                 "edges (cost %.3e -> %.3e in %d iters)",
+                 self.last_stats["initial_cost"],
+                 self.last_stats["final_cost"],
+                 int(self.last_stats["iterations"]))
+        self.update_after_optimization(np.asarray(new_poses))
+        log.info("[Optimizer] Finished")
+
+    # -- factor assembly (Optimizer.hpp:80-132) ----------------------------
+
+    def prepare_for_optimization(self):
+        g = self.mm.get_graph()
+        nv, ne = g.n_vertices, g.n_edges
+        n_pending = len(self.data_buffer)
+        V = _bucket(nv, self.config.shape_bucket)
+        E = _bucket(ne + n_pending, self.config.shape_bucket)
+
+        poses = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))
+        poses[:nv] = g.optimized_poses[:nv]          # initial values :115-121
+        vmask = np.zeros(V, bool)
+        vmask[:nv] = True
+
+        ef = np.zeros(E, np.int32)
+        et = np.zeros(E, np.int32)
+        eT = np.tile(np.eye(4, dtype=np.float32), (E, 1, 1))
+        ec = np.tile(np.eye(6, dtype=np.float32), (E, 1, 1))
+        emask = np.zeros(E, bool)
+        ef[:ne] = g.edge_from[:ne]                   # existing edges :89-97
+        et[:ne] = g.edge_to[:ne]
+        eT[:ne] = g.edge_T[:ne]
+        ec[:ne] = g.edge_cov[:ne]
+        emask[:ne] = True
+        for k, (f, t, T, c) in enumerate(self.data_buffer):  # pending :100-112
+            ef[ne + k], et[ne + k] = f, t
+            eT[ne + k], ec[ne + k] = T, c
+            emask[ne + k] = True
+
+        fixed = jnp.int32(self.mm.get_fixed_vertex())    # prior :124-130
+        return (jnp.asarray(poses), jnp.asarray(vmask), jnp.asarray(ef),
+                jnp.asarray(et), jnp.asarray(eT), jnp.asarray(ec),
+                jnp.asarray(emask), fixed)
+
+    # -- writeback (Optimizer.hpp:135-157) ---------------------------------
+
+    def update_after_optimization(self, new_poses: np.ndarray) -> None:
+        g = self.mm.get_graph()
+        t_opt = self.mm.now()   # one stamp for the whole batch (:69)
+        for v in range(g.n_vertices):
+            self.mm.update_keyframe_transform(v, new_poses[v], t_opt)
+        for (f, t, T, c) in self.data_buffer:
+            self.mm.add_loop_closing_constraint(f, t, T, c)
+        self.data_buffer = []
+        self.mm.notify_keyframe_update()

@@ -1,0 +1,92 @@
+"""PoseGraphSlam facade — constructs and wires the pipeline components.
+
+Rebuild of ``PoseGraphSlam.h/hpp``: the ctor builds MapManager ->
+Optimizer -> LoopCloser -> Localizer and registers the back-references
+(``PoseGraphSlam.hpp:13-22``); ``add_data`` forwards scans to the
+Localizer (``PoseGraphSlam.hpp:58-66``); config fans out to components
+(``PoseGraphSlam.hpp:43-51``). The multi-threaded variant lives in
+:mod:`pgslam_tpu.pipeline`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+from .cloud import Cloud, make_cloud
+from .graph.pose_graph import MapManager
+from .localizer import Localizer, LocalizerConfig
+from .loopcloser import LoopCloser, LoopCloserConfig
+from .optimizer import Optimizer, OptimizerConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    localizer: LocalizerConfig = LocalizerConfig()
+    loop_closer: LoopCloserConfig = LoopCloserConfig()
+    optimizer: OptimizerConfig = OptimizerConfig()
+    # Capacity raw sensor clouds are padded to before the input filters.
+    sensor_cloud_capacity: int = 2048
+
+
+class PoseGraphSlam:
+    """Single-threaded facade (``PoseGraphSlam.h:17-68``)."""
+
+    def __init__(self, config: SlamConfig = SlamConfig()):
+        self.config = config
+        self.map_manager = MapManager()
+        self.optimizer = Optimizer(self.map_manager, config.optimizer)
+        self.loop_closer = LoopCloser(self.map_manager, self.optimizer,
+                                      config.loop_closer)
+        self.localizer = Localizer(self.map_manager, config.localizer)
+        self.map_manager.set_localizer(self.localizer)
+        self.map_manager.set_loop_closer(self.loop_closer)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "PoseGraphSlam":
+        """Construct from a libpointmatcher-style YAML config (the ctor's
+        three config paths analog, ``PoseGraphSlam.h:45``)."""
+        from .config import load_slam_config
+        return cls(load_slam_config(path))
+
+    # -- data entry (PoseGraphSlam.hpp:58-66) ------------------------------
+
+    def add_data(self, timestamp, world_frame_id: str, T_world_robot,
+                 T_robot_sensor, cloud: Union[Cloud, np.ndarray]) -> None:
+        if not isinstance(cloud, Cloud):
+            cloud = make_cloud(np.asarray(cloud),
+                               capacity=self.config.sensor_cloud_capacity)
+        self.localizer.add_new_data(timestamp, world_frame_id,
+                                    np.asarray(T_world_robot, np.float32),
+                                    np.asarray(T_robot_sensor, np.float32),
+                                    cloud)
+
+    # C++-style alias for API parity.
+    AddData = add_data
+
+    # -- state access ------------------------------------------------------
+
+    @property
+    def T_world_robot(self) -> np.ndarray:
+        return self.localizer.T_world_robot
+
+    def get_graph(self):
+        return self.map_manager.get_graph()
+
+    def get_local_map(self) -> Tuple[Optional[Cloud], bool]:
+        return self.localizer.get_local_map()
+
+    def get_local_map_in_world_frame(self) -> Tuple[Optional[Cloud], bool]:
+        return self.localizer.get_local_map_in_world_frame()
+
+    def trajectory(self) -> np.ndarray:
+        """Optimized keyframe poses [n, 4, 4]."""
+        g = self.map_manager.get_graph()
+        return g.optimized_poses[:g.n_vertices].copy()
+
+    def write_graphviz(self, path: str) -> None:
+        self.map_manager.write_graphviz(path)
+
+    WriteGraphviz = write_graphviz

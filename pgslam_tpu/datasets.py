@@ -96,34 +96,61 @@ def corridor_sequence(rng, n_scans: int = 200, scan_points: int = 1000,
 def loop_world(rng, n_points: int = 40000, radius: float = 12.0,
                width: float = 4.0, height: float = 3.0) -> np.ndarray:
     """An annular corridor (ring) with boxes for angular texture."""
-    n_wall = n_points // 3
+    n_wall = n_points // 4
     pts = []
     for r in (radius - width / 2, radius + width / 2):
         a = rng.uniform(0, 2 * np.pi, n_wall)
         pts.append(np.stack([r * np.cos(a), r * np.sin(a),
                              rng.uniform(0, height, n_wall)], -1))
-    a = rng.uniform(0, 2 * np.pi, n_wall)
-    rr = rng.uniform(radius - width / 2, radius + width / 2, n_wall)
-    pts.append(np.stack([rr * np.cos(a), rr * np.sin(a),
-                         np.zeros(n_wall)], -1))
+    # Floor AND ceiling: with only a floor, map-edge attraction pulls the
+    # z estimate systematically downward (nothing pulls back up).
+    for z in (0.0, height):
+        a = rng.uniform(0, 2 * np.pi, n_wall)
+        rr = rng.uniform(radius - width / 2, radius + width / 2, n_wall)
+        pts.append(np.stack([rr * np.cos(a), rr * np.sin(a),
+                             np.full(n_wall, z)], -1))
     world = np.concatenate(pts, 0)
-    n_box = max(1, n_points // 30)
-    for ang in np.arange(0, 2 * np.pi, np.pi / 8):
-        r = radius + (width / 2 - 0.4) * (1 if int(ang * 8 / np.pi) % 2 else -1)
-        c = np.array([r * np.cos(ang), r * np.sin(ang), 0.6])
-        box = rng.uniform(-0.4, 0.4, (n_box, 3)) + c
-        world = np.concatenate([world, box], 0)
+    # Dense angular texture: randomly placed/sized boxes and pillars.
+    # Placement MUST be aperiodic — any regular angular spacing makes the
+    # ring invariant under rotation by the period and scan-to-map ICP
+    # aliases onto the symmetry, slipping by whole periods.
+    n_box = max(1, n_points // 25)
+    n_structures = max(8, int(2 * np.pi * radius / 1.0))
+    for _ in range(n_structures):
+        ang = rng.uniform(0, 2 * np.pi)
+        side = 1 if rng.uniform() < 0.5 else -1
+        inset = rng.uniform(0.3, 0.9)
+        rp = radius + side * (width / 2 - inset)
+        if rng.uniform() < 0.5:
+            # box with random half-extents
+            half = rng.uniform(0.15, 0.5, 3)
+            c = np.array([rp * np.cos(ang), rp * np.sin(ang),
+                          rng.uniform(0.2, height - 0.5)])
+            box = rng.uniform(-1, 1, (n_box, 3)) * half + c
+            world = np.concatenate([world, box], 0)
+        else:
+            # full-height pillar with random radius
+            pr = rng.uniform(0.08, 0.3)
+            c = np.array([rp * np.cos(ang), rp * np.sin(ang)])
+            theta = rng.uniform(0, 2 * np.pi, n_box)
+            pillar = np.stack([pr * np.cos(theta) + c[0],
+                               pr * np.sin(theta) + c[1],
+                               rng.uniform(0, height, n_box)], -1)
+            world = np.concatenate([world, pillar], 0)
     return world.astype(np.float32)
 
 
 def loop_sequence(rng, n_scans: int = 120, scan_points: int = 1000,
                   radius: float = 12.0, noise: float = 0.005,
                   odom_drift: float = 0.002,
-                  revolutions: float = 1.08
+                  revolutions: float = 1.08, max_range: float = 7.0
                   ) -> Tuple[List[np.ndarray], List[np.ndarray],
                              List[np.ndarray]]:
     """BASELINE config 3: loop trajectory with odometric drift; the robot
-    passes its starting area again at the end (loop-closure opportunity)."""
+    passes its starting area again at the end (loop-closure opportunity).
+
+    ``max_range`` must be well below the ring diameter or every scan sees
+    the whole world and no keyframes ever spawn."""
     world = loop_world(rng, radius=radius)
     scans, odom, truth = [], [], []
     T_odom = None
@@ -133,7 +160,7 @@ def loop_sequence(rng, n_scans: int = 120, scan_points: int = 1000,
         T_true = _se3(radius * np.cos(ang), radius * np.sin(ang), 1.2,
                       yaw=ang + np.pi / 2)
         scans.append(render_scan(world, T_true, rng, scan_points,
-                                 noise=noise))
+                                 max_range=max_range, noise=noise))
         if T_odom is None:
             T_odom = T_true.copy()
         else:

@@ -56,10 +56,9 @@ def dijkstra(n_vertices: int, edge_from, edge_to, weights, source: int,
     """
     try:
         from ..native import native_dijkstra
-        if native_dijkstra is not None and vertex_ok is None and \
-                edge_ok is None and max_settled is None:
-            return native_dijkstra(n_vertices, edge_from, edge_to, weights,
-                                   source)
+        return native_dijkstra(n_vertices, edge_from, edge_to, weights,
+                               source, vertex_ok=vertex_ok, edge_ok=edge_ok,
+                               max_settled=max_settled)
     except ImportError:
         pass
     adj = _adjacency(n_vertices, edge_from, edge_to, weights,

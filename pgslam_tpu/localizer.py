@@ -33,6 +33,24 @@ from .ops.icp import ICPConfig, ICPEngine, ICPResult, compute_overlap
 log = logging.getLogger("pgslam_tpu.localizer")
 
 
+def _orthonormalize(T: np.ndarray) -> np.ndarray:
+    """Project the rotation block back onto SO(3) (host-side, cheap).
+
+    Critical for long runs: ``se3.inverse`` assumes orthonormal rotations,
+    and the re-anchoring identity ``T_refkf_robot = inv(kf) @ T_world``
+    (Localizer.hpp:264-267) *squares* any accumulated scale error in fp32
+    at every keyframe — exponential blow-up after a few dozen keyframes if
+    rotations are never renormalized.
+    """
+    U, _, Vt = np.linalg.svd(T[:3, :3].astype(np.float64))
+    R = U @ Vt
+    if np.linalg.det(R) < 0:
+        R = (U * np.array([1.0, 1.0, -1.0])) @ Vt
+    out = np.array(T, np.float32, copy=True)
+    out[:3, :3] = R.astype(np.float32)
+    return out
+
+
 @dataclasses.dataclass(frozen=True)
 class LocalizerConfig:
     # Reference defaults: Localizer.hpp:25-28
@@ -120,8 +138,8 @@ class Localizer:
         # Scan-to-map ICP (Localizer.hpp:126).
         result = self.icp_engine(cloud, jnp.asarray(input_T_refkf_robot))
         self.last_result = result
-        self.T_refkf_robot = np.asarray(result.T)
-        self.T_world_robot = (
+        self.T_refkf_robot = _orthonormalize(np.asarray(result.T))
+        self.T_world_robot = _orthonormalize(
             self.local_map.reference_keyframe().optimized_T_world_kf
             @ self.T_refkf_robot)
 
@@ -195,12 +213,12 @@ class Localizer:
         """``Localizer.hpp:264-267``."""
         T_ref = jnp.asarray(
             self.local_map.reference_keyframe().optimized_T_world_kf)
-        self.T_refkf_robot = np.asarray(
-            se3.inverse(T_ref) @ jnp.asarray(self.T_world_robot))
+        self.T_refkf_robot = _orthonormalize(np.asarray(
+            se3.inverse(T_ref) @ jnp.asarray(self.T_world_robot)))
 
     def update_world_robot_pose(self) -> None:
         """``Localizer.hpp:270-273``."""
-        self.T_world_robot = (
+        self.T_world_robot = _orthonormalize(
             self.local_map.reference_keyframe().optimized_T_world_kf
             @ self.T_refkf_robot)
 

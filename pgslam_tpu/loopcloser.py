@@ -157,6 +157,8 @@ class LoopCloser:
     # -- acceptance checks (LoopCloser.hpp:308-365) ------------------------
 
     def check_icp_result(self, result: ICPResult) -> bool:
+        if result.diverged is not None and bool(result.diverged):
+            return False  # bound checker fired (see ICPConfig)
         if bool(result.max_iter_reached):        # :317
             return False
         if float(result.overlap) < self.config.overlap_threshold:  # :331

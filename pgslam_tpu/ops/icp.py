@@ -57,6 +57,19 @@ class ICPConfig:
     max_iterations: int = 40
     trans_eps: float = 1e-4
     rot_eps: float = 1e-4
+    # The differential test averages the last ``smooth_length`` iteration
+    # deltas (libpointmatcher DifferentialTransformationChecker semantics):
+    # correspondence changes make single-iteration deltas jitter, so an
+    # instantaneous test can keep a well-converged ICP spinning until the
+    # iteration cap.
+    smooth_length: int = 4
+    # Bound checker (libpointmatcher BoundTransformationChecker analog):
+    # if the total correction relative to the initial guess exceeds these,
+    # the result is rejected and the initial guess returned with
+    # ``diverged=True``. 0 disables. Where libpointmatcher throws (and the
+    # reference would crash), we degrade to dead-reckoning on the prior.
+    max_correction_trans: float = 0.0
+    max_correction_rot: float = 0.0
     # data-point filter chains
     reading_filters: Tuple = ()
     reference_filters: Tuple = ()
@@ -73,6 +86,7 @@ class ICPResult:
     overlap: jax.Array           # weightedPointUsedRatio at the solution
     residual: jax.Array          # weighted squared residual sum
     cov: jax.Array               # [6, 6] measurement covariance, PM order
+    diverged: jax.Array = None   # bool: bound checker rejected the result
 
 
 # --------------------------------------------------------------------------
@@ -135,20 +149,37 @@ def icp_core(reading: Cloud, reference: Cloud, T_init: jax.Array,
         return delta @ T, delta
 
     def cond(state):
-        _, it, converged = state
+        _, it, converged, _, _ = state
         return jnp.logical_and(it < cfg.max_iterations, ~converged)
 
     def body(state):
-        T, it, _ = state
+        T, it, _, dts, drs = state
         T_new, delta = step(T)
-        dt = se3.translation_norm(delta)
-        dr = se3.rotation_angle(delta)
-        converged = jnp.logical_and(dt < cfg.trans_eps, dr < cfg.rot_eps)
-        return (T_new, it + 1, converged)
+        dts = jnp.roll(dts, 1).at[0].set(se3.translation_norm(delta))
+        drs = jnp.roll(drs, 1).at[0].set(se3.rotation_angle(delta))
+        converged = jnp.logical_and(jnp.mean(dts) < cfg.trans_eps,
+                                    jnp.mean(drs) < cfg.rot_eps)
+        return (T_new, it + 1, converged, dts, drs)
 
     T0 = T_init.astype(reading.points.dtype)
-    T, iterations, converged = jax.lax.while_loop(
-        cond, body, (T0, jnp.int32(0), jnp.bool_(False)))
+    L = max(1, cfg.smooth_length)
+    big = jnp.full((L,), jnp.inf, T0.dtype)
+    T, iterations, converged, _, _ = jax.lax.while_loop(
+        cond, body, (T0, jnp.int32(0), jnp.bool_(False), big, big))
+
+    # Bound checker: clamp runaway corrections back to the initial guess.
+    diverged = jnp.bool_(False)
+    dT = T @ se3.inverse(T0)
+    if cfg.max_correction_trans > 0:
+        diverged = jnp.logical_or(
+            diverged, se3.translation_norm(dT) > cfg.max_correction_trans)
+    if cfg.max_correction_rot > 0:
+        diverged = jnp.logical_or(
+            diverged, se3.rotation_angle(dT) > cfg.max_correction_rot)
+    # NaN/inf guard: a degenerate solve must never poison downstream state.
+    diverged = jnp.logical_or(diverged, ~jnp.all(jnp.isfinite(T)))
+    T = jnp.where(diverged, T0, T)
+    converged = jnp.logical_and(converged, ~diverged)
 
     # Final introspection at the solution (PM's lastErrorElements analog).
     pts = se3.apply(T, reading.points)
@@ -163,7 +194,7 @@ def icp_core(reading: Cloud, reference: Cloud, T_init: jax.Array,
                                        ~converged)
     return ICPResult(T=T, iterations=iterations, converged=converged,
                      max_iter_reached=max_iter_reached, overlap=ov,
-                     residual=res, cov=cov)
+                     residual=res, cov=cov, diverged=diverged)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

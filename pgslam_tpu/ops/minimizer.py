@@ -49,6 +49,19 @@ def overlap(weights: jax.Array, n_valid_reading: jax.Array) -> jax.Array:
 # Point-to-point (weighted Umeyama / Kabsch)
 # --------------------------------------------------------------------------
 
+MIN_SUPPORT = 6.0  # below this many effective points a rigid fit is garbage
+
+
+def _degenerate_guard(delta: jax.Array, weights: jax.Array) -> jax.Array:
+    """Replace the delta with identity when the weighted support is too
+    small to determine a rigid transform. libpointmatcher throws a
+    ConvergenceError in this situation (which the reference does not
+    catch); degrading to a no-op update keeps the pipeline alive and the
+    overlap statistic reports the failure downstream."""
+    ok = jnp.sum(weights) >= MIN_SUPPORT
+    return jnp.where(ok, delta, jnp.eye(4, dtype=delta.dtype))
+
+
 def point_to_point(elems: ErrorElements) -> jax.Array:
     """Closed-form weighted rigid alignment minimizing sum w |R p + t - q|^2.
 
@@ -68,7 +81,7 @@ def point_to_point(elems: ErrorElements) -> jax.Array:
     D = jnp.diag(jnp.array([1.0, 1.0, 1.0], H.dtype)).at[2, 2].set(det)
     R = Vt.T @ D @ U.T
     t = mu_q - R @ mu_p
-    return se3.make(R, t)
+    return _degenerate_guard(se3.make(R, t), w)
 
 
 # --------------------------------------------------------------------------
@@ -93,7 +106,7 @@ def point_to_plane(elems: ErrorElements) -> jax.Array:
     A, b, _ = _p2plane_system(elems)
     A = A + 1e-6 * jnp.eye(6, dtype=A.dtype)              # Tikhonov guard
     x = jnp.linalg.solve(A, b)
-    return se3.exp(x)
+    return _degenerate_guard(se3.exp(x), elems.weights)
 
 
 # --------------------------------------------------------------------------

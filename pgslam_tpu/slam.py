@@ -51,6 +51,29 @@ class PoseGraphSlam:
         from .config import load_slam_config
         return cls(load_slam_config(path))
 
+    # -- config fan-out (PoseGraphSlam.hpp:43-51) --------------------------
+
+    def set_icp_config(self, path: str) -> None:
+        """Load a libpointmatcher-style ICP YAML and fan it out to the
+        Localizer and LoopCloser (``PoseGraphSlam.hpp:43-51``)."""
+        from .config import load_icp_config
+        icp = load_icp_config(path)
+        self.localizer.config = dataclasses.replace(self.localizer.config,
+                                                    icp=icp)
+        self.localizer.icp_engine = type(self.localizer.icp_engine)(icp)
+        self.loop_closer.config = dataclasses.replace(
+            self.loop_closer.config, icp=icp)
+        self.loop_closer.icp_engine = type(self.loop_closer.icp_engine)(icp)
+
+    SetIcpConfig = set_icp_config
+
+    def set_input_filters_config(self, path: str) -> None:
+        """``Localizer.hpp:74-78`` analog."""
+        from .config import load_input_filters
+        chain = load_input_filters(path)
+        self.localizer.config = dataclasses.replace(
+            self.localizer.config, input_filters=chain)
+
     # -- data entry (PoseGraphSlam.hpp:58-66) ------------------------------
 
     def add_data(self, timestamp, world_frame_id: str, T_world_robot,

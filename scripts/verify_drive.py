@@ -5,10 +5,11 @@ feed it a synthetic scan sequence, read back trajectory / local map /
 graphviz — plus a few hostile probes.
 """
 import os
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")  # axon plugin overrides env vars
 
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -91,5 +92,56 @@ assert mt_err < 0.25
 print("PROBE stop() twice:", end=" ")
 mt.stop()
 print("ok")
+
+# --- grid matcher end-to-end (the 64k-scale fast path, small shapes) ---
+print("PROBE grid-matcher ICP:", end=" ")
+import jax.numpy as jnp
+from pgslam_tpu import se3
+from pgslam_tpu.cloud import make_cloud
+from pgslam_tpu.ops.icp import icp
+
+grng = np.random.default_rng(5)
+gpts = grng.uniform(0, 8, size=(600, 3)).astype(np.float32)
+gref = make_cloud(gpts, capacity=640)
+g_true = se3.exp(jnp.asarray([0.2, -0.1, 0.05, 0.02, 0.0, 0.03], jnp.float32))
+gread = make_cloud(
+    np.asarray(se3.apply(se3.inverse(g_true), jnp.asarray(gpts))),
+    capacity=640)
+gcfg = ICPConfig(matcher="grid", grid_cell_size=1.0, grid_bucket_cap=16,
+                 max_iterations=40,
+                 outlier=(O.TrimmedDist(0.95), O.MaxDist(1.0)))
+gres = icp(gread, gref, se3.identity(), gcfg)
+gerr = float(np.linalg.norm(np.asarray(se3.log(se3.inverse(gres.T) @ g_true))))
+print(f"recovered err={gerr:.2e}")
+assert gerr < 5e-3
+
+# --- YAML config surface ---
+print("PROBE YAML config:", end=" ")
+import tempfile
+from pgslam_tpu.config import load_icp_config
+with tempfile.NamedTemporaryFile("w", suffix=".yaml", delete=False) as fh:
+    fh.write("errorMinimizer: PointToPlaneErrorMinimizer\n"
+             "outlierFilters:\n"
+             "  - TrimmedDistOutlierFilter: {ratio: 0.8}\n")
+    yaml_path = fh.name
+ycfg = load_icp_config(yaml_path)
+assert ycfg.error == "point_to_plane"
+print("ok")
+
+# --- checkpoint round-trip through the facade state ---
+print("PROBE checkpoint:", end=" ")
+from pgslam_tpu.io import load_checkpoint, save_checkpoint
+save_checkpoint("/tmp/verify_ckpt.npz", slam.map_manager, slam.localizer)
+slam2 = PoseGraphSlam(cfg)
+load_checkpoint("/tmp/verify_ckpt.npz", slam2.map_manager, slam2.localizer)
+assert slam2.get_graph().n_vertices == slam.get_graph().n_vertices
+np.testing.assert_allclose(slam2.localizer.T_world_robot,
+                           slam.localizer.T_world_robot)
+print(f"restored {slam2.get_graph().n_vertices} keyframes ok")
+
+# --- multichip dryrun (8 virtual devices) ---
+print("PROBE dryrun_multichip(8):", end=" ")
+import __graft_entry__ as ge
+ge.dryrun_multichip(8)
 
 print("ALL VERIFY CHECKS PASSED")

@@ -1,0 +1,114 @@
+import numpy as np
+
+from pgslam_tpu.config import (load_slam_config, parse_filter_chain,
+                               parse_icp_config, parse_outlier_chain)
+from pgslam_tpu.ops import filters as F
+from pgslam_tpu.ops import outlier as O
+
+ICP_YAML = """
+readingDataPointsFilters:
+  - RandomSamplingDataPointsFilter: {prob: 0.5}
+referenceDataPointsFilters:
+  - SurfaceNormalDataPointsFilter: {knn: 10}
+matcher:
+  KDTreeMatcher: {knn: 1}
+outlierFilters:
+  - TrimmedDistOutlierFilter: {ratio: 0.8}
+  - MaxDistOutlierFilter: {maxDist: 2.0}
+errorMinimizer: PointToPlaneErrorMinimizer
+transformationCheckers:
+  - CounterTransformationChecker: {maxIterationCount: 25}
+  - DifferentialTransformationChecker: {minDiffTransErr: 0.01,
+                                        minDiffRotErr: 0.005}
+"""
+
+
+def test_parse_icp_yaml():
+    cfg = parse_icp_config(ICP_YAML)
+    assert cfg.error == "point_to_plane"
+    assert cfg.max_iterations == 25
+    assert cfg.trans_eps == 0.01 and cfg.rot_eps == 0.005
+    assert cfg.outlier == (O.TrimmedDist(0.8), O.MaxDist(2.0))
+    assert cfg.reading_filters == (F.RandomSampling(0.5),)
+    assert cfg.reference_filters == (F.SurfaceNormal(knn=10),)
+    assert cfg.matcher == "brute" and cfg.knn == 1
+    # Frozen dataclass -> hashable -> usable as a jit static arg.
+    hash(cfg)
+
+
+def test_parse_grid_matcher():
+    cfg = parse_icp_config("""
+matcher:
+  GridMatcher: {cellSize: 0.5, bucketCap: 16}
+""")
+    assert cfg.matcher == "grid"
+    assert cfg.grid_cell_size == 0.5 and cfg.grid_bucket_cap == 16
+
+
+def test_parse_chains_and_errors():
+    chain = parse_filter_chain([
+        "IdentityDataPointsFilter",
+        {"MaxDistDataPointsFilter": {"maxDist": 30.0}},
+        {"VoxelGridDataPointsFilter": {"vSizeX": 0.1}},
+    ])
+    assert chain == (F.Identity(), F.MaxDist(30.0), F.VoxelGrid(0.1))
+    try:
+        parse_outlier_chain([{"BogusFilter": {}}])
+        assert False
+    except ValueError as e:
+        assert "BogusFilter" in str(e)
+
+
+def test_load_slam_config(tmp_path):
+    p = tmp_path / "slam.yaml"
+    p.write_text("""
+localizer:
+  localMapSize: 4
+  overlapThreshold: 0.75
+  inputFilters:
+    - MaxDistDataPointsFilter: {maxDist: 20.0}
+  icp:
+    errorMinimizer: PointToPointErrorMinimizer
+loopCloser:
+  topoDistThreshold: 5.0
+sensorCloudCapacity: 4096
+""")
+    cfg = load_slam_config(str(p))
+    assert cfg.localizer.local_map_size == 4
+    assert cfg.localizer.overlap_threshold == 0.75
+    assert cfg.localizer.icp.error == "point_to_point"
+    assert cfg.loop_closer.topo_dist_threshold == 5.0
+    assert cfg.sensor_cloud_capacity == 4096
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    from pgslam_tpu.cloud import make_cloud
+    from pgslam_tpu.graph.pose_graph import MapManager, ODOM_CONSTRAINT
+    from pgslam_tpu.io import load_checkpoint, save_checkpoint
+
+    mm = MapManager()
+    c0 = make_cloud(rng.normal(size=(10, 3)).astype(np.float32), capacity=16,
+                    descriptors={"normals": np.ones((10, 3), np.float32)})
+    mm.add_first_keyframe(c0, np.eye(4, dtype=np.float32))
+    T1 = np.eye(4, dtype=np.float32)
+    T1[0, 3] = 2.0
+    mm.graph.add_vertex(make_cloud(rng.normal(size=(12, 3)), capacity=16),
+                        T1, mm.now())
+    mm.graph.add_edge(0, 1, T1, np.eye(6, dtype=np.float32) * 0.1,
+                      ODOM_CONSTRAINT)
+
+    path = tmp_path / "ckpt.npz"
+    save_checkpoint(str(path), mm)
+
+    mm2 = MapManager()
+    load_checkpoint(str(path), mm2)
+    g2 = mm2.get_graph()
+    assert g2.n_vertices == 2 and g2.n_edges == 1
+    assert mm2.fixed_vertex == 0
+    np.testing.assert_allclose(g2.optimized_poses[1], T1)
+    np.testing.assert_allclose(np.asarray(g2.clouds[0].points),
+                               np.asarray(c0.points))
+    assert "normals" in g2.clouds[0].descriptors
+    np.testing.assert_allclose(g2.edge_cov[0], np.eye(6) * 0.1)
+    # Resume works: clock advanced past saved stamps.
+    assert mm2.now() > int(g2.update_times[:2].max())

@@ -1,0 +1,91 @@
+import jax.numpy as jnp
+import numpy as np
+
+from pgslam_tpu import se3
+from pgslam_tpu.cloud import make_cloud
+from pgslam_tpu.ops.gridknn import build_grid_index, grid_knn
+from pgslam_tpu.ops.knn import knn_brute_force
+
+
+def test_grid_matches_brute_within_radius(rng):
+    ref = rng.uniform(0, 10, size=(2000, 3)).astype(np.float32)
+    q = (ref[:500] + rng.normal(size=(500, 3)) * 0.05).astype(np.float32)
+    rmask = np.ones(2000, bool)
+    qmask = np.ones(500, bool)
+    idx = build_grid_index(jnp.asarray(ref), jnp.asarray(rmask),
+                           cell_size=1.0, bucket_cap=32)
+    g = grid_knn(jnp.asarray(q), jnp.asarray(qmask), idx, k=1)
+    b = knn_brute_force(jnp.asarray(q), jnp.asarray(qmask), jnp.asarray(ref),
+                        jnp.asarray(rmask), k=1)
+    bd = np.asarray(b.dists2)[:, 0]
+    gd = np.asarray(g.dists2)[:, 0]
+    gid = np.asarray(g.ids)[:, 0]
+    bid = np.asarray(b.ids)[:, 0]
+    # All true NNs are within ~0.15 << cell 1.0, so grid must agree exactly.
+    within = bd < 1.0 ** 2
+    assert within.mean() > 0.99
+    np.testing.assert_array_equal(gid[within], bid[within])
+    # brute force computes |q|^2 - 2 q.r + |r|^2 which cancels in fp32 for
+    # near-zero distances; the grid path computes (q - r)^2 directly.
+    np.testing.assert_allclose(gd[within], bd[within], rtol=1e-3, atol=1e-4)
+    assert int(idx.overflow_count) == 0
+
+
+def test_grid_unmatched_far_points(rng):
+    ref = rng.uniform(0, 5, size=(500, 3)).astype(np.float32)
+    q = np.array([[100.0, 100.0, 100.0]], np.float32)
+    idx = build_grid_index(jnp.asarray(ref), jnp.ones(500, bool),
+                           cell_size=0.5, bucket_cap=8)
+    m = grid_knn(jnp.asarray(q), jnp.ones(1, bool), idx, k=1)
+    assert not np.isfinite(np.asarray(m.dists2))[0, 0]
+
+
+def test_grid_masked_query_and_ref(rng):
+    ref = rng.uniform(0, 5, size=(100, 3)).astype(np.float32)
+    rmask = np.ones(100, bool)
+    rmask[50:] = False
+    idx = build_grid_index(jnp.asarray(ref), jnp.asarray(rmask),
+                           cell_size=1.0, bucket_cap=16)
+    q = ref[40:60]
+    qmask = np.ones(20, bool)
+    qmask[5] = False
+    m = grid_knn(jnp.asarray(q), jnp.asarray(qmask), idx, k=1)
+    d = np.asarray(m.dists2)[:, 0]
+    assert not np.isfinite(d[5])          # masked query
+    assert np.all(d[:5] < 1e-10)          # valid refs match themselves
+    ids = np.asarray(m.ids)
+    # queries 10..19 correspond to masked ref points; their self-match is
+    # excluded, so distance must be > 0 (nearest *valid* point).
+    assert np.all(ids[np.isfinite(d)] < 50)
+
+
+def test_grid_bucket_overflow_counted(rng):
+    # 100 identical points into a bucket of 8 -> overflow recorded.
+    ref = np.zeros((100, 3), np.float32)
+    idx = build_grid_index(jnp.asarray(ref), jnp.ones(100, bool),
+                           cell_size=1.0, bucket_cap=8)
+    assert int(idx.overflow_count) == 92
+    m = grid_knn(jnp.zeros((1, 3)), jnp.ones(1, bool), idx, k=1)
+    assert float(m.dists2[0, 0]) < 1e-10  # still matches a survivor
+
+
+def test_grid_icp_end_to_end(rng):
+    """Full ICP with the grid matcher recovers a known transform."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_icp import box_cloud
+    from pgslam_tpu.ops.icp import ICPConfig, icp
+    from pgslam_tpu.ops import outlier as O
+    pts = box_cloud(rng, 800)
+    ref = make_cloud(pts, capacity=1024)
+    T_true = se3.exp(jnp.asarray([0.2, -0.1, 0.05, 0.03, -0.02, 0.04],
+                                 jnp.float32))
+    reading = make_cloud(
+        np.asarray(se3.apply(se3.inverse(T_true), jnp.asarray(pts))),
+        capacity=1024)
+    cfg = ICPConfig(matcher="grid", grid_cell_size=1.0, grid_bucket_cap=16,
+                    max_iterations=50,
+                    outlier=(O.TrimmedDist(0.95), O.MaxDist(1.0)))
+    result = icp(reading, ref, se3.identity(), cfg)
+    err = np.asarray(se3.log(se3.inverse(result.T) @ T_true))
+    assert np.linalg.norm(err) < 2e-3, err

@@ -1,0 +1,105 @@
+"""Native C++ graph core: build, load, and cross-check against the pure
+Python implementation."""
+
+import numpy as np
+import pytest
+
+from pgslam_tpu.native import (native_available, native_components,
+                               native_dijkstra)
+from pgslam_tpu.graph import shortest_path as sp
+
+
+def _py_dijkstra(n, ef, et, w, s, **kw):
+    """Force the pure-Python path for comparison."""
+    adj = sp._adjacency(n, ef, et, w, kw.get("vertex_ok"), kw.get("edge_ok"))
+    import heapq
+    dist = np.full(n, np.inf, np.float32)
+    done = np.zeros(n, bool)
+    dist[s] = 0
+    heap = [(0.0, s)]
+    settled = []
+    while heap:
+        d, u = heapq.heappop(heap)
+        if done[u]:
+            continue
+        done[u] = True
+        settled.append(u)
+        ms = kw.get("max_settled")
+        if ms is not None and len(settled) >= ms:
+            break
+        for v, ww in adj[u]:
+            nd = d + ww
+            if nd < dist[v]:
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    return dist, settled
+
+
+def random_graph(rng, n=50, extra=60):
+    ef = list(range(n - 1))
+    et = list(range(1, n))
+    for _ in range(extra):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            ef.append(int(a))
+            et.append(int(b))
+    w = rng.uniform(0.1, 5.0, len(ef)).astype(np.float32)
+    return (np.asarray(ef, np.int32), np.asarray(et, np.int32), w)
+
+
+def test_native_builds():
+    assert native_available(), "C++ graph core failed to build/load"
+
+
+def test_native_matches_python(rng):
+    n = 50
+    ef, et, w = random_graph(rng, n)
+    for src in [0, 10, 49]:
+        nd, ns = native_dijkstra(n, ef, et, w, src)
+        pd, ps = _py_dijkstra(n, ef, et, w, src)
+        np.testing.assert_allclose(nd, pd, rtol=1e-6)
+        assert ns == ps
+
+
+def test_native_with_masks(rng):
+    n = 30
+    ef, et, w = random_graph(rng, n, extra=20)
+    vertex_ok = rng.uniform(size=n) > 0.2
+    edge_ok = rng.uniform(size=len(ef)) > 0.3
+    src = int(np.nonzero(vertex_ok)[0][0])
+    nd, _ = native_dijkstra(n, ef, et, w, src, vertex_ok=vertex_ok,
+                            edge_ok=edge_ok)
+    pd, _ = _py_dijkstra(n, ef, et, w, src, vertex_ok=vertex_ok,
+                         edge_ok=edge_ok)
+    np.testing.assert_allclose(nd, pd, rtol=1e-6)
+
+
+def test_native_early_stop(rng):
+    n = 40
+    ef, et, w = random_graph(rng, n)
+    nd, ns = native_dijkstra(n, ef, et, w, 5, max_settled=7)
+    assert len(ns) == 7
+    assert ns[0] == 5
+    _, ps = _py_dijkstra(n, ef, et, w, 5, max_settled=7)
+    assert ns == ps
+
+
+def test_native_components(rng):
+    # Two chains, disconnected.
+    ef = np.asarray([0, 1, 3, 4], np.int32)
+    et = np.asarray([1, 2, 4, 5], np.int32)
+    n, labels = native_components(6, ef, et)
+    assert n == 2
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] == labels[4] == labels[5]
+    assert labels[0] != labels[3]
+
+
+def test_dispatch_uses_native(rng):
+    """graph.shortest_path.dijkstra should agree with native directly."""
+    n = 25
+    ef, et, w = random_graph(rng, n, extra=10)
+    d1, s1 = sp.dijkstra(n, ef, et, w, 0)
+    d2, s2 = native_dijkstra(n, ef, et, w, 0)
+    np.testing.assert_allclose(d1, d2)
+    assert list(s1) == list(s2)

@@ -15,7 +15,8 @@ from pgslam_tpu.slam import PoseGraphSlam, SlamConfig
 def small_config(sensor_cap=768, kf_cap=512):
     icp = ICPConfig(error="point_to_point", max_iterations=30,
                     outlier=(O.TrimmedDist(0.9), O.MaxDist(0.5)),
-                    trans_eps=1e-3, rot_eps=1e-3)
+                    trans_eps=1e-3, rot_eps=1e-3,
+                    max_correction_trans=2.0, max_correction_rot=0.5)
     return SlamConfig(
         localizer=LocalizerConfig(icp=icp, keyframe_cloud_capacity=kf_cap,
                                   overlap_threshold=0.8),

@@ -175,6 +175,17 @@ def loop_sequence(rng, n_scans: int = 120, scan_points: int = 1000,
     return scans, odom, truth
 
 
+def load_kitti_bin(path: str, max_points: int | None = None) -> np.ndarray:
+    """Load a KITTI velodyne ``.bin`` scan (float32 x,y,z,reflectance
+    records) as an ``[N, 3]`` point array (BASELINE config 4 input
+    format)."""
+    raw = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+    pts = raw[:, :3]
+    if max_points is not None and len(pts) > max_points:
+        pts = pts[:max_points]
+    return np.ascontiguousarray(pts)
+
+
 def velodyne_like_scan(rng, n_points: int = 65536, n_rings: int = 64,
                        max_range: float = 50.0) -> np.ndarray:
     """BASELINE config 4 source: a synthetic 64-ring spin over a structured

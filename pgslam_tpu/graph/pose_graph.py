@@ -215,6 +215,8 @@ class MapManager:
         notification."""
         if not (0 <= from_v < self.graph.n_vertices):
             raise ValueError("AddNewKeyframe: vertex 'from' must exist")
+        from ..utils import counters
+        counters["map/keyframes"] += 1
         v = self.graph.add_vertex(cloud, T_world_newkf, self.now())
         self.graph.add_edge(from_v, v, meas_T_from_newkf,
                             meas_cov_from_newkf, ODOM_CONSTRAINT)

@@ -112,6 +112,8 @@ class Localizer:
                      input_T_robot_sensor: np.ndarray,
                      input_cloud: Cloud) -> None:
         log.info("[Localizer] Processing cloud #%d", self.count)
+        from .utils import counters
+        counters["localizer/scans"] += 1
         key = jax.random.PRNGKey(self.count)
         self.count += 1
 

@@ -85,7 +85,9 @@ class LoopCloser:
         self.last_result = result
         self.T_refkf_kf = np.asarray(result.T)
 
+        from .utils import counters
         if self.check_icp_result(result):
+            counters["loopcloser/accepted"] += 1
             log.info("[LoopCloser] Loop closure accepted: %d -> %d",
                      self.candidate_local_map.reference_vertex(),
                      input_vertex)
@@ -95,6 +97,7 @@ class LoopCloser:
                 self.T_refkf_kf,
                 np.asarray(result.cov))
         else:
+            counters["loopcloser/rejected"] += 1
             log.info("[LoopCloser] Loop closure rejected for vertex %d",
                      input_vertex)
 

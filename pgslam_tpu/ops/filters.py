@@ -86,6 +86,17 @@ class VoxelGrid:
 
 
 @dataclasses.dataclass(frozen=True)
+class Compact:
+    """Push valid points to the front and shrink to a fixed capacity —
+    shape-changing, so only meaningful as the LAST element of a chain.
+    Pair with a subsampling filter (VoxelGrid/RandomSampling/MaxPointCount)
+    so the surviving count fits; extra valid points are dropped. This is
+    how a pipeline turns '64k-point input' into a '16k-point working set'
+    while every downstream kernel stays fixed-shape."""
+    capacity: int = 16384
+
+
+@dataclasses.dataclass(frozen=True)
 class ObservationDirection:
     """Add unit vectors pointing from each point toward the sensor center
     (libpointmatcher ``ObservationDirectionDataPointsFilter``). Must run in
@@ -140,6 +151,8 @@ def _apply_one(cfg, cloud: Cloud, key: jax.Array) -> Cloud:
         return cloud.replace(mask=cloud.mask & ~drop)
     if isinstance(cfg, VoxelGrid):
         return _voxel_grid(cfg, cloud)
+    if isinstance(cfg, Compact):
+        return compact(cloud, cfg.capacity)
     if isinstance(cfg, ObservationDirection):
         center = jnp.array([cfg.x, cfg.y, cfg.z], cloud.points.dtype)
         vec = center[None, :] - cloud.points

@@ -100,6 +100,10 @@ def match_clouds(points: jax.Array, mask: jax.Array, reference: Cloud,
     if cfg.matcher == "grid" and index is not None:
         from .gridknn import grid_knn
         return grid_knn(points, mask, index, k=cfg.knn)
+    if cfg.matcher == "pallas" and cfg.knn == 1 and \
+            jax.default_backend() not in ("cpu",):
+        from .knn_pallas import nn_pallas
+        return nn_pallas(points, mask, reference.points, reference.mask)
     return knn_brute_force(points, mask, reference.points, reference.mask,
                            k=cfg.knn, tile_ref=cfg.tile_ref,
                            tile_query=cfg.tile_query)

@@ -92,6 +92,8 @@ class Optimizer:
                  self.last_stats["initial_cost"],
                  self.last_stats["final_cost"],
                  int(self.last_stats["iterations"]))
+        from .utils import counters
+        counters["optimizer/runs"] += 1
         self.update_after_optimization(np.asarray(new_poses))
         log.info("[Optimizer] Finished")
 

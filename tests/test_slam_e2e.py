@@ -74,13 +74,30 @@ def test_corridor_graphviz(corridor_run, tmp_path):
     assert p.read_text().startswith("graph G {")
 
 
+def loop_config():
+    """Configuration proven to close the ring loop (see
+    scripts/loop_experiment.py; validated end-to-end on the 140-scan
+    sequence: drift 0.505 m -> 0.027 m after one accepted closure)."""
+    icp = ICPConfig(error="point_to_point", max_iterations=30,
+                    outlier=(O.TrimmedDist(0.85), O.MaxDist(0.5)),
+                    trans_eps=5e-3, rot_eps=5e-3,
+                    max_correction_trans=2.0, max_correction_rot=0.5)
+    return SlamConfig(
+        localizer=LocalizerConfig(icp=icp, keyframe_cloud_capacity=1024,
+                                  overlap_threshold=0.8),
+        loop_closer=LoopCloserConfig(
+            icp=icp, topo_dist_threshold=10.0, geom_dist_threshold=4.0,
+            overlap_threshold=0.6, residual_error_threshold=5000.0),
+        sensor_cloud_capacity=1024)
+
+
 @pytest.mark.slow
 def test_loop_closure_fires():
     rng = np.random.default_rng(3)
     scans, odom, truth = loop_sequence(
-        rng, n_scans=60, scan_points=512, radius=8.0, noise=0.003,
-        odom_drift=0.004)
-    slam = PoseGraphSlam(small_config())
+        rng, n_scans=140, scan_points=1024, radius=12.0, max_range=8.0,
+        noise=0.002, odom_drift=0.002)
+    slam = PoseGraphSlam(loop_config())
     T_rs = np.eye(4, dtype=np.float32)
     for i, (scan, T_odom) in enumerate(zip(scans, odom)):
         slam.add_data(i, "world", T_odom, T_rs, scan)
@@ -92,5 +109,4 @@ def test_loop_closure_fires():
     T_est = slam.localizer.T_world_robot
     err = np.linalg.norm(T_est[:3, 3] - truth[-1][:3, 3])
     drift_err = np.linalg.norm(odom[-1][:3, 3] - truth[-1][:3, 3])
-    assert err < max(0.5, 0.8 * drift_err), \
-        f"err {err} vs drift {drift_err}"
+    assert err < 0.5 * drift_err, f"err {err} vs drift {drift_err}"

@@ -179,13 +179,19 @@ class MapManager:
         self.graph = PoseGraph()
         self.fixed_vertex: Optional[int] = None
         self._clock = 0
-        self._localizer = None     # weak-ref analog (MapManager.h:61-63)
+        self._localizers: List = []  # weak-ref analog (MapManager.h:61-63)
         self._loop_closer = None
 
     # -- wiring ------------------------------------------------------------
 
     def set_localizer(self, localizer) -> None:
-        self._localizer = localizer
+        self._localizers = [localizer]
+
+    def add_localizer(self, localizer) -> None:
+        """Register an additional observer (multi-agent: several
+        Localizers share one graph and all must resync after
+        optimization writeback)."""
+        self._localizers.append(localizer)
 
     def set_loop_closer(self, loop_closer) -> None:
         self._loop_closer = loop_closer
@@ -206,7 +212,8 @@ class MapManager:
         """``MapManager.hpp:46-62``: first vertex becomes the optimization
         anchor."""
         v = self.graph.add_vertex(cloud, T_world_kf, self.now())
-        self.fixed_vertex = v
+        if self.fixed_vertex is None:   # multi-agent: first agent anchors
+            self.fixed_vertex = v
         return v
 
     def add_new_keyframe(self, from_v: int, T_world_newkf, meas_T_from_newkf,
@@ -237,8 +244,8 @@ class MapManager:
 
     def notify_keyframe_update(self) -> None:
         """``MapManager.hpp:150-157``: tell the Localizer poses moved."""
-        if self._localizer is not None:
-            self._localizer.update_from_graph()
+        for localizer in self._localizers:
+            localizer.update_from_graph()
 
     # -- export ------------------------------------------------------------
 

@@ -28,7 +28,8 @@ from .graph.shortest_path import dijkstra
 from .localmap import Composition, LocalMap
 from .metrics import distance
 from .ops import filters as F
-from .ops.icp import ICPConfig, ICPEngine, ICPResult, compute_overlap
+from .ops.icp import (ICPConfig, ICPEngine, ICPResult, compute_overlap,
+                      icp_core)
 
 log = logging.getLogger("pgslam_tpu.localizer")
 
@@ -111,12 +112,29 @@ class Localizer:
     def process_data(self, input_T_world_robot: np.ndarray,
                      input_T_robot_sensor: np.ndarray,
                      input_cloud: Cloud) -> None:
+        prep = self.prepare_scan(input_T_world_robot, input_T_robot_sensor,
+                                 input_cloud)
+        if prep is None:
+            return
+        reading, input_T_refkf_robot = prep
+        # Scan-to-map ICP (Localizer.hpp:126).
+        result = icp_core(reading, self.icp_engine.reference,
+                          jnp.asarray(input_T_refkf_robot),
+                          self.icp_engine.config, self.icp_engine._index)
+        self.finish_scan(result, input_T_world_robot)
+
+    def prepare_scan(self, input_T_world_robot, input_T_robot_sensor,
+                     input_cloud: Cloud, key=None):
+        """Everything before the ICP dispatch. Returns (prepared reading,
+        initial transform) or None if this was the first cloud (fully
+        handled). Split out so a multi-agent batcher can fuse many agents'
+        registrations into one device call."""
         log.info("[Localizer] Processing cloud #%d", self.count)
         from .utils import counters
         counters["localizer/scans"] += 1
-        key = jax.random.PRNGKey(self.count)
+        if key is None:
+            key = jax.random.PRNGKey(self.count)
         self.count += 1
-
         # Input filters run in the sensor frame (observation directions
         # must point at the sensor, Localizer.hpp:100-103), then the cloud
         # moves to the robot frame (Localizer.hpp:106). Compact to the
@@ -128,25 +146,29 @@ class Localizer:
 
         if not self.local_map.has_cloud():
             self.process_first_cloud(cloud, input_T_world_robot)
-            self.last_input_T_world_robot = input_T_world_robot
-            return
+            self.last_input_T_world_robot = np.asarray(input_T_world_robot,
+                                                       np.float32)
+            return None
 
         # Delta-pose prediction from odometry (Localizer.hpp:119-123).
         input_dT_robot = np.asarray(
             se3.inverse(jnp.asarray(self.last_input_T_world_robot))
             @ jnp.asarray(input_T_world_robot))
         input_T_refkf_robot = self.T_refkf_robot @ input_dT_robot
+        reading = self.icp_engine.prepare_reading(cloud)
+        return reading, input_T_refkf_robot
 
-        # Scan-to-map ICP (Localizer.hpp:126).
-        result = self.icp_engine(cloud, jnp.asarray(input_T_refkf_robot))
+    def finish_scan(self, result: ICPResult, input_T_world_robot) -> None:
+        """Everything after the ICP dispatch: pose composition + the
+        post-ICP decision tree."""
         self.last_result = result
         self.T_refkf_robot = _orthonormalize(np.asarray(result.T))
         self.T_world_robot = _orthonormalize(
             self.local_map.reference_keyframe().optimized_T_world_kf
             @ self.T_refkf_robot)
-
         self.update_after_icp(result)
-        self.last_input_T_world_robot = input_T_world_robot
+        self.last_input_T_world_robot = np.asarray(input_T_world_robot,
+                                                   np.float32)
 
     def process_first_cloud(self, cloud: Cloud, T_world_robot) -> None:
         """``Localizer.hpp:138-152``."""

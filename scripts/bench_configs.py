@@ -1,0 +1,223 @@
+"""Run all five BASELINE.json benchmark configs and emit one JSON line
+per config (plus a summary file at /tmp/bench_configs.json).
+
+Run without a platform override to measure the real chip.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+RESULTS = []
+
+
+def emit(name, **kv):
+    rec = {"config": name, **kv}
+    RESULTS.append(rec)
+    print(json.dumps(rec), flush=True)
+
+
+def config1_single_pair():
+    """Two 1k-pt synthetic clouds, known SE(3) offset, point-to-point."""
+    from pgslam_tpu import se3
+    from pgslam_tpu.cloud import make_cloud
+    from pgslam_tpu.ops import outlier as O
+    from pgslam_tpu.ops.icp import ICPConfig, ICPEngine
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-5, 5, (1000, 3)).astype(np.float32)
+    pts[:, 2] = np.sign(pts[:, 2]) * 2 + rng.normal(size=1000) * 0.3
+    ref = make_cloud(pts, capacity=1024)
+    offset = se3.exp(jnp.asarray([0.3, -0.2, 0.1, 0.05, -0.03, 0.08],
+                                 jnp.float32))
+    reading = make_cloud(
+        np.asarray(se3.apply(se3.inverse(offset), jnp.asarray(pts))),
+        capacity=1024)
+    cfg = ICPConfig(error="point_to_point", max_iterations=30,
+                    outlier=(O.TrimmedDist(0.95), O.MaxDist(1.0)))
+    eng = ICPEngine(cfg)
+    eng.set_map(ref)
+    res = eng(reading, se3.identity())
+    jax.block_until_ready(res.T)
+    err = float(np.linalg.norm(
+        np.asarray(se3.log(se3.inverse(res.T) @ offset))))
+    t0 = time.perf_counter()
+    reps = 50
+    for _ in range(reps):
+        res = eng(reading, se3.identity())
+    jax.block_until_ready(res.T)
+    dt = (time.perf_counter() - t0) / reps
+    emit("1_single_icp_pair_1k", ms_per_registration=round(dt * 1e3, 3),
+         registrations_per_sec=round(1 / dt, 1), transform_err=round(err, 6),
+         iterations=int(res.iterations))
+
+
+def config2_corridor():
+    """200-scan corridor, scan-to-keyframe ICP chain, no loop closures."""
+    from pgslam_tpu.datasets import corridor_sequence
+    from pgslam_tpu.slam import PoseGraphSlam
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from test_slam_e2e import small_config
+
+    rng = np.random.default_rng(7)
+    scans, odom, truth = corridor_sequence(
+        rng, n_scans=200, scan_points=512, step=0.25, noise=0.003,
+        odom_noise=0.005, length=60.0)
+    slam = PoseGraphSlam(small_config())
+    T_rs = np.eye(4, dtype=np.float32)
+    # warm up compiles on the first few scans
+    for i in range(3):
+        slam.add_data(i, "world", odom[i], T_rs, scans[i])
+    t0 = time.perf_counter()
+    for i in range(3, len(scans)):
+        slam.add_data(i, "world", odom[i], T_rs, scans[i])
+    dt = time.perf_counter() - t0
+    err = float(np.linalg.norm(
+        slam.localizer.T_world_robot[:3, 3] - truth[-1][:3, 3]))
+    emit("2_sequential_odometry_200", scans_per_sec=round(197 / dt, 2),
+         final_err_m=round(err, 3),
+         keyframes=int(slam.get_graph().n_vertices))
+
+
+def config3_loop_500():
+    """500-pose loop: candidate gating math + pose-graph relaxation."""
+    from pgslam_tpu import se3
+    from pgslam_tpu.graph.shortest_path import dijkstra
+    from pgslam_tpu.metrics import distance
+    from pgslam_tpu.optim.pgo import PGOConfig, optimize_pose_graph
+
+    V = 500
+    rng = np.random.default_rng(1)
+    ang = 2 * np.pi * np.arange(V) / V
+    true = np.asarray(jax.vmap(se3.exp)(jnp.asarray(
+        np.stack([20 * np.cos(ang), 20 * np.sin(ang), np.zeros(V),
+                  np.zeros(V), np.zeros(V), ang], -1), jnp.float32)))
+    drift = np.asarray(jax.vmap(se3.exp)(jnp.asarray(
+        np.cumsum(rng.normal(size=(V, 6)) * 0.002, 0), jnp.float32)))
+    init = np.einsum("vij,vjk->vik", true, drift).astype(np.float32)
+    ef = np.arange(V - 1, dtype=np.int32)
+    et = np.arange(1, V, dtype=np.int32)
+    Ts = np.einsum("eij,ejk->eik", np.linalg.inv(init[ef]),
+                   init[et]).astype(np.float32)
+    # Candidate search: geometric vs topological gating over all vertices.
+    w = np.linalg.norm(Ts[:, :3, 3], axis=1).astype(np.float32)
+    t0 = time.perf_counter()
+    topo, _ = dijkstra(V, ef, et, w, V - 1)
+    geom = np.asarray(distance(jnp.asarray(init), jnp.asarray(init[V - 1])))
+    cand = np.nonzero((geom <= 5.0) & (topo > 30.0))[0]
+    t_search = time.perf_counter() - t0
+    # Loop edge from last to the best candidate + relaxation.
+    c = int(cand[np.argmin(geom[cand])]) if len(cand) else 0
+    T_loop = np.linalg.inv(true[V - 1]) @ true[c]
+    ef2 = np.concatenate([ef, [V - 1]]).astype(np.int32)
+    et2 = np.concatenate([et, [c]]).astype(np.int32)
+    Ts2 = np.concatenate([Ts, T_loop[None]]).astype(np.float32)
+    covs = np.tile((np.eye(6, dtype=np.float32) * 0.01), (V, 1, 1))
+    args = (jnp.asarray(init), jnp.ones(V, bool), jnp.asarray(ef2),
+            jnp.asarray(et2), jnp.asarray(Ts2), jnp.asarray(covs),
+            jnp.ones(V, bool), jnp.int32(0))
+    cfg = PGOConfig(max_iterations=4, cg_iterations=30, cg_tol=1e-3)
+    out, stats = optimize_pose_graph(*args, config=cfg)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        out, stats = optimize_pose_graph(*args, config=cfg)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    closure_err = float(np.linalg.norm(
+        np.asarray(out)[V - 1][:3, 3] - true[V - 1][:3, 3]))
+    emit("3_loop_closure_500", candidates_found=int(len(cand)),
+         candidate_search_ms=round(t_search * 1e3, 2),
+         optimize_ms=round(dt * 1e3, 2),
+         final_cost=float(np.asarray(stats["final_cost"])),
+         closure_err_m=round(closure_err, 4))
+
+
+def config4_velodyne():
+    """64k-pt scans, point-to-plane, full SLAM loop with map updates."""
+    from pgslam_tpu.datasets import velodyne_like_scan
+    from pgslam_tpu.slam import PoseGraphSlam
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    from velodyne_slam import velodyne_config
+
+    rng = np.random.default_rng(0)
+    scans = [velodyne_like_scan(rng, 65536) for _ in range(8)]
+    slam = PoseGraphSlam(velodyne_config())
+    T = np.eye(4, dtype=np.float32)
+    slam.add_data(0, "world", T, np.eye(4), scans[0])
+    slam.add_data(1, "world", T, np.eye(4), scans[0])  # warm compiles
+    t0 = time.perf_counter()
+    n = 0
+    for i, scan in enumerate(scans[1:]):
+        T = T.copy()
+        T[0, 3] += 1.0
+        slam.add_data(i + 2, "world", T, np.eye(4), scan)
+        n += 1
+    dt = (time.perf_counter() - t0) / n
+    emit("4_velodyne_full_slam_64k", ms_per_scan=round(dt * 1e3, 1),
+         scans_per_sec=round(1 / dt, 2),
+         keyframes=int(slam.get_graph().n_vertices))
+
+
+def config5_multi_agent():
+    """16 agents sharing one pose graph, fused vmapped registration."""
+    from pgslam_tpu.datasets import corridor_sequence
+    from pgslam_tpu.parallel.multi_agent import MultiAgentSlam
+    from test_slam_e2e import small_config
+
+    rng = np.random.default_rng(7)
+    scans, odom, truth = corridor_sequence(
+        rng, n_scans=40, scan_points=512, step=0.25, noise=0.003,
+        odom_noise=0.005, length=60.0)
+    B = 16
+    slam = MultiAgentSlam(small_config(), n_agents=B)
+    T_rs = np.eye(4, dtype=np.float32)
+
+    def step(i):
+        Ts = np.stack([odom[i + b % 3] for b in range(B)])
+        clouds = [scans[i + b % 3] for b in range(B)]
+        slam.add_data_batch(i, "world", Ts, T_rs, clouds)
+
+    step(0)
+    step(1)   # warm
+    t0 = time.perf_counter()
+    n = 0
+    for i in range(2, 30):
+        step(i)
+        n += 1
+    dt = (time.perf_counter() - t0) / n
+    errs = [np.linalg.norm(slam.localizers[b].T_world_robot[:3, 3]
+                           - truth[29 + b % 3][:3, 3]) for b in range(B)]
+    emit("5_multi_agent_16", ms_per_batch_step=round(dt * 1e3, 1),
+         agent_scans_per_sec=round(B / dt, 1),
+         max_agent_err_m=round(float(np.max(errs)), 3),
+         keyframes=int(slam.get_graph().n_vertices))
+
+
+def main():
+    print(f"# backend: {jax.devices()}", file=sys.stderr, flush=True)
+    for fn in (config1_single_pair, config2_corridor, config3_loop_500,
+               config4_velodyne, config5_multi_agent):
+        try:
+            t0 = time.perf_counter()
+            fn()
+            print(f"# {fn.__name__} took {time.perf_counter()-t0:.1f}s",
+                  file=sys.stderr, flush=True)
+        except Exception as e:
+            emit(fn.__name__, error=str(e)[:200])
+    with open("/tmp/bench_configs.json", "w") as fh:
+        json.dump(RESULTS, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()

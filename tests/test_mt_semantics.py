@@ -1,0 +1,65 @@
+"""MT-specific semantics: batched optimizer drain, outdated-flag resync."""
+
+import time
+
+import numpy as np
+
+from pgslam_tpu.graph.pose_graph import ODOM_CONSTRAINT
+from pgslam_tpu.pipeline import MapManagerMT, OptimizerMT
+from pgslam_tpu.cloud import make_cloud
+
+
+def T_at(x):
+    T = np.eye(4, dtype=np.float32)
+    T[0, 3] = x
+    return T
+
+
+def chain_mm(rng, n=6):
+    mm = MapManagerMT()
+    mm.add_first_keyframe(
+        make_cloud(rng.normal(size=(8, 3)).astype(np.float32)), T_at(0.0))
+    for i in range(1, n):
+        mm.graph.add_vertex(
+            make_cloud(rng.normal(size=(8, 3)).astype(np.float32)),
+            T_at(float(i)), mm.now())
+        mm.graph.add_edge(i - 1, i, T_at(1.0), np.eye(6, dtype=np.float32),
+                          ODOM_CONSTRAINT)
+    return mm
+
+
+def test_optimizer_mt_batches_all_pending(rng):
+    """OptimizerMT drains ALL queued constraints into one optimization
+    batch (OptimizerMT.hpp:59-62), vs one-at-a-time in the ST path."""
+    mm = chain_mm(rng, 6)
+    opt = OptimizerMT(mm)
+    cov = (np.eye(6) * 0.01).astype(np.float32)
+    # Queue two loop constraints BEFORE starting the worker: they must be
+    # consumed by a single ProcessData batch.
+    opt.add_new_data(0, 3, T_at(3.0), cov)
+    opt.add_new_data(1, 4, T_at(3.0), cov)
+    opt.run()
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        if opt.idle() and mm.graph.n_edges >= 7:
+            break
+        time.sleep(0.05)
+    opt.stop()
+    g = mm.get_graph()
+    # both loop edges inserted; optimization ran at least once
+    assert g.n_edges == 7
+    assert opt.last_stats is not None
+
+
+def test_localizer_mt_outdated_flag(rng):
+    """LocalizerMT.update_from_graph only flags; the worker resyncs
+    (LocalizerMT.hpp:122-134)."""
+    from pgslam_tpu.pipeline import LocalizerMT
+    from pgslam_tpu.localizer import LocalizerConfig
+
+    mm = chain_mm(rng, 3)
+    loc = LocalizerMT(mm, LocalizerConfig(keyframe_cloud_capacity=8))
+    # Without a running worker the flag must just be set, not processed.
+    loc.update_from_graph()
+    assert loc._outdated
+    loc.stop()

@@ -1,0 +1,50 @@
+"""Multi-agent SLAM: N agents, one shared pose graph, fused ICP dispatch."""
+
+import numpy as np
+import pytest
+
+from pgslam_tpu.datasets import corridor_sequence
+from pgslam_tpu.parallel.multi_agent import MultiAgentSlam
+
+from test_slam_e2e import small_config
+
+
+def test_two_agents_share_graph():
+    rng = np.random.default_rng(7)
+    scans, odom, truth = corridor_sequence(
+        rng, n_scans=12, scan_points=512, step=0.4, noise=0.003,
+        odom_noise=0.005, length=30.0)
+    # Agent 1 runs the corridor; agent 2 runs it shifted +1 scan.
+    B = 2
+    slam = MultiAgentSlam(small_config(), n_agents=B)
+    T_rs = np.eye(4, dtype=np.float32)
+    for i in range(10):
+        Ts = np.stack([odom[i], odom[i + 1]])
+        clouds = [scans[i], scans[i + 1]]
+        slam.add_data_batch(i, "world", Ts, T_rs, clouds)
+
+    poses = slam.poses()
+    assert poses.shape == (B, 4, 4)
+    err0 = np.linalg.norm(poses[0][:3, 3] - truth[9][:3, 3])
+    err1 = np.linalg.norm(poses[1][:3, 3] - truth[10][:3, 3])
+    assert err0 < 0.25, f"agent 0 err {err0}"
+    assert err1 < 0.25, f"agent 1 err {err1}"
+
+    g = slam.get_graph()
+    # Both agents contributed keyframes to the shared graph.
+    assert g.n_vertices >= 3
+    assert slam.map_manager.get_fixed_vertex() == 0
+    # Trajectory export covers all keyframes.
+    assert slam.trajectory().shape == (g.n_vertices, 4, 4)
+
+
+def test_agents_with_first_scans_only():
+    rng = np.random.default_rng(1)
+    scans, odom, _ = corridor_sequence(rng, n_scans=3, scan_points=512,
+                                       length=30.0)
+    slam = MultiAgentSlam(small_config(), n_agents=3)
+    Ts = np.stack([odom[0]] * 3)
+    slam.add_data_batch(0, "world", Ts, np.eye(4), [scans[0]] * 3)
+    # Every agent bootstrapped its own first keyframe; one shared anchor.
+    assert slam.get_graph().n_vertices == 3
+    assert slam.map_manager.get_fixed_vertex() == 0

@@ -131,10 +131,11 @@ def bench_pgo_1k():
     rng = np.random.default_rng(1)
     # Ring of 1024 poses + random loop edges.
     angles = 2 * np.pi * np.arange(V) / V
-    poses = np.asarray(jax.vmap(se3.exp)(jnp.asarray(
-        np.stack([10 * np.cos(angles), 10 * np.sin(angles),
-                  np.zeros(V), np.zeros(V), np.zeros(V), angles], -1),
-        jnp.float32)))
+    R = np.asarray(se3.exp_so3(jnp.asarray(
+        np.stack([np.zeros(V), np.zeros(V), angles], -1), jnp.float32)))
+    t = np.stack([10 * np.cos(angles), 10 * np.sin(angles),
+                  np.zeros(V)], -1).astype(np.float32)
+    poses = np.asarray(se3.make(jnp.asarray(R), jnp.asarray(t)))
     ef = np.concatenate([np.arange(V - 1), rng.integers(0, V, E - V + 1)])
     et = np.concatenate([np.arange(1, V), rng.integers(0, V, E - V + 1)])
     dup = ef == et

@@ -129,6 +129,17 @@ def transform_cloud(T: jax.Array, cloud: Cloud) -> Cloud:
     return cloud.replace(points=pts, descriptors=desc)
 
 
+_transform_cloud_jit = None
+
+
+def transform_cloud_jit(T: jax.Array, cloud: Cloud) -> Cloud:
+    """Jitted :func:`transform_cloud` (one dispatch instead of several)."""
+    global _transform_cloud_jit
+    if _transform_cloud_jit is None:
+        _transform_cloud_jit = jax.jit(transform_cloud)
+    return _transform_cloud_jit(T, cloud)
+
+
 def concatenate_clouds(clouds: Sequence[Cloud]) -> Cloud:
     """Concatenate along the point axis (``DataPoints::concatenate`` analog,
     ``LocalMap.hpp:222``). Output capacity = sum of input capacities.

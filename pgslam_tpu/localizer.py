@@ -33,6 +33,18 @@ from .ops.icp import (ICPConfig, ICPEngine, ICPResult, compute_overlap,
 
 log = logging.getLogger("pgslam_tpu.localizer")
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("chain", "capacity"))
+def _prepare_input(chain, capacity: int, cloud: Cloud, T_robot_sensor,
+                   key) -> Cloud:
+    """Input filters + compaction + sensor->robot transform as ONE device
+    dispatch (eager per-op dispatch costs dominate on remote devices)."""
+    cloud = F.apply_chain(chain, cloud, key)
+    cloud = F.compact(cloud, capacity)
+    return transform_cloud(T_robot_sensor, cloud)
+
 
 def _orthonormalize(T: np.ndarray) -> np.ndarray:
     """Project the rotation block back onto SO(3) (host-side, cheap).
@@ -139,9 +151,12 @@ class Localizer:
         # must point at the sensor, Localizer.hpp:100-103), then the cloud
         # moves to the robot frame (Localizer.hpp:106). Compact to the
         # fixed keyframe capacity so all downstream shapes are static.
-        cloud = F.apply_chain(self.config.input_filters, input_cloud, key)
-        cloud = F.compact(cloud, self.config.keyframe_cloud_capacity)
-        cloud = transform_cloud(jnp.asarray(input_T_robot_sensor), cloud)
+        # One fused dispatch for the whole input pipeline.
+        cloud = _prepare_input(self.config.input_filters,
+                               self.config.keyframe_cloud_capacity,
+                               input_cloud,
+                               jnp.asarray(input_T_robot_sensor,
+                                           jnp.float32), key)
         self.input_cloud = cloud
 
         if not self.local_map.has_cloud():
@@ -150,10 +165,12 @@ class Localizer:
                                                        np.float32)
             return None
 
-        # Delta-pose prediction from odometry (Localizer.hpp:119-123).
-        input_dT_robot = np.asarray(
-            se3.inverse(jnp.asarray(self.last_input_T_world_robot))
-            @ jnp.asarray(input_T_world_robot))
+        # Delta-pose prediction from odometry (Localizer.hpp:119-123),
+        # host-side (4x4 numpy).
+        input_dT_robot = (
+            np.linalg.inv(np.asarray(self.last_input_T_world_robot,
+                                     np.float64))
+            @ np.asarray(input_T_world_robot, np.float64)).astype(np.float32)
         input_T_refkf_robot = self.T_refkf_robot @ input_dT_robot
         reading = self.icp_engine.prepare_reading(cloud)
         return reading, input_T_refkf_robot
@@ -161,6 +178,10 @@ class Localizer:
     def finish_scan(self, result: ICPResult, input_T_world_robot) -> None:
         """Everything after the ICP dispatch: pose composition + the
         post-ICP decision tree."""
+        # One transfer for the whole result bundle: the decision tree reads
+        # several scalars and a separate sync per scalar costs a device
+        # round-trip each on remote-attached accelerators.
+        result = jax.device_get(result)
         self.last_result = result
         self.T_refkf_robot = _orthonormalize(np.asarray(result.T))
         self.T_world_robot = _orthonormalize(
@@ -309,10 +330,12 @@ class Localizer:
         if not adj:
             return None, False
 
-        # Closest adjacent vertex to the robot.
+        # Closest adjacent vertex to the robot (host numpy: tiny sets).
         adj = sorted(adj)
-        poses = jnp.asarray(graph.optimized_poses[np.asarray(adj)])
-        dists = np.asarray(distance(poses, jnp.asarray(self.T_world_robot)))
+        robot_t = self.T_world_robot[:3, 3]
+        dists = np.linalg.norm(
+            graph.optimized_poses[np.asarray(adj)][:, :3, 3] - robot_t,
+            axis=1)
         closest_adj = adj[int(np.argmin(dists))]
 
         ext = curr + [closest_adj]
@@ -337,11 +360,10 @@ class Localizer:
         for v in ext[:-2]:
             comp.push_back(v)
         last, before_last = ext[-1], ext[-2]
-        d_last = float(distance(jnp.asarray(graph.optimized_poses[last]),
-                                jnp.asarray(self.T_world_robot)))
-        d_before = float(distance(
-            jnp.asarray(graph.optimized_poses[before_last]),
-            jnp.asarray(self.T_world_robot)))
+        d_last = float(np.linalg.norm(
+            graph.optimized_poses[last][:3, 3] - robot_t))
+        d_before = float(np.linalg.norm(
+            graph.optimized_poses[before_last][:3, 3] - robot_t))
         if d_before < d_last:
             comp.push_back(last)
             comp.push_back(before_last)

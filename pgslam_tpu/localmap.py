@@ -131,9 +131,9 @@ class LocalMap:
 
     def cloud_in_world_frame(self) -> Cloud:
         """``LocalMap.hpp:95-98``."""
-        from .cloud import transform_cloud
+        from .cloud import transform_cloud_jit
         T = jnp.asarray(self.reference_keyframe().optimized_T_world_kf)
-        return transform_cloud(T, self._cloud)
+        return transform_cloud_jit(T, self._cloud)
 
     def get_composition(self) -> Composition:
         return Composition(self._capacity, [v for v, _ in self._data])
@@ -170,10 +170,12 @@ class LocalMap:
     # -- queries (LocalMap.hpp:186-205) ------------------------------------
 
     def find_closest_vertex(self, T_world_x) -> int:
-        """Nearest composition vertex to a world pose (translation metric)."""
-        poses = jnp.stack([jnp.asarray(kf.optimized_T_world_kf)
-                           for _, kf in self._data])
-        d = np.asarray(distance(poses, jnp.asarray(T_world_x)))
+        """Nearest composition vertex to a world pose (translation metric,
+        metrics.hpp:7-12). Host-side numpy: the window is tiny and a device
+        round-trip here would cost more than the whole query."""
+        T = np.asarray(T_world_x)
+        d = [np.linalg.norm(kf.optimized_T_world_kf[:3, 3] - T[:3, 3])
+             for _, kf in self._data]
         return self._data[int(np.argmin(d))][0]
 
     # -- cloud assembly (LocalMap.hpp:209-224) -----------------------------

@@ -80,8 +80,9 @@ class LoopCloser:
 
         # Verification ICP against the candidate map (LoopCloser.hpp:98).
         self.icp_engine.set_map(self.candidate_local_map.cloud())
-        result = self.icp_engine(self.input_cloud,
-                                 jnp.asarray(input_T_refkf_kf))
+        import jax
+        result = jax.device_get(self.icp_engine(
+            self.input_cloud, jnp.asarray(input_T_refkf_kf)))
         self.last_result = result
         self.T_refkf_kf = np.asarray(result.T)
 

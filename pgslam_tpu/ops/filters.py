@@ -15,6 +15,7 @@ static argument to a jitted pipeline.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -230,6 +231,14 @@ def apply_chain(chain: Chain, cloud: Cloud,
     for i, cfg in enumerate(chain):
         cloud = _apply_one(cfg, cloud, jax.random.fold_in(key, i))
     return cloud
+
+
+@functools.partial(jax.jit, static_argnames=("chain",))
+def apply_chain_jit(chain: Chain, cloud: Cloud, key: jax.Array) -> Cloud:
+    """One-dispatch jitted filter chain. Eager chains issue one device
+    dispatch per primitive, which dominates wall time on remote-attached
+    accelerators; this folds the whole chain into a single call."""
+    return apply_chain(chain, cloud, key)
 
 
 def compact(cloud: Cloud, capacity: Optional[int] = None) -> Cloud:

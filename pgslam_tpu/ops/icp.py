@@ -255,7 +255,9 @@ class ICPEngine:
                 isinstance(f, F.SurfaceNormal) for f in chain):
             if "normals" not in reference.descriptors:
                 chain = chain + (F.SurfaceNormal(),)
-        return F.apply_chain(chain, reference)
+        if not chain:
+            return reference
+        return F.apply_chain_jit(chain, reference, jax.random.PRNGKey(0))
 
     def set_map(self, reference: Cloud) -> None:
         ref = self.prepare_reference(reference)
@@ -270,7 +272,10 @@ class ICPEngine:
             self._index = None
 
     def prepare_reading(self, reading: Cloud) -> Cloud:
-        return F.apply_chain(self.config.reading_filters, reading)
+        if not self.config.reading_filters:
+            return reading
+        return F.apply_chain_jit(self.config.reading_filters, reading,
+                                 jax.random.PRNGKey(0))
 
     def __call__(self, reading: Cloud, T_init: jax.Array) -> ICPResult:
         if self._reference is None:

@@ -97,9 +97,11 @@ def config3_loop_500():
     V = 500
     rng = np.random.default_rng(1)
     ang = 2 * np.pi * np.arange(V) / V
-    true = np.asarray(jax.vmap(se3.exp)(jnp.asarray(
-        np.stack([20 * np.cos(ang), 20 * np.sin(ang), np.zeros(V),
-                  np.zeros(V), np.zeros(V), ang], -1), jnp.float32)))
+    R = np.asarray(se3.exp_so3(jnp.asarray(
+        np.stack([np.zeros(V), np.zeros(V), ang], -1), jnp.float32)))
+    t = np.stack([20 * np.cos(ang), 20 * np.sin(ang), np.zeros(V)], -1)
+    true = np.asarray(se3.make(jnp.asarray(R), jnp.asarray(
+        t.astype(np.float32))))
     drift = np.asarray(jax.vmap(se3.exp)(jnp.asarray(
         np.cumsum(rng.normal(size=(V, 6)) * 0.002, 0), jnp.float32)))
     init = np.einsum("vij,vjk->vik", true, drift).astype(np.float32)
@@ -150,22 +152,33 @@ def config4_velodyne():
                                     "examples"))
     from velodyne_slam import velodyne_config
 
+    from pgslam_tpu.datasets import corridor_world, render_scan
+
     rng = np.random.default_rng(0)
-    scans = [velodyne_like_scan(rng, 65536) for _ in range(8)]
+    world = corridor_world(rng, n_points=200000, length=60.0, width=8.0,
+                           height=5.0)
+
+    def pose_at(x):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [x, 0.0, 1.8]
+        return T
+
+    poses = [pose_at(2.0 + i * 1.0) for i in range(10)]
+    scans = [render_scan(world, T, rng, 65536, max_range=30.0, noise=0.01)
+             for T in poses]
     slam = PoseGraphSlam(velodyne_config())
-    T = np.eye(4, dtype=np.float32)
-    slam.add_data(0, "world", T, np.eye(4), scans[0])
-    slam.add_data(1, "world", T, np.eye(4), scans[0])  # warm compiles
+    slam.add_data(0, "world", poses[0], np.eye(4), scans[0])
+    slam.add_data(1, "world", poses[1], np.eye(4), scans[1])  # warm
     t0 = time.perf_counter()
     n = 0
-    for i, scan in enumerate(scans[1:]):
-        T = T.copy()
-        T[0, 3] += 1.0
-        slam.add_data(i + 2, "world", T, np.eye(4), scan)
+    for i in range(2, len(scans)):
+        slam.add_data(i, "world", poses[i], np.eye(4), scans[i])
         n += 1
     dt = (time.perf_counter() - t0) / n
+    err = float(np.linalg.norm(
+        slam.localizer.T_world_robot[:3, 3] - poses[len(scans) - 1][:3, 3]))
     emit("4_velodyne_full_slam_64k", ms_per_scan=round(dt * 1e3, 1),
-         scans_per_sec=round(1 / dt, 2),
+         scans_per_sec=round(1 / dt, 2), final_err_m=round(err, 3),
          keyframes=int(slam.get_graph().n_vertices))
 
 

@@ -68,6 +68,13 @@ _FILTERS = {
                                          z=float(p.get("z", 0.0))),
     "SurfaceNormalDataPointsFilter":
         lambda p: F.SurfaceNormal(knn=int(p.get("knn", 8))),
+    "ShadowDataPointsFilter":
+        lambda p: F.Shadow(eps=float(p.get("eps", 0.1))),
+    "MaxDensityDataPointsFilter":
+        lambda p: F.MaxDensity(radius=float(p.get("radius", 0.5)),
+                               max_count=int(p.get("maxCount", 4))),
+    "FixStepSamplingDataPointsFilter":
+        lambda p: F.FixStepSampling(step=int(p.get("startStep", 2))),
 }
 
 _OUTLIERS = {

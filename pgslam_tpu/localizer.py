@@ -36,6 +36,27 @@ log = logging.getLogger("pgslam_tpu.localizer")
 import functools
 
 
+@functools.partial(jax.jit, static_argnames=("desc_keys", "ref_chain",
+                                              "cfg"))
+def _probe_overlap(points, masks, descs, T_refkf_kf, slot_valid,
+                   T_world_ref, reading: Cloud, T_world_robot,
+                   desc_keys, ref_chain, cfg) -> jax.Array:
+    """The whole ComputeOverlapWith replay (Localizer.hpp:282-348) as ONE
+    device dispatch: build the candidate map cloud, move it to the world
+    frame, apply reference filters, match + weigh, return the overlap."""
+    from .localmap import _build_cloud_impl
+    from .ops.icp import _compute_overlap_impl
+
+    pts, mask, out_desc = _build_cloud_impl(
+        points, masks, descs, T_refkf_kf, slot_valid, desc_keys)
+    cloud = Cloud(points=pts, mask=mask, descriptors=out_desc)
+    world = transform_cloud(jnp.asarray(T_world_ref), cloud)
+    if ref_chain:
+        world = F.apply_chain(ref_chain, world, jax.random.PRNGKey(0))
+    return _compute_overlap_impl(reading, world, jnp.asarray(T_world_robot),
+                                 cfg)
+
+
 @functools.partial(jax.jit, static_argnames=("chain", "capacity"))
 def _prepare_input(chain, capacity: int, cloud: Cloud, T_robot_sensor,
                    key) -> Cloud:
@@ -295,14 +316,19 @@ class Localizer:
     def compute_overlap_with(self, comp: Composition) -> float:
         """Partial-ICP overlap probe against an arbitrary composition
         (``Localizer.hpp:282-348``): build the candidate map in the world
-        frame, apply reference/reading filter chains, match + weigh only."""
-        temp_map = LocalMap.from_graph(self.mm.get_graph(), comp)
-        reference = self.icp_engine.prepare_reference(
-            temp_map.cloud_in_world_frame())
+        frame, apply reference/reading filter chains, match + weigh only —
+        all fused into a single device dispatch."""
+        from .localmap import stack_composition
+        cfg = self.config.icp
+        ref_chain = cfg.reference_filters
+        points, masks, descs, Ts, slot_valid, desc_keys, T_world_ref = \
+            stack_composition(self.mm.get_graph(), comp.as_list(),
+                              comp.capacity)
         reading = self.icp_engine.prepare_reading(self.input_cloud)
-        ov = compute_overlap(reading, reference,
-                             jnp.asarray(self.T_world_robot),
-                             self.config.icp)
+        ov = _probe_overlap(points, masks, descs, Ts, slot_valid,
+                            T_world_ref, reading,
+                            jnp.asarray(self.T_world_robot), desc_keys,
+                            ref_chain, cfg)
         return float(ov)
 
     def is_better_composition(self, current_overlap: float,

@@ -71,9 +71,8 @@ class Composition:
         return list(self._items)
 
 
-@functools.partial(jax.jit, static_argnames=("desc_keys",))
-def _build_cloud_kernel(points, masks, descs, T_refkf_kf, slot_valid,
-                        desc_keys: Tuple[str, ...]):
+def _build_cloud_impl(points, masks, descs, T_refkf_kf, slot_valid,
+                      desc_keys: Tuple[str, ...]):
     """Transform each keyframe cloud into the reference frame and flatten.
 
     points [C, N, 3], masks [C, N], descs {k: [C, N, D]},
@@ -89,6 +88,54 @@ def _build_cloud_kernel(points, masks, descs, T_refkf_kf, slot_valid,
             v = se3.rotate(T_refkf_kf, v)
         out_desc[k] = v.reshape(-1, v.shape[-1])
     return (pts.reshape(-1, 3), mask.reshape(-1), out_desc)
+
+
+_build_cloud_kernel = functools.partial(
+    jax.jit, static_argnames=("desc_keys",))(_build_cloud_impl)
+
+
+def stack_composition(graph: PoseGraph, comp_ids, capacity: int):
+    """Stack a composition's keyframe clouds + relative transforms into the
+    fixed-shape inputs of :func:`_build_cloud_kernel`.
+
+    Returns (points [C,N,3], masks [C,N], descs, T_refkf_kf [C,4,4],
+    slot_valid [C], desc_keys, T_world_ref [4,4]).
+    """
+    return stack_keyframes([graph.keyframe(v) for v in comp_ids], capacity)
+
+
+def stack_keyframes(kfs, capacity: int):
+    """Stack keyframe snapshots (see :func:`stack_composition`)."""
+    ref = kfs[-1]
+    C = capacity
+    T_ref = np.asarray(ref.optimized_T_world_kf, np.float64)
+    T_refkf_world = np.linalg.inv(T_ref)
+    caps = {kf.cloud.capacity for kf in kfs}
+    if len(caps) != 1:
+        raise ValueError(
+            f"composition requires equal keyframe cloud capacities: {caps}")
+    n = caps.pop()
+    desc_keys = tuple(sorted(kfs[0].cloud.descriptors.keys()))
+
+    def pad(arrs, fill):
+        return arrs + [fill] * (C - len(arrs))
+
+    points = jnp.stack(pad([kf.cloud.points for kf in kfs],
+                           jnp.zeros((n, 3), jnp.float32)))
+    masks = jnp.stack(pad([kf.cloud.mask for kf in kfs],
+                          jnp.zeros((n,), bool)))
+    descs = {}
+    for k in desc_keys:
+        d = kfs[0].cloud.descriptors[k].shape[-1]
+        descs[k] = jnp.stack(pad([kf.cloud.descriptors[k] for kf in kfs],
+                                 jnp.zeros((n, d), jnp.float32)))
+    Ts = jnp.asarray(np.stack(pad(
+        [(T_refkf_world @ np.asarray(kf.optimized_T_world_kf, np.float64)
+          ).astype(np.float32) for kf in kfs],
+        np.eye(4, dtype=np.float32))))
+    slot_valid = jnp.asarray([True] * len(kfs) + [False] * (C - len(kfs)))
+    return (points, masks, descs, Ts, slot_valid, desc_keys,
+            T_ref.astype(np.float32))
 
 
 class LocalMap:
@@ -184,35 +231,8 @@ class LocalMap:
         if not self._data:
             self._cloud = None
             return
-        C = self._capacity
-        kfs = [kf for _, kf in self._data]
-        ref = kfs[-1]
-        T_refkf_world = se3.inverse(jnp.asarray(ref.optimized_T_world_kf))
-        caps = {kf.cloud.capacity for kf in kfs}
-        if len(caps) != 1:
-            raise ValueError(
-                f"LocalMap requires equal keyframe cloud capacities, got {caps}")
-        n = caps.pop()
-        desc_keys = tuple(sorted(kfs[0].cloud.descriptors.keys()))
-
-        def pad(arrs, fill):
-            missing = C - len(arrs)
-            return arrs + [fill] * missing
-
-        points = jnp.stack(pad([kf.cloud.points for kf in kfs],
-                               jnp.zeros((n, 3), jnp.float32)))
-        masks = jnp.stack(pad([kf.cloud.mask for kf in kfs],
-                              jnp.zeros((n,), bool)))
-        descs = {}
-        for k in desc_keys:
-            d = kfs[0].cloud.descriptors[k].shape[-1]
-            descs[k] = jnp.stack(pad([kf.cloud.descriptors[k] for kf in kfs],
-                                     jnp.zeros((n, d), jnp.float32)))
-        Ts = jnp.stack(pad(
-            [T_refkf_world @ jnp.asarray(kf.optimized_T_world_kf)
-             for kf in kfs], jnp.eye(4, dtype=jnp.float32)))
-        slot_valid = jnp.asarray(
-            [True] * len(kfs) + [False] * (C - len(kfs)))
+        points, masks, descs, Ts, slot_valid, desc_keys, _ = \
+            stack_keyframes([kf for _, kf in self._data], self._capacity)
         pts, mask, out_desc = _build_cloud_kernel(points, masks, descs, Ts,
                                                   slot_valid, desc_keys)
         self._cloud = Cloud(points=pts, mask=mask, descriptors=out_desc)

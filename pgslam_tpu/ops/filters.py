@@ -119,8 +119,37 @@ class SurfaceNormal:
     tile_query: int = 4096
 
 
+@dataclasses.dataclass(frozen=True)
+class Shadow:
+    """Drop "shadow" points: surface normal nearly perpendicular to the
+    observation direction (grazing-angle returns, libpointmatcher
+    ``ShadowDataPointsFilter``). Requires ``normals`` and
+    ``observationDirections`` descriptors (run SurfaceNormal +
+    ObservationDirection first); passes through silently otherwise."""
+    eps: float = 0.1   # keep if |cos(angle)| >= eps
+
+
+@dataclasses.dataclass(frozen=True)
+class MaxDensity:
+    """Cap local point density (libpointmatcher
+    ``MaxDensityDataPointsFilter`` intent): within each voxel of size
+    ``radius``, keep at most ``max_count`` points. Same hash-race scheme
+    as VoxelGrid, extended to count slots."""
+    radius: float = 0.5
+    max_count: int = 4
+    hash_size: int = 1 << 16
+
+
+@dataclasses.dataclass(frozen=True)
+class FixStepSampling:
+    """Keep every ``step``-th valid point (libpointmatcher
+    ``FixStepSamplingDataPointsFilter`` with a constant step)."""
+    step: int = 2
+
+
 FilterConfig = (Identity, RandomSampling, MaxPointCount, MaxDist, MinDist,
-                BoundingBox, VoxelGrid, ObservationDirection, SurfaceNormal)
+                BoundingBox, VoxelGrid, ObservationDirection, SurfaceNormal,
+                Shadow, MaxDensity, FixStepSampling, Compact)
 Chain = Tuple  # tuple of filter configs
 
 
@@ -163,7 +192,38 @@ def _apply_one(cfg, cloud: Cloud, key: jax.Array) -> Cloud:
     if isinstance(cfg, SurfaceNormal):
         return compute_normals(cloud, knn=cfg.knn, orient=cfg.orient,
                                tile_query=cfg.tile_query)
+    if isinstance(cfg, Shadow):
+        if "normals" not in cloud.descriptors or \
+                "observationDirections" not in cloud.descriptors:
+            return cloud
+        cos = jnp.abs(jnp.sum(cloud.descriptors["normals"]
+                              * cloud.descriptors["observationDirections"],
+                              axis=-1))
+        return cloud.replace(mask=cloud.mask & (cos >= cfg.eps))
+    if isinstance(cfg, MaxDensity):
+        return _max_density(cfg, cloud)
+    if isinstance(cfg, FixStepSampling):
+        rank = jnp.cumsum(cloud.mask.astype(jnp.int32)) - 1
+        return cloud.replace(mask=cloud.mask & (rank % cfg.step == 0))
     raise TypeError(f"unknown filter config {type(cfg)}")
+
+
+def _max_density(cfg: "MaxDensity", cloud: Cloud) -> Cloud:
+    """Keep at most max_count points per voxel: race for slots
+    [hash, 0..max_count) with scatter-min over slot-strided indices."""
+    cell = jnp.floor(cloud.points / cfg.radius).astype(jnp.int32)
+    h = (cell[:, 0] * 73856093) ^ (cell[:, 1] * 19349663) \
+        ^ (cell[:, 2] * 83492791)
+    h = jnp.abs(h) % cfg.hash_size
+    n = cloud.capacity
+    idx = jnp.arange(n, dtype=jnp.int32)
+    keep = jnp.zeros((n,), bool)
+    for _ in range(cfg.max_count):
+        # Winner of this round per bucket: smallest not-yet-kept index.
+        contender = jnp.where(cloud.mask & ~keep, idx, n)
+        table = jnp.full((cfg.hash_size,), n, jnp.int32).at[h].min(contender)
+        keep = keep | (table[h] == idx)
+    return cloud.replace(mask=cloud.mask & keep)
 
 
 def _dist_along(points, dim: int):

@@ -201,9 +201,8 @@ def icp_core(reading: Cloud, reference: Cloud, T_init: jax.Array,
                      residual=res, cov=cov, diverged=diverged)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def compute_overlap(reading: Cloud, reference: Cloud, T: jax.Array,
-                    cfg: ICPConfig, index=None) -> jax.Array:
+def _compute_overlap_impl(reading: Cloud, reference: Cloud, T: jax.Array,
+                          cfg: ICPConfig, index=None) -> jax.Array:
     """Partial-ICP overlap probe: filters + match + weights only, no
     minimization (the reference's hackish replay at
     ``Localizer.hpp:282-348``). ``reading``/``reference`` must be
@@ -211,6 +210,10 @@ def compute_overlap(reading: Cloud, reference: Cloud, T: jax.Array,
     pts = se3.apply(T, reading.points)
     _, weights = _match_and_weigh(pts, reading.mask, reference, cfg, index)
     return M.overlap(weights, reading.count())
+
+
+compute_overlap = functools.partial(
+    jax.jit, static_argnames=("cfg",))(_compute_overlap_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -36,11 +36,9 @@ log = logging.getLogger("pgslam_tpu.localizer")
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("desc_keys", "ref_chain",
-                                              "cfg"))
-def _probe_overlap(points, masks, descs, T_refkf_kf, slot_valid,
-                   T_world_ref, reading: Cloud, T_world_robot,
-                   desc_keys, ref_chain, cfg) -> jax.Array:
+def _probe_overlap_impl(points, masks, descs, T_refkf_kf, slot_valid,
+                        T_world_ref, reading: Cloud, T_world_robot,
+                        desc_keys, ref_chain, cfg) -> jax.Array:
     """The whole ComputeOverlapWith replay (Localizer.hpp:282-348) as ONE
     device dispatch: build the candidate map cloud, move it to the world
     frame, apply reference filters, match + weigh, return the overlap."""
@@ -57,14 +55,45 @@ def _probe_overlap(points, masks, descs, T_refkf_kf, slot_valid,
                                  cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("chain", "capacity"))
-def _prepare_input(chain, capacity: int, cloud: Cloud, T_robot_sensor,
-                   key) -> Cloud:
+_probe_overlap = functools.partial(
+    jax.jit, static_argnames=("desc_keys", "ref_chain", "cfg"))(
+        _probe_overlap_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("desc_keys", "ref_chain",
+                                              "cfg"))
+def _probe_overlap_batched(points, masks, descs, Ts, slot_valid,
+                           T_world_refs, readings, T_world_robots,
+                           desc_keys, ref_chain, cfg) -> jax.Array:
+    """vmapped overlap probes: evaluate many agents' candidate
+    compositions in one dispatch."""
+    return jax.vmap(
+        lambda p, m, d, t, s, twr, r, twb: _probe_overlap_impl(
+            p, m, d, t, s, twr, r, twb, desc_keys, ref_chain, cfg)
+    )(points, masks, descs, Ts, slot_valid, T_world_refs, readings,
+      T_world_robots)
+
+
+def _prepare_input_impl(chain, capacity: int, cloud: Cloud, T_robot_sensor,
+                        key) -> Cloud:
     """Input filters + compaction + sensor->robot transform as ONE device
     dispatch (eager per-op dispatch costs dominate on remote devices)."""
     cloud = F.apply_chain(chain, cloud, key)
     cloud = F.compact(cloud, capacity)
     return transform_cloud(T_robot_sensor, cloud)
+
+
+_prepare_input = functools.partial(
+    jax.jit, static_argnames=("chain", "capacity"))(_prepare_input_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("chain", "capacity"))
+def _prepare_input_batched(chain, capacity: int, clouds: Cloud,
+                           T_robot_sensors, keys) -> Cloud:
+    """vmapped input preparation for a fleet of agents (one dispatch)."""
+    return jax.vmap(
+        lambda c, t, k: _prepare_input_impl(chain, capacity, c, t, k)
+    )(clouds, T_robot_sensors, keys)
 
 
 def _orthonormalize(T: np.ndarray) -> np.ndarray:
@@ -117,6 +146,11 @@ class Localizer:
         self.count = 0
         self.input_cloud: Optional[Cloud] = None
         self.last_result: Optional[ICPResult] = None
+        # Multi-agent mode: defer optimization-writeback resyncs to the
+        # next scan (the MT variant's outdated-flag semantics,
+        # LocalizerMT.hpp:122-134) so a fleet orchestrator can batch them.
+        self.defer_graph_resync = False
+        self._needs_resync = False
 
     # -- configuration setters (Localizer.h:33-37 parity) ------------------
 
@@ -157,27 +191,31 @@ class Localizer:
         self.finish_scan(result, input_T_world_robot)
 
     def prepare_scan(self, input_T_world_robot, input_T_robot_sensor,
-                     input_cloud: Cloud, key=None):
+                     input_cloud: Cloud, key=None, prepared: Cloud = None):
         """Everything before the ICP dispatch. Returns (prepared reading,
         initial transform) or None if this was the first cloud (fully
         handled). Split out so a multi-agent batcher can fuse many agents'
-        registrations into one device call."""
+        registrations into one device call. ``prepared`` short-circuits
+        the input pipeline when the batcher already ran it."""
         log.info("[Localizer] Processing cloud #%d", self.count)
         from .utils import counters
         counters["localizer/scans"] += 1
         if key is None:
             key = jax.random.PRNGKey(self.count)
         self.count += 1
-        # Input filters run in the sensor frame (observation directions
-        # must point at the sensor, Localizer.hpp:100-103), then the cloud
-        # moves to the robot frame (Localizer.hpp:106). Compact to the
-        # fixed keyframe capacity so all downstream shapes are static.
-        # One fused dispatch for the whole input pipeline.
-        cloud = _prepare_input(self.config.input_filters,
-                               self.config.keyframe_cloud_capacity,
-                               input_cloud,
-                               jnp.asarray(input_T_robot_sensor,
-                                           jnp.float32), key)
+        if prepared is not None:
+            cloud = prepared
+        else:
+            # Input filters run in the sensor frame (observation directions
+            # must point at the sensor, Localizer.hpp:100-103), then the
+            # cloud moves to the robot frame (Localizer.hpp:106). Compact
+            # to the fixed keyframe capacity so downstream shapes stay
+            # static. One fused dispatch for the whole input pipeline.
+            cloud = _prepare_input(self.config.input_filters,
+                                   self.config.keyframe_cloud_capacity,
+                                   input_cloud,
+                                   jnp.asarray(input_T_robot_sensor,
+                                               jnp.float32), key)
         self.input_cloud = cloud
 
         if not self.local_map.has_cloud():
@@ -199,6 +237,16 @@ class Localizer:
     def finish_scan(self, result: ICPResult, input_T_world_robot) -> None:
         """Everything after the ICP dispatch: pose composition + the
         post-ICP decision tree."""
+        result = self.begin_finish(result)
+        self.update_after_icp(result)
+        self.last_input_T_world_robot = np.asarray(input_T_world_robot,
+                                                   np.float32)
+
+    def begin_finish(self, result: ICPResult) -> ICPResult:
+        """Pose composition from the ICP result (host-side state updates
+        only). Returns the host-resident result. Split out so a
+        multi-agent batcher can interleave its probe batching between the
+        pose update and the decision tree."""
         # One transfer for the whole result bundle: the decision tree reads
         # several scalars and a separate sync per scalar costs a device
         # round-trip each on remote-attached accelerators.
@@ -208,9 +256,7 @@ class Localizer:
         self.T_world_robot = _orthonormalize(
             self.local_map.reference_keyframe().optimized_T_world_kf
             @ self.T_refkf_robot)
-        self.update_after_icp(result)
-        self.last_input_T_world_robot = np.asarray(input_T_world_robot,
-                                                   np.float32)
+        return result
 
     def process_first_cloud(self, cloud: Cloud, T_world_robot) -> None:
         """``Localizer.hpp:138-152``."""
@@ -226,30 +272,60 @@ class Localizer:
     # -- post-ICP decision tree (Localizer.hpp:179-261) --------------------
 
     def update_after_icp(self, result: ICPResult) -> None:
-        graph = self.mm.get_graph()
+        self.decide_composition(result)
+        self.apply_composition(build=True)
+
+    def neighbor_probe_request(self):
+        """Phase 1 of is_better_composition: the neighbor composition that
+        needs an overlap probe, or None (no neighbors / same composition —
+        in which case is_better is False without any device work,
+        Localizer.hpp:365-367)."""
+        comp, found = self.find_neighbor_local_map_composition()
+        if not found or self.local_map.has_same_composition(comp):
+            return None
+        return comp
+
+    def decide_composition(self, result: ICPResult,
+                           neighbor_probe=None) -> None:
+        """The post-ICP decision tree (Localizer.hpp:179-245), with the
+        overlap probe optionally precomputed (multi-agent batching).
+
+        ``neighbor_probe``: None -> compute inline; otherwise a tuple
+        (composition|None, probe_overlap|None) from
+        :meth:`neighbor_probe_request` + a batched probe evaluation.
+        """
         overlap = float(result.overlap)
         log.info("[Localizer] current overlap = %.4f", overlap)
 
+        if neighbor_probe is None:
+            comp = self.neighbor_probe_request()
+            probe_ov = (self.compute_overlap_with(comp)
+                        if comp is not None else None)
+        else:
+            comp, probe_ov = neighbor_probe
+        # is_better_composition semantics (Localizer.hpp:363-372).
+        is_better = (comp is not None
+                     and self.is_overlap_enough(probe_ov)
+                     and probe_ov > overlap)
+
         if self.is_overlap_enough(overlap):
-            neighbor_comp, found = self.find_neighbor_local_map_composition()
-            if found and self.is_better_composition(overlap, neighbor_comp):
-                self.next_composition = neighbor_comp
+            if is_better:
+                self.next_composition = comp
             else:
                 # Re-reference the local map on the closest vertex
                 # (Localizer.hpp:214-221).
                 closest_v = self.local_map.find_closest_vertex(
-                    jnp.asarray(self.T_world_robot))
+                    self.T_world_robot)
                 ref_v = self.local_map.reference_vertex()
                 if closest_v != ref_v:
-                    comp = self.local_map.get_composition()
-                    items = comp.as_list()
+                    cur = self.local_map.get_composition()
+                    items = cur.as_list()
                     i, j = items.index(closest_v), items.index(ref_v)
                     items[i], items[j] = items[j], items[i]
-                    self.next_composition = Composition(comp.capacity, items)
+                    self.next_composition = Composition(cur.capacity, items)
         else:
-            neighbor_comp, found = self.find_neighbor_local_map_composition()
-            if found and self.is_better_composition(overlap, neighbor_comp):
-                self.next_composition = neighbor_comp
+            if is_better:
+                self.next_composition = comp
             else:
                 # Spawn a new keyframe (Localizer.hpp:234-240). NOTE: in the
                 # single-threaded reference this call cascades synchronously
@@ -265,15 +341,28 @@ class Localizer:
                 log.info("[Localizer] next composition = %s",
                          self.next_composition)
 
-        # Rebuild local map if the composition changed
-        # (Localizer.hpp:248-259).
-        if not self.local_map.has_same_composition(self.next_composition):
-            old_ref = self.local_map.reference_vertex()
-            self.local_map.update_to_new_composition(graph,
-                                                     self.next_composition)
-            self.icp_engine.set_map(self.local_map.cloud())
-            if self.local_map.reference_vertex() != old_ref:
-                self.update_refkf_robot_pose()
+    def apply_composition(self, build: bool = True) -> bool:
+        """Rebuild the local map if the composition changed
+        (Localizer.hpp:248-259). With ``build=False`` only the snapshots
+        are refreshed (the multi-agent path batches the cloud builds);
+        the caller must then run :meth:`finish_apply` after building.
+        Returns whether the composition changed."""
+        if self.local_map.has_same_composition(self.next_composition):
+            return False
+        old_ref = self.local_map.reference_vertex()
+        self.local_map.update_to_new_composition(
+            self.mm.get_graph(), self.next_composition, build=build)
+        self._ref_changed = self.local_map.reference_vertex() != old_ref
+        # Re-anchoring needs only poses — safe before the cloud build.
+        if self._ref_changed:
+            self.update_refkf_robot_pose()
+        if build:
+            self.finish_apply()
+        return True
+
+    def finish_apply(self) -> None:
+        """Push the (re)built local-map cloud into the ICP engine."""
+        self.icp_engine.set_map(self.local_map.cloud())
 
     def update_refkf_robot_pose(self) -> None:
         """``Localizer.hpp:264-267``."""
@@ -291,16 +380,28 @@ class Localizer:
     # -- graph-update notification (Localizer.hpp:156-176) -----------------
 
     def update_from_graph(self) -> None:
-        if not self.local_map.has_cloud():
+        if self.defer_graph_resync:
+            self._needs_resync = True
             return
+        self.resync_from_graph()
+
+    def resync_from_graph(self, build: bool = True) -> bool:
+        """The actual post-optimization resync (Localizer.hpp:156-176).
+        Returns whether the local map was rebuilt (with ``build=False``
+        only snapshots refresh; caller batches the cloud builds)."""
+        self._needs_resync = False
+        if not self.local_map.has_cloud():
+            return False
         graph = self.mm.get_graph()
         lm_outdated = self.local_map.is_outdated(graph)
         ref_outdated = self.local_map.is_reference_keyframe_outdated(graph)
         if lm_outdated:
-            self.local_map.update_from_graph(graph)
-            self.icp_engine.set_map(self.local_map.cloud())
+            self.local_map.update_from_graph(graph, build=build)
+            if build:
+                self.icp_engine.set_map(self.local_map.cloud())
         if ref_outdated:
             self.update_world_robot_pose()
+        return lm_outdated
 
     # -- overlap logic (Localizer.hpp:276-372) -----------------------------
 

@@ -138,6 +138,41 @@ def stack_keyframes(kfs, capacity: int):
             T_ref.astype(np.float32))
 
 
+def batch_rebuild(local_maps) -> None:
+    """Rebuild several LocalMaps' clouds in ONE vmapped device dispatch
+    (multi-agent path). All maps must share capacity / keyframe cloud
+    capacity / descriptor keys (same pipeline config guarantees this).
+
+    The batch is padded to a power-of-two bucket (repeating the first
+    entry) so the jitted kernel sees a handful of distinct batch shapes
+    instead of recompiling for every fleet subset size."""
+    if not local_maps:
+        return
+    if len(local_maps) == 1:
+        local_maps[0]._build_cloud()
+        return
+    n = len(local_maps)
+    bucket = 1 << (n - 1).bit_length()
+    stacked = [stack_keyframes([kf for _, kf in lm._data], lm._capacity)
+               for lm in local_maps]
+    stacked += [stacked[0]] * (bucket - n)
+    desc_keys = stacked[0][5]
+    ins = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                 *[s[:5] for s in stacked])
+    pts, mask, descs = _batched_build(*ins, desc_keys=desc_keys)
+    for i, lm in enumerate(local_maps):
+        lm._cloud = Cloud(
+            points=pts[i], mask=mask[i],
+            descriptors={k: v[i] for k, v in descs.items()})
+
+
+@functools.partial(jax.jit, static_argnames=("desc_keys",))
+def _batched_build(points, masks, descs, Ts, slot_valid, desc_keys):
+    return jax.vmap(
+        lambda p, m, d, t, s: _build_cloud_impl(p, m, d, t, s, desc_keys)
+    )(points, masks, descs, Ts, slot_valid)
+
+
 class LocalMap:
     """Sliding-window submap (``LocalMap.h:8-57``)."""
 
@@ -154,16 +189,18 @@ class LocalMap:
         lm.update_to_new_composition(graph, comp)
         return lm
 
-    def update_to_new_composition(self, graph: PoseGraph,
-                                  comp: Composition) -> None:
+    def update_to_new_composition(self, graph: PoseGraph, comp: Composition,
+                                  build: bool = True) -> None:
         self._capacity = comp.capacity
         self._data = [(v, graph.keyframe(v)) for v in comp]
-        self._build_cloud()
+        if build:
+            self._build_cloud()
 
-    def update_from_graph(self, graph: PoseGraph) -> None:
+    def update_from_graph(self, graph: PoseGraph, build: bool = True) -> None:
         """Refresh payload snapshots for the current vertices."""
         self._data = [(v, graph.keyframe(v)) for v, _ in self._data]
-        self._build_cloud()
+        if build:
+            self._build_cloud()
 
     # -- basic accessors ---------------------------------------------------
 

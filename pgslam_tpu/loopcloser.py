@@ -59,11 +59,94 @@ class LoopCloser:
         self.input_T_world_kf: Optional[np.ndarray] = None
         self.T_refkf_kf: Optional[np.ndarray] = None
         self.last_result: Optional[ICPResult] = None
+        # Multi-agent: queue vertices and verify in fleet-fused batches
+        # (OptimizerMT-style batching of the verification stage).
+        self.queue_mode = False
+        self._pending = []
 
     # -- entry (LoopCloser.hpp:77-110) -------------------------------------
 
     def add_new_vertex(self, v: int) -> None:
+        if self.queue_mode:
+            self._pending.append(int(v))
+            return
         self.process_vertex(v)
+
+    # -- batched verification (multi-agent path) ---------------------------
+
+    def process_pending_batched(self) -> None:
+        """Drain queued vertices: host candidate searches, ONE batched
+        candidate-map build, ONE batched verification ICP, then serial
+        acceptance + optimization for survivors."""
+        if not self._pending:
+            return
+        import jax
+        import jax.numpy as jnp
+        from .cloud import stack_clouds
+        from .localmap import batch_rebuild
+        from .ops.icp import icp_core
+
+        vs, self._pending = self._pending, []
+        graph = self.mm.get_graph()
+        reqs = []
+        for v in vs:
+            comp = self.find_candidate_composition(v)
+            if comp is not None:
+                reqs.append((v, comp))
+        if not reqs:
+            return
+        size = self.config.candidate_local_map_size
+        lms = []
+        for v, comp in reqs:
+            lm = LocalMap(size)
+            lm.update_to_new_composition(graph, comp, build=False)
+            lms.append(lm)
+        batch_rebuild(lms)
+
+        cfg = self.config.icp
+        refs = [self.icp_engine.prepare_reference(lm.cloud()) for lm in lms]
+        readings = [self.icp_engine.prepare_reading(graph.clouds[v])
+                    for v, _ in reqs]
+        T0s = []
+        for (v, _), lm in zip(reqs, lms):
+            ref_kf = lm.reference_keyframe()
+            T0s.append((np.linalg.inv(
+                np.asarray(ref_kf.optimized_T_world_kf, np.float64))
+                @ np.asarray(graph.optimized_poses[v], np.float64)
+            ).astype(np.float32))
+        # Pad to a power-of-two bucket to bound distinct batch shapes.
+        n = len(reqs)
+        bucket = 1 << (n - 1).bit_length()
+        pad = bucket - n
+        readings += [readings[0]] * pad
+        refs += [refs[0]] * pad
+        T0s += [T0s[0]] * pad
+        results = jax.device_get(jax.vmap(
+            lambda r, m, t: icp_core(r, m, t, cfg))(
+                stack_clouds(readings), stack_clouds(refs),
+                jnp.stack([jnp.asarray(t) for t in T0s])))
+
+        for i, ((v, comp), lm) in enumerate(zip(reqs, lms)):
+            result = jax.tree_util.tree_map(lambda x: x[i], results)
+            self.input_vertex = v
+            self.input_cloud = graph.clouds[v]
+            self.input_T_world_kf = graph.optimized_poses[v].copy()
+            self.candidate_local_map = lm
+            self.icp_engine._reference = refs[i]
+            self.T_refkf_kf = np.asarray(result.T)
+            self.last_result = result
+            from .utils import counters
+            if self.check_icp_result(result):
+                counters["loopcloser/accepted"] += 1
+                log.info("[LoopCloser] Loop closure accepted: %d -> %d",
+                         lm.reference_vertex(), v)
+                self.optimizer.add_new_data(lm.reference_vertex(), v,
+                                            self.T_refkf_kf,
+                                            np.asarray(result.cov))
+            else:
+                counters["loopcloser/rejected"] += 1
+                log.info("[LoopCloser] Loop closure rejected for vertex %d",
+                         v)
 
     def process_vertex(self, input_vertex: int) -> None:
         self.input_vertex = input_vertex
@@ -116,9 +199,19 @@ class LoopCloser:
     # -- candidate search (LoopCloser.hpp:193-305) -------------------------
 
     def find_local_map_candidate(self, input_v: int) -> bool:
+        comp = self.find_candidate_composition(input_v)
+        if comp is None:
+            return False
+        self.candidate_local_map.update_to_new_composition(
+            self.mm.get_graph(), comp)
+        return True
+
+    def find_candidate_composition(self, input_v: int):
+        """Host-only candidate search: returns the winning candidate
+        composition or None (the device-side map build is the caller's)."""
         graph = self.mm.get_graph()
         if graph.n_vertices <= 1:
-            return False
+            return None
         cfg = self.config
         n, e = graph.n_vertices, graph.n_edges
 
@@ -137,7 +230,7 @@ class LoopCloser:
         cand = cand[np.argsort(geom[cand], kind="stable")]
         if len(cand) == 0:
             log.info("[LoopCloser] Candidate NOT found!")
-            return False
+            return None
 
         # Filtered graph: drop topologically-close vertices, loop edges,
         # and edges touching dropped vertices (:234-264).
@@ -151,12 +244,10 @@ class LoopCloser:
                 graph.edge_weight[:e], int(candidate_v), size,
                 vertex_ok=vertex_ok, edge_ok=edge_ok)
             if comp is not None:
-                self.candidate_local_map.update_to_new_composition(
-                    graph, Composition(size, comp))
                 log.info("[LoopCloser] Candidate found! -> %s", comp)
-                return True
+                return Composition(size, comp)
         log.info("[LoopCloser] Candidate NOT found!")
-        return False
+        return None
 
     # -- acceptance checks (LoopCloser.hpp:308-365) ------------------------
 

@@ -70,6 +70,12 @@ class ICPConfig:
     # reference would crash), we degrade to dead-reckoning on the prior.
     max_correction_trans: float = 0.0
     max_correction_rot: float = 0.0
+    # Coarse-to-fine: run ``coarse_iterations`` first on a 1/coarse_div
+    # decimation of the reading (inside the same jit — matching cost
+    # scales with reading size, so early iterations become nearly free),
+    # then refine on the full reading. 0/1 disables.
+    coarse_div: int = 0
+    coarse_iterations: int = 10
     # data-point filter chains
     reading_filters: Tuple = ()
     reference_filters: Tuple = ()
@@ -133,12 +139,9 @@ def _match_and_weigh(points, mask, reference: Cloud, cfg: ICPConfig, index):
 # Core registration (single jitted dispatch)
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def icp_core(reading: Cloud, reference: Cloud, T_init: jax.Array,
-             cfg: ICPConfig, index=None) -> ICPResult:
-    """Run the full ICP loop. ``reading``/``reference`` must already be
-    filtered (the engine handles chains); shapes are static."""
-    n_valid = reading.count()
+def _icp_loop(reading: Cloud, reference: Cloud, T0: jax.Array,
+              cfg: ICPConfig, index, max_iterations: int):
+    """The iterate loop (match -> weigh -> minimize -> check)."""
 
     def step(T):
         pts = se3.apply(T, reading.points)
@@ -154,7 +157,7 @@ def icp_core(reading: Cloud, reference: Cloud, T_init: jax.Array,
 
     def cond(state):
         _, it, converged, _, _ = state
-        return jnp.logical_and(it < cfg.max_iterations, ~converged)
+        return jnp.logical_and(it < max_iterations, ~converged)
 
     def body(state):
         T, it, _, dts, drs = state
@@ -165,11 +168,38 @@ def icp_core(reading: Cloud, reference: Cloud, T_init: jax.Array,
                                     jnp.mean(drs) < cfg.rot_eps)
         return (T_new, it + 1, converged, dts, drs)
 
-    T0 = T_init.astype(reading.points.dtype)
     L = max(1, cfg.smooth_length)
     big = jnp.full((L,), jnp.inf, T0.dtype)
     T, iterations, converged, _, _ = jax.lax.while_loop(
         cond, body, (T0, jnp.int32(0), jnp.bool_(False), big, big))
+    return T, iterations, converged
+
+
+def _decimate(cloud: Cloud, div: int) -> Cloud:
+    """Static strided decimation (uniform over scan order)."""
+    return Cloud(points=cloud.points[::div], mask=cloud.mask[::div],
+                 descriptors={k: v[::div]
+                              for k, v in cloud.descriptors.items()})
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def icp_core(reading: Cloud, reference: Cloud, T_init: jax.Array,
+             cfg: ICPConfig, index=None) -> ICPResult:
+    """Run the full ICP loop. ``reading``/``reference`` must already be
+    filtered (the engine handles chains); shapes are static."""
+    n_valid = reading.count()
+
+    T_start = T_init.astype(reading.points.dtype)
+    T0 = T_start
+    if cfg.coarse_div and cfg.coarse_div > 1:
+        # Coarse stage: decimated reading pulls T near the solution for a
+        # fraction of the matching cost; the fine stage only polishes.
+        coarse = _decimate(reading, cfg.coarse_div)
+        T0, _, _ = _icp_loop(coarse, reference, T0, cfg, index,
+                             cfg.coarse_iterations)
+    T, iterations, converged = _icp_loop(reading, reference, T0, cfg, index,
+                                         cfg.max_iterations)
+    T0 = T_start  # bound checker measures against the ORIGINAL init
 
     # Bound checker: clamp runaway corrections back to the initial guess.
     diverged = jnp.bool_(False)

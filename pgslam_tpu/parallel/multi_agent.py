@@ -43,9 +43,14 @@ class MultiAgentSlam:
         self.localizers: List[Localizer] = []
         for _ in range(n_agents):
             loc = Localizer(self.map_manager, config.localizer)
+            # Defer optimization-writeback resyncs (MT-flag semantics) so
+            # the fleet batches all rebuilds in one dispatch per step.
+            loc.defer_graph_resync = True
             self.map_manager.add_localizer(loc)
             self.localizers.append(loc)
         self.map_manager.set_loop_closer(self.loop_closer)
+        # Queue + batch loop-closure verifications across the fleet.
+        self.loop_closer.queue_mode = True
         self._batched_icp = jax.jit(
             jax.vmap(lambda r, m, t: icp_core(r, m, t,
                                               config.localizer.icp)),
@@ -65,13 +70,37 @@ class MultiAgentSlam:
         if T_rs.ndim == 2:
             T_rs = np.broadcast_to(T_rs, (B, 4, 4))
 
-        preps = []
-        for b, loc in enumerate(self.localizers):
+        # Phase 0: flush deferred post-optimization resyncs (batched).
+        from ..localmap import batch_rebuild as _batch_rebuild
+        resync = [loc for loc in self.localizers if loc._needs_resync]
+        rebuilt = [loc for loc in resync
+                   if loc.resync_from_graph(build=False)]
+        _batch_rebuild([loc.local_map for loc in rebuilt])
+        for loc in rebuilt:
+            loc.finish_apply()
+
+        # Batched input preparation: ONE dispatch for the fleet's filter
+        # chains + compaction + sensor transforms.
+        from ..localizer import _prepare_input_batched
+        raw = []
+        for b in range(B):
             cloud = clouds[b]
             if not isinstance(cloud, Cloud):
                 cloud = make_cloud(np.asarray(cloud),
                                    capacity=self.config.sensor_cloud_capacity)
-            preps.append(loc.prepare_scan(T_world_robot[b], T_rs[b], cloud))
+            raw.append(cloud)
+        keys = jnp.stack([jax.random.PRNGKey(loc.count)
+                          for loc in self.localizers])
+        lcfg = self.config.localizer
+        prepared = _prepare_input_batched(
+            lcfg.input_filters, lcfg.keyframe_cloud_capacity,
+            stack_clouds(raw), jnp.asarray(T_rs), keys)
+
+        preps = []
+        for b, loc in enumerate(self.localizers):
+            prep_b = jax.tree_util.tree_map(lambda x: x[b], prepared)
+            preps.append(loc.prepare_scan(T_world_robot[b], T_rs[b],
+                                          raw[b], prepared=prep_b))
 
         live = [b for b, p in enumerate(preps) if p is not None]
         if not live:
@@ -85,12 +114,74 @@ class MultiAgentSlam:
             from .batched import shard_batch
             put = shard_batch(self.mesh)
             readings, references, T0s = put((readings, references, T0s))
-        results = self._batched_icp(readings, references, T0s)
+        # ONE transfer for the whole fleet's results.
+        results = jax.device_get(self._batched_icp(readings, references,
+                                                   T0s))
 
-        # Serialize graph-side updates in agent order (single writer).
-        for i, b in enumerate(live):
+        # Phase 1: pose updates + collect neighbor-probe requests (host).
+        live_locs = [self.localizers[b] for b in live]
+        res_of = {}
+        probe_req = {}
+        for i, (b, loc) in enumerate(zip(live, live_locs)):
             result_b = jax.tree_util.tree_map(lambda x: x[i], results)
-            self.localizers[b].finish_scan(result_b, T_world_robot[b])
+            res_of[b] = loc.begin_finish(result_b)
+            comp = loc.neighbor_probe_request()
+            if comp is not None:
+                probe_req[b] = comp
+
+        # Phase 2: ONE vmapped dispatch for all agents' overlap probes.
+        probe_val = self._batched_probes(probe_req)
+
+        # Phase 3: decisions + graph mutations, serialized in agent order
+        # (single writer; keyframe insertions cascade into the shared
+        # LoopCloser exactly as in the single-agent path).
+        changed = []
+        for b, loc in zip(live, live_locs):
+            comp = probe_req.get(b)
+            probe = (comp, probe_val.get(b)) if comp is not None \
+                else (None, None)
+            loc.decide_composition(res_of[b], neighbor_probe=probe)
+            if loc.apply_composition(build=False):
+                changed.append(loc)
+            loc.last_input_T_world_robot = np.asarray(
+                T_world_robot[b], np.float32)
+
+        # Phase 4: ONE vmapped dispatch rebuilds all changed local maps.
+        from ..localmap import batch_rebuild
+        batch_rebuild([loc.local_map for loc in changed])
+        for loc in changed:
+            loc.finish_apply()
+
+        # Phase 5: fleet-fused loop-closure verification for the keyframes
+        # spawned this step (queued by the shared LoopCloser).
+        self.loop_closer.process_pending_batched()
+
+    def _batched_probes(self, probe_req):
+        """Evaluate all requested overlap probes in one device call."""
+        if not probe_req:
+            return {}
+        from ..localizer import _probe_overlap_batched
+        from ..localmap import stack_composition
+        cfg = self.config.localizer.icp
+        graph = self.map_manager.get_graph()
+        keys = list(probe_req.keys())
+        stacked = [stack_composition(graph, probe_req[b].as_list(),
+                                     probe_req[b].capacity) for b in keys]
+        desc_keys = stacked[0][5]
+        arrays = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                        *[s[:5] for s in stacked])
+        T_world_refs = jnp.stack([jnp.asarray(s[6]) for s in stacked])
+        locs = [self.localizers[b] for b in keys]
+        readings = stack_clouds(
+            [loc.icp_engine.prepare_reading(loc.input_cloud)
+             for loc in locs])
+        T_world_robots = jnp.stack(
+            [jnp.asarray(loc.T_world_robot) for loc in locs])
+        ovs = _probe_overlap_batched(*arrays, T_world_refs, readings,
+                                     T_world_robots, desc_keys,
+                                     cfg.reference_filters, cfg)
+        ovs = np.asarray(ovs)
+        return {b: float(ovs[i]) for i, b in enumerate(keys)}
 
     # -- state access --------------------------------------------------------
 

@@ -63,3 +63,45 @@ def test_localizer_mt_outdated_flag(rng):
     loc.update_from_graph()
     assert loc._outdated
     loc.stop()
+
+
+def test_loopcloser_queue_mode_batched(rng):
+    """queue_mode defers verification; process_pending_batched drains the
+    queue through the fleet-fused path."""
+    import jax.numpy as jnp
+    from pgslam_tpu.cloud import make_cloud
+    from pgslam_tpu.graph.pose_graph import MapManager
+    from pgslam_tpu.loopcloser import LoopCloser, LoopCloserConfig
+
+    class FakeOpt:
+        calls = []
+        def add_new_data(self, f, t, T, c):
+            self.calls.append((f, t))
+
+    # Ring-ish chain where the last vertex revisits the first: same cloud
+    # content at nearby poses -> verification should accept.
+    mm = MapManager()
+    pts = rng.uniform(-2, 2, size=(64, 3)).astype(np.float32)
+    pts[:, 2] = np.sign(pts[:, 2])
+    def cl():
+        return make_cloud(pts, capacity=64)
+    mm.add_first_keyframe(cl(), T_at(0.0))
+    positions = [0.0, 2.0, 4.0, 6.0, 4.1, 2.1, 0.2]
+    for i in range(1, len(positions)):
+        mm.graph.add_vertex(cl(), T_at(positions[i]), mm.now())
+        step = T_at(positions[i] - positions[i - 1])
+        mm.graph.add_edge(i - 1, i, step, np.eye(6, dtype=np.float32),
+                          ODOM_CONSTRAINT)
+
+    opt = FakeOpt()
+    lc = LoopCloser(mm, opt, LoopCloserConfig(
+        topo_dist_threshold=5.0, geom_dist_threshold=1.0,
+        overlap_threshold=0.5))
+    lc.queue_mode = True
+    lc.add_new_vertex(6)
+    assert lc._pending == [6]
+    lc.process_pending_batched()
+    assert lc._pending == []
+    # vertex 6 at x=0.2 is geometrically near vertex 0 (topo far) -> a
+    # candidate was found and verified (accept or reject, but processed).
+    assert lc.last_result is not None

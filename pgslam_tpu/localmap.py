@@ -138,21 +138,22 @@ def stack_keyframes(kfs, capacity: int):
             T_ref.astype(np.float32))
 
 
-def batch_rebuild(local_maps) -> None:
+def batch_rebuild(local_maps, pad_to: int = 0) -> None:
     """Rebuild several LocalMaps' clouds in ONE vmapped device dispatch
     (multi-agent path). All maps must share capacity / keyframe cloud
     capacity / descriptor keys (same pipeline config guarantees this).
 
-    The batch is padded to a power-of-two bucket (repeating the first
-    entry) so the jitted kernel sees a handful of distinct batch shapes
-    instead of recompiling for every fleet subset size."""
+    The batch is padded (repeating the first entry) to ``pad_to`` when
+    given, else to a power-of-two bucket — compiles through the relay are
+    expensive and not persistently cached, so a single fixed batch shape
+    beats per-size recompiles even at the cost of padded compute."""
     if not local_maps:
         return
-    if len(local_maps) == 1:
+    if len(local_maps) == 1 and pad_to <= 1:
         local_maps[0]._build_cloud()
         return
     n = len(local_maps)
-    bucket = 1 << (n - 1).bit_length()
+    bucket = max(pad_to, 1 << (n - 1).bit_length())
     stacked = [stack_keyframes([kf for _, kf in lm._data], lm._capacity)
                for lm in local_maps]
     stacked += [stacked[0]] * (bucket - n)

@@ -62,6 +62,7 @@ class LoopCloser:
         # Multi-agent: queue vertices and verify in fleet-fused batches
         # (OptimizerMT-style batching of the verification stage).
         self.queue_mode = False
+        self.batch_pad_to = 0
         self._pending = []
 
     # -- entry (LoopCloser.hpp:77-110) -------------------------------------
@@ -101,7 +102,7 @@ class LoopCloser:
             lm = LocalMap(size)
             lm.update_to_new_composition(graph, comp, build=False)
             lms.append(lm)
-        batch_rebuild(lms)
+        batch_rebuild(lms, pad_to=self.batch_pad_to)
 
         cfg = self.config.icp
         refs = [self.icp_engine.prepare_reference(lm.cloud()) for lm in lms]
@@ -114,9 +115,10 @@ class LoopCloser:
                 np.asarray(ref_kf.optimized_T_world_kf, np.float64))
                 @ np.asarray(graph.optimized_poses[v], np.float64)
             ).astype(np.float32))
-        # Pad to a power-of-two bucket to bound distinct batch shapes.
+        # Pad to one fixed batch shape (relay compiles are expensive and
+        # not persistently cached).
         n = len(reqs)
-        bucket = 1 << (n - 1).bit_length()
+        bucket = max(self.batch_pad_to, 1 << (n - 1).bit_length())
         pad = bucket - n
         readings += [readings[0]] * pad
         refs += [refs[0]] * pad

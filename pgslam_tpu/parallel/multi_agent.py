@@ -51,6 +51,7 @@ class MultiAgentSlam:
         self.map_manager.set_loop_closer(self.loop_closer)
         # Queue + batch loop-closure verifications across the fleet.
         self.loop_closer.queue_mode = True
+        self.loop_closer.batch_pad_to = n_agents
         self._batched_icp = jax.jit(
             jax.vmap(lambda r, m, t: icp_core(r, m, t,
                                               config.localizer.icp)),
@@ -75,7 +76,8 @@ class MultiAgentSlam:
         resync = [loc for loc in self.localizers if loc._needs_resync]
         rebuilt = [loc for loc in resync
                    if loc.resync_from_graph(build=False)]
-        _batch_rebuild([loc.local_map for loc in rebuilt])
+        _batch_rebuild([loc.local_map for loc in rebuilt],
+                       pad_to=self.n_agents)
         for loc in rebuilt:
             loc.finish_apply()
 
@@ -148,7 +150,8 @@ class MultiAgentSlam:
 
         # Phase 4: ONE vmapped dispatch rebuilds all changed local maps.
         from ..localmap import batch_rebuild
-        batch_rebuild([loc.local_map for loc in changed])
+        batch_rebuild([loc.local_map for loc in changed],
+                      pad_to=self.n_agents)
         for loc in changed:
             loc.finish_apply()
 
@@ -167,16 +170,20 @@ class MultiAgentSlam:
         keys = list(probe_req.keys())
         stacked = [stack_composition(graph, probe_req[b].as_list(),
                                      probe_req[b].capacity) for b in keys]
+        # One fixed batch shape (see batch_rebuild).
+        stacked += [stacked[0]] * (self.n_agents - len(stacked))
         desc_keys = stacked[0][5]
         arrays = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
                                         *[s[:5] for s in stacked])
         T_world_refs = jnp.stack([jnp.asarray(s[6]) for s in stacked])
         locs = [self.localizers[b] for b in keys]
-        readings = stack_clouds(
-            [loc.icp_engine.prepare_reading(loc.input_cloud)
-             for loc in locs])
+        pad = self.n_agents - len(locs)
+        reading_list = [loc.icp_engine.prepare_reading(loc.input_cloud)
+                        for loc in locs]
+        readings = stack_clouds(reading_list + [reading_list[0]] * pad)
         T_world_robots = jnp.stack(
-            [jnp.asarray(loc.T_world_robot) for loc in locs])
+            [jnp.asarray(loc.T_world_robot) for loc in locs]
+            + [jnp.asarray(locs[0].T_world_robot)] * pad)
         ovs = _probe_overlap_batched(*arrays, T_world_refs, readings,
                                      T_world_robots, desc_keys,
                                      cfg.reference_filters, cfg)

@@ -48,13 +48,19 @@ def _merge_gathered(all_d, all_i, all_p, k: int):
     return best_d, best_i, best_p
 
 
-def sharded_icp_step(mesh: Mesh, cfg: ICPConfig):
+def sharded_icp_step(mesh: Mesh, cfg: ICPConfig, merge: str = "all_gather"):
     """Build a jitted one-iteration ICP update sharded (dp, tp).
 
     Returns ``step(reading_pts, reading_mask, ref_pts, ref_mask, T)`` with
     reading ``[B, N, 3]`` sharded over dp and reference ``[B, M, 3]``
     sharded over (dp, tp). Produces the updated ``[B, 4, 4]`` transforms
     and per-agent overlaps.
+
+    ``merge``: how per-shard candidates combine across the point axis —
+    ``"all_gather"`` (one collective of the tiny [N, k] candidate sets) or
+    ``"ring"`` (ppermute the reading + running best around the tp ring,
+    the ring-attention-style pass; same result, nearest-neighbor-only ICI
+    traffic).
     """
     from jax.experimental.shard_map import shard_map
 
@@ -71,13 +77,45 @@ def sharded_icp_step(mesh: Mesh, cfg: ICPConfig):
             matched = jnp.take(rp, m.ids[:, 0], axis=0)
             return m.dists2, m.ids, matched
 
-        d2, ids, matched = jax.vmap(local_match)(pts, r_mask, f_pts, f_mask)
-        ids = ids + jax.lax.axis_index("tp") * shard_m  # globalize ids
-        # Candidate exchange over the point-sharded axis.
-        all_d = jax.lax.all_gather(d2, "tp")            # [tp, b, N, 1]
-        all_i = jax.lax.all_gather(ids, "tp")
-        all_p = jax.lax.all_gather(matched[:, :, None, :], "tp")
-        best_d, _, best_p = _merge_gathered(all_d, all_i, all_p, k=1)
+        if merge == "ring":
+            # Ring pass: the reading (and its running best) visits every
+            # reference shard; after tp hops it is back home holding the
+            # global nearest neighbours. Traffic is nearest-neighbor only.
+            my = jax.lax.axis_index("tp")
+            perm = [(i, (i + 1) % tp) for i in range(tp)]
+
+            def hop(carry, _):
+                pts_c, qm_c, best_d, best_i, best_p, hops = carry
+                d2, ids, matched = jax.vmap(local_match)(
+                    pts_c, qm_c, f_pts, f_mask)
+                gids = ids + my * shard_m
+                better = d2 < best_d
+                best_d = jnp.where(better, d2, best_d)
+                best_i = jnp.where(better, gids, best_i)
+                best_p = jnp.where(better[..., None],
+                                   matched[:, :, None, :], best_p)
+                carry = (pts_c, qm_c, best_d, best_i, best_p, hops + 1)
+                return jax.tree_util.tree_map(
+                    lambda x: jax.lax.ppermute(x, "tp", perm), carry), None
+
+            b, n = pts.shape[:2]
+            init = (pts, r_mask,
+                    jnp.full((b, n, 1), jnp.inf, jnp.float32),
+                    jnp.zeros((b, n, 1), jnp.int32),
+                    jnp.zeros((b, n, 1, 3), jnp.float32),
+                    jnp.zeros((), jnp.int32))
+            (pts, r_mask_back, best_d, best_i, best_p, _), _ = \
+                jax.lax.scan(hop, init, None, length=tp)
+            del r_mask_back
+        else:
+            d2, ids, matched = jax.vmap(local_match)(pts, r_mask, f_pts,
+                                                     f_mask)
+            ids = ids + jax.lax.axis_index("tp") * shard_m  # globalize ids
+            # Candidate exchange over the point-sharded axis.
+            all_d = jax.lax.all_gather(d2, "tp")            # [tp, b, N, 1]
+            all_i = jax.lax.all_gather(ids, "tp")
+            all_p = jax.lax.all_gather(matched[:, :, None, :], "tp")
+            best_d, _, best_p = _merge_gathered(all_d, all_i, all_p, k=1)
 
         def solve(q, qm, d, p_matched):
             from ..ops.knn import Matches

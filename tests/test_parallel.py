@@ -97,3 +97,20 @@ def test_dryrun_multichip_entrypoint():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_sharded_icp_ring_matches_all_gather(rng):
+    mesh = make_mesh(8, tp=2)
+    B, N, M = 8, 64, 256
+    cfg = ICPConfig(outlier=(O.TrimmedDist(0.9), O.MaxDist(1.0)))
+    ref = rng.uniform(-3, 3, size=(B, M, 3)).astype(np.float32)
+    reading = ref[:, :N] + 0.05
+    args = (jnp.asarray(reading), jnp.ones((B, N), bool),
+            jnp.asarray(ref), jnp.ones((B, M), bool),
+            jnp.tile(jnp.eye(4), (B, 1, 1)))
+    T_ag, ov_ag = sharded_icp_step(mesh, cfg, merge="all_gather")(*args)
+    T_ring, ov_ring = sharded_icp_step(mesh, cfg, merge="ring")(*args)
+    np.testing.assert_allclose(np.asarray(T_ring), np.asarray(T_ag),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ov_ring), np.asarray(ov_ag),
+                               atol=1e-5)

@@ -76,6 +76,12 @@ class ICPConfig:
     # then refine on the full reading. 0/1 disables.
     coarse_div: int = 0
     coarse_iterations: int = 10
+    # Anderson acceleration (AA-ICP, arXiv:1709.05479): extrapolate the
+    # fixed-point iterates from a window of ``anderson_m`` twists. Cuts
+    # iteration counts ~1.5-2x on well-conditioned problems. 0/1 disables.
+    # Safeguarded: falls back to the plain step when the extrapolation
+    # overshoots.
+    anderson_m: int = 0
     # data-point filter chains
     reading_filters: Tuple = ()
     reference_filters: Tuple = ()
@@ -170,6 +176,50 @@ def _icp_loop(reading: Cloud, reference: Cloud, T0: jax.Array,
 
     L = max(1, cfg.smooth_length)
     big = jnp.full((L,), jnp.inf, T0.dtype)
+
+    if cfg.anderson_m and cfg.anderson_m > 1:
+        m = cfg.anderson_m
+        Tinv0 = se3.inverse(T0)
+
+        def cond_aa(state):
+            _, it, converged, _, _, _, _ = state
+            return jnp.logical_and(it < max_iterations, ~converged)
+
+        def body_aa(state):
+            T, it, _, dts, drs, X, GX = state
+            T_plain, _ = step(T)
+            x_k = se3.log(T @ Tinv0)
+            g_k = se3.log(T_plain @ Tinv0)
+            X = jnp.roll(X, 1, axis=0).at[0].set(x_k)
+            GX = jnp.roll(GX, 1, axis=0).at[0].set(g_k)
+            # Type-II AA on the window's residuals f_i = g_i - x_i.
+            Fr = GX - X                                    # [m, 6]
+            dF = Fr[0] - Fr[1:]                            # [m-1, 6]
+            dG = GX[0] - GX[1:]                            # [m-1, 6]
+            A = dF @ dF.T + 1e-10 * jnp.eye(m - 1, dtype=T.dtype)
+            gamma = jnp.linalg.solve(A, dF @ Fr[0])        # [m-1]
+            x_acc = g_k - gamma @ dG
+            # Safeguard: reject runaway extrapolations; also wait for the
+            # history window to fill.
+            plain_sz = jnp.linalg.norm(g_k - x_k)
+            ok = jnp.logical_and(
+                jnp.linalg.norm(x_acc - g_k) <= 2.0 * plain_sz + 1e-9,
+                it + 1 >= m)
+            x_next = jnp.where(ok, x_acc, g_k)
+            T_new = se3.exp(x_next) @ T0
+            dT = T_new @ se3.inverse(T)
+            dts = jnp.roll(dts, 1).at[0].set(se3.translation_norm(dT))
+            drs = jnp.roll(drs, 1).at[0].set(se3.rotation_angle(dT))
+            converged = jnp.logical_and(jnp.mean(dts) < cfg.trans_eps,
+                                        jnp.mean(drs) < cfg.rot_eps)
+            return (T_new, it + 1, converged, dts, drs, X, GX)
+
+        zeros6 = jnp.zeros((m, 6), T0.dtype)
+        T, iterations, converged, _, _, _, _ = jax.lax.while_loop(
+            cond_aa, body_aa,
+            (T0, jnp.int32(0), jnp.bool_(False), big, big, zeros6, zeros6))
+        return T, iterations, converged
+
     T, iterations, converged, _, _ = jax.lax.while_loop(
         cond, body, (T0, jnp.int32(0), jnp.bool_(False), big, big))
     return T, iterations, converged

@@ -46,10 +46,26 @@ class PoseGraphSlam:
 
     @classmethod
     def from_yaml(cls, path: str) -> "PoseGraphSlam":
-        """Construct from a libpointmatcher-style YAML config (the ctor's
-        three config paths analog, ``PoseGraphSlam.h:45``)."""
+        """Construct from a single nested SLAM YAML config."""
         from .config import load_slam_config
         return cls(load_slam_config(path))
+
+    @classmethod
+    def from_config_paths(cls, localizer_icp_config: str,
+                          localizer_input_filters_config: str,
+                          loop_closer_icp_config: str) -> "PoseGraphSlam":
+        """The reference ctor signature (``PoseGraphSlam.h:45``,
+        ``PoseGraphSlam.hpp:13-22``): three libpointmatcher YAML paths —
+        localizer ICP pipeline, localizer input filters, loop-closer ICP
+        pipeline."""
+        from .config import load_icp_config, load_input_filters
+        loc_icp = load_icp_config(localizer_icp_config)
+        filters = load_input_filters(localizer_input_filters_config)
+        loop_icp = load_icp_config(loop_closer_icp_config)
+        cfg = SlamConfig(
+            localizer=LocalizerConfig(icp=loc_icp, input_filters=filters),
+            loop_closer=LoopCloserConfig(icp=loop_icp))
+        return cls(cfg)
 
     # -- config fan-out (PoseGraphSlam.hpp:43-51) --------------------------
 

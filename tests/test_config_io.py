@@ -112,3 +112,22 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(g2.edge_cov[0], np.eye(6) * 0.1)
     # Resume works: clock advanced past saved stamps.
     assert mm2.now() > int(g2.update_times[:2].max())
+
+
+def test_from_config_paths(tmp_path):
+    """Reference ctor parity: three libpointmatcher YAML paths."""
+    icp_p = tmp_path / "icp.yaml"
+    icp_p.write_text("errorMinimizer: PointToPointErrorMinimizer\n"
+                     "outlierFilters:\n"
+                     "  - TrimmedDistOutlierFilter: {ratio: 0.8}\n")
+    filt_p = tmp_path / "filters.yaml"
+    filt_p.write_text("- MaxDistDataPointsFilter: {maxDist: 25.0}\n")
+    loop_p = tmp_path / "loop_icp.yaml"
+    loop_p.write_text("errorMinimizer: PointToPlaneErrorMinimizer\n")
+
+    from pgslam_tpu.slam import PoseGraphSlam
+    slam = PoseGraphSlam.from_config_paths(str(icp_p), str(filt_p),
+                                           str(loop_p))
+    assert slam.localizer.config.icp.error == "point_to_point"
+    assert slam.localizer.config.input_filters == (F.MaxDist(25.0),)
+    assert slam.loop_closer.config.icp.error == "point_to_plane"

@@ -16,7 +16,7 @@ for on-device/batched use by the parallel layer.
 from __future__ import annotations
 
 import heapq
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

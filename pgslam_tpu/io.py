@@ -10,7 +10,6 @@ pose/composition state — enough to resume mapping mid-run.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

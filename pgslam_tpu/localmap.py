@@ -15,7 +15,7 @@ composition change costs one device dispatch regardless of window size.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,6 @@ import numpy as np
 from . import se3
 from .cloud import Cloud
 from .graph.pose_graph import Keyframe, PoseGraph
-from .metrics import distance
 
 
 class Composition:

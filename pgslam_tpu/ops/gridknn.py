@@ -26,7 +26,6 @@ evict points when a bucket overflows (tracked by ``overflow_count``).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

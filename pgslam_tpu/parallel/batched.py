@@ -8,10 +8,8 @@ agent's registration is independent). One dispatch registers B scans.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 from ..cloud import Cloud
 from ..ops.icp import ICPConfig, ICPResult, icp_core

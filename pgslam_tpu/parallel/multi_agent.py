@@ -12,7 +12,6 @@ Optimizer back-end serializes graph mutations host-side in agent order
 
 from __future__ import annotations
 
-import dataclasses
 from typing import List, Optional, Sequence
 
 import jax

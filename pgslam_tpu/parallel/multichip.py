@@ -18,8 +18,6 @@ real v5e mesh unchanged: collectives ride ICI via the mesh axes.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

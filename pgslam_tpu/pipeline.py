@@ -24,7 +24,6 @@ threads genuinely overlap host bookkeeping with TPU compute.
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 import threading
 from collections import deque

@@ -168,7 +168,27 @@ def bench_pgo_1k():
     return dt
 
 
+def _device_watchdog(timeout_s: int = 600):
+    """Fail fast (exit 1) if the backend claim hangs — observed on this
+    container when the relay-attached chip goes unavailable; a hang here
+    would stall the whole benchmark harness."""
+    import signal
+
+    def on_alarm(signum, frame):
+        log(f"FATAL: backend initialization exceeded {timeout_s}s "
+            f"(TPU claim unavailable)")
+        os._exit(1)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(timeout_s)
+    import jax
+    devs = jax.devices()
+    signal.alarm(0)
+    return devs
+
+
 def main():
+    _device_watchdog()
     single_rate, batched_rate = bench_icp_64k()
     try:
         bench_pgo_1k()

@@ -168,6 +168,22 @@ class Localizer:
                            dataclasses.replace(self.config,
                                                minimal_overlap=v))
 
+    def set_icp_config(self, path: str) -> None:
+        """``Localizer.hpp:55-71`` analog: load a libpointmatcher-style
+        ICP YAML. (No text buffering needed — configs are values here.)"""
+        from .config import load_icp_config
+        icp = load_icp_config(path)
+        self.config = dataclasses.replace(self.config, icp=icp)
+        self.icp_engine = ICPEngine(icp)
+        if self.local_map.has_cloud():
+            self.icp_engine.set_map(self.local_map.cloud())
+
+    def set_input_filters_config(self, path: str) -> None:
+        """``Localizer.hpp:74-78`` analog."""
+        from .config import load_input_filters
+        self.config = dataclasses.replace(
+            self.config, input_filters=load_input_filters(path))
+
     # -- data entry (Localizer.hpp:81-135) ---------------------------------
 
     def add_new_data(self, timestamp, world_frame_id, T_world_robot,

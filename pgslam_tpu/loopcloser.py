@@ -295,3 +295,10 @@ class LoopCloser:
         # NOTE: the reference hardcodes 3 here, ignoring its argument
         # (LoopCloser.hpp:53-56). We honor the intent, not the bug.
         self.candidate_local_map = LocalMap(size)
+
+    def set_icp_config(self, path: str) -> None:
+        """``LoopCloser.hpp:59-74`` analog."""
+        from .config import load_icp_config
+        icp = load_icp_config(path)
+        self.config = dataclasses.replace(self.config, icp=icp)
+        self.icp_engine = ICPEngine(icp)

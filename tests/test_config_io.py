@@ -131,3 +131,32 @@ def test_from_config_paths(tmp_path):
     assert slam.localizer.config.icp.error == "point_to_point"
     assert slam.localizer.config.input_filters == (F.MaxDist(25.0),)
     assert slam.loop_closer.config.icp.error == "point_to_plane"
+
+
+def test_component_set_icp_config(tmp_path, rng):
+    """Per-component SetIcpConfig parity (Localizer.hpp:55, LoopCloser.hpp:59)."""
+    p = tmp_path / "icp.yaml"
+    p.write_text("errorMinimizer: PointToPlaneErrorMinimizer\n")
+    from pgslam_tpu.graph.pose_graph import MapManager
+    from pgslam_tpu.localizer import Localizer
+    from pgslam_tpu.loopcloser import LoopCloser
+    from pgslam_tpu.optimizer import Optimizer
+    mm = MapManager()
+    opt = Optimizer(mm)
+    lc = LoopCloser(mm, opt)
+    loc = Localizer(mm)
+    loc.set_icp_config(str(p))
+    lc.set_icp_config(str(p))
+    assert loc.config.icp.error == "point_to_plane"
+    assert lc.config.icp.error == "point_to_plane"
+
+
+def test_pm_cov_reorder_involutive(rng):
+    from pgslam_tpu.optimizer import pm_cov_to_gtsam_cov
+    c = rng.normal(size=(6, 6)).astype(np.float32)
+    c = c @ c.T
+    g = pm_cov_to_gtsam_cov(c)
+    # block swap: translation block moves to the lower-right
+    np.testing.assert_allclose(g[:3, :3], c[3:, 3:])
+    np.testing.assert_allclose(g[3:, 3:], c[:3, :3])
+    np.testing.assert_allclose(pm_cov_to_gtsam_cov(g), c)

@@ -119,3 +119,22 @@ def test_loop_drift_correction(rng):
     opt_err = np.linalg.norm(out[-1][:3, 3] - true[-1][:3, 3])
     assert opt_err < 0.3 * init_err
     assert float(stats["final_cost"]) < float(stats["initial_cost"])
+
+
+def test_disconnected_components_stay_bounded(rng):
+    """A component without the anchor has gauge freedom; damped LM must
+    leave consistent (zero-residual) poses where they are, not drift."""
+    # Two 3-pose chains, no connection; anchor in component 0.
+    poses = [np.eye(4, dtype=np.float32) for _ in range(6)]
+    for i in range(6):
+        poses[i] = poses[i].copy()
+        poses[i][0, 3] = float(i)
+    cov = (np.eye(6) * 0.01).astype(np.float32)
+    edges = [(0, 1, relpose(poses[0], poses[1]), cov),
+             (1, 2, relpose(poses[1], poses[2]), cov),
+             (3, 4, relpose(poses[3], poses[4]), cov),
+             (4, 5, relpose(poses[4], poses[5]), cov)]
+    out, stats = optimize_pose_graph(*make_problem(poses, edges))
+    out = np.asarray(out)
+    for i in range(6):
+        np.testing.assert_allclose(out[i], poses[i], atol=1e-3)

@@ -48,4 +48,22 @@ def __getattr__(name):
     if name == "LocalMap":
         from .localmap import LocalMap
         return LocalMap
+    if name == "MultiAgentSlam":
+        from .parallel.multi_agent import MultiAgentSlam
+        return MultiAgentSlam
+    if name in ("LocalizerConfig", "Localizer"):
+        from . import localizer
+        return getattr(localizer, name)
+    if name in ("LoopCloserConfig", "LoopCloser"):
+        from . import loopcloser
+        return getattr(loopcloser, name)
+    if name in ("OptimizerConfig", "Optimizer"):
+        from . import optimizer
+        return getattr(optimizer, name)
+    if name in ("PGOConfig", "optimize_pose_graph"):
+        from .optim import pgo
+        return getattr(pgo, name)
+    if name in ("save_checkpoint", "load_checkpoint"):
+        from . import io
+        return getattr(io, name)
     raise AttributeError(f"module 'pgslam_tpu' has no attribute {name!r}")

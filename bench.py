@@ -168,10 +168,11 @@ def bench_pgo_1k():
     return dt
 
 
-def _device_watchdog(timeout_s: int = 600):
+def _device_watchdog(timeout_s: int = 450):
     """Fail fast (exit 1) if the backend claim hangs — observed on this
     container when the relay-attached chip goes unavailable; a hang here
-    would stall the whole benchmark harness."""
+    would stall the whole benchmark harness. The supervisor (see
+    ``main``) converts the non-zero exit into a fail-soft JSON line."""
     import signal
 
     def on_alarm(signum, frame):
@@ -187,7 +188,13 @@ def _device_watchdog(timeout_s: int = 600):
     return devs
 
 
-def main():
+METRIC = "icp_registrations_per_sec_64k_batch"
+
+
+def child_main():
+    """The actual benchmark run. Prints the JSON line on success; any
+    failure (including a hung TPU claim) exits non-zero without JSON —
+    the supervising parent handles retry and the fail-soft line."""
     _device_watchdog()
     single_rate, batched_rate = bench_icp_64k()
     try:
@@ -196,14 +203,61 @@ def main():
         log(f"pgo bench failed: {e}")
     rate = max(single_rate, batched_rate)
     log(f"single-stream {single_rate:.1f} regs/s, "
-        f"batch-16 throughput {batched_rate:.1f} regs/s")
+        f"batched throughput {batched_rate:.1f} regs/s")
     print(json.dumps({
-        "metric": "icp_registrations_per_sec_64k_batch16",
+        "metric": METRIC,
         "value": round(rate, 2),
         "unit": "registrations/sec",
         "vs_baseline": round(rate / BASELINE_REGS_PER_SEC, 2),
-    }))
+    }), flush=True)
+
+
+def main(total_budget_s: float = 560.0):
+    """Supervisor: run the benchmark in a subprocess so that a wedged TPU
+    claim (observed r1: BENCH_r01 recorded rc=1 and no JSON) can be
+    killed and retried, and so this process ALWAYS prints exactly one
+    JSON line whatever happens to the chip."""
+    import subprocess
+
+    deadline = time.monotonic() + total_budget_s
+    env = dict(os.environ, PGSLAM_BENCH_CHILD="1")
+    errors = []
+    for attempt in range(2):
+        remaining = deadline - time.monotonic()
+        if remaining < 60:
+            errors.append("budget_exhausted")
+            break
+        if attempt:
+            time.sleep(5)  # brief backoff before re-claiming the chip
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, stdout=subprocess.PIPE, timeout=remaining - 20)
+        except subprocess.TimeoutExpired:
+            errors.append(f"attempt{attempt}_timeout")
+            continue
+        out = proc.stdout.decode(errors="replace").strip().splitlines()
+        for line in reversed(out):
+            try:
+                parsed = json.loads(line)
+                if "metric" in parsed:
+                    print(line, flush=True)
+                    return
+            except json.JSONDecodeError:
+                continue
+        errors.append(f"attempt{attempt}_rc{proc.returncode}")
+    log(f"all bench attempts failed: {errors}")
+    print(json.dumps({
+        "metric": METRIC,
+        "value": 0.0,
+        "unit": "registrations/sec",
+        "vs_baseline": 0.0,
+        "error": "tpu_unavailable: " + ",".join(errors),
+    }), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("PGSLAM_BENCH_CHILD"):
+        child_main()
+    else:
+        main()

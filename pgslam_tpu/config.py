@@ -223,11 +223,17 @@ def load_slam_config(path: str):
         icp=parse_icp_config(lc.get("icp", loc.get("icp", {}))))
 
     opt = doc.get("optimizer", {}) or {}
+    # Only pass keys present in the YAML so an unset key means the
+    # PGOConfig dataclass default — identical behavior to the
+    # programmatic path (advisor finding r1).
+    pgo_kwargs = {}
+    for yaml_key, field, cast in (("maxIterations", "max_iterations", int),
+                                  ("cgIterations", "cg_iterations", int),
+                                  ("priorSigma", "prior_sigma", float)):
+        if yaml_key in opt:
+            pgo_kwargs[field] = cast(opt[yaml_key])
     optimizer = OptimizerConfig(
-        pgo=PGOConfig(
-            max_iterations=int(opt.get("maxIterations", 50)),
-            cg_iterations=int(opt.get("cgIterations", 100)),
-            prior_sigma=float(opt.get("priorSigma", 1e-6))),
+        pgo=PGOConfig(**pgo_kwargs),
         shape_bucket=int(opt.get("shapeBucket", 64)))
 
     return SlamConfig(

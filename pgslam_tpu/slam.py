@@ -69,17 +69,26 @@ class PoseGraphSlam:
 
     # -- config fan-out (PoseGraphSlam.hpp:43-51) --------------------------
 
-    def set_icp_config(self, path: str) -> None:
-        """Load a libpointmatcher-style ICP YAML and fan it out to the
-        Localizer and LoopCloser (``PoseGraphSlam.hpp:43-51``)."""
-        from .config import load_icp_config
-        icp = load_icp_config(path)
-        self.localizer.config = dataclasses.replace(self.localizer.config,
-                                                    icp=icp)
-        self.localizer.icp_engine = type(self.localizer.icp_engine)(icp)
-        self.loop_closer.config = dataclasses.replace(
-            self.loop_closer.config, icp=icp)
-        self.loop_closer.icp_engine = type(self.loop_closer.icp_engine)(icp)
+    def set_icp_config(self, path: str,
+                       localizer_icp_config: Optional[str] = None,
+                       loop_closer_icp_config: Optional[str] = None) -> None:
+        """Config fan-out (``PoseGraphSlam.hpp:43-51``). The reference
+        signature is three YAML paths — (localizer input filters,
+        localizer ICP, loop-closer ICP) — each delegated to the owning
+        component (which re-installs its reference map if one is live).
+        With a single argument, that one ICP YAML is applied to both the
+        Localizer and the LoopCloser as a convenience."""
+        if localizer_icp_config is None and loop_closer_icp_config is None:
+            self.localizer.set_icp_config(path)
+            self.loop_closer.set_icp_config(path)
+            return
+        if localizer_icp_config is None or loop_closer_icp_config is None:
+            raise TypeError("set_icp_config takes either one ICP YAML path "
+                            "or the reference's three paths (input filters, "
+                            "localizer ICP, loop-closer ICP)")
+        self.localizer.set_input_filters_config(path)
+        self.localizer.set_icp_config(localizer_icp_config)
+        self.loop_closer.set_icp_config(loop_closer_icp_config)
 
     SetIcpConfig = set_icp_config
 

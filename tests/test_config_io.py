@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from pgslam_tpu.config import (load_slam_config, parse_filter_chain,
                                parse_icp_config, parse_outlier_chain)
@@ -160,3 +161,61 @@ def test_pm_cov_reorder_involutive(rng):
     np.testing.assert_allclose(g[:3, :3], c[3:, 3:])
     np.testing.assert_allclose(g[3:, 3:], c[:3, :3])
     np.testing.assert_allclose(pm_cov_to_gtsam_cov(g), c)
+
+
+def test_facade_set_icp_config_after_first_scan(tmp_path, rng):
+    """Advisor r1 (medium): facade SetIcpConfig must delegate to the
+    components so a live local map is re-installed into the rebuilt ICP
+    engine — calling it between scans must not break add_data."""
+    p = tmp_path / "icp.yaml"
+    p.write_text("errorMinimizer: PointToPointErrorMinimizer\n"
+                 "outlierFilters:\n"
+                 "  - TrimmedDistOutlierFilter: {ratio: 0.9}\n")
+    from pgslam_tpu.slam import PoseGraphSlam, SlamConfig
+    from pgslam_tpu.localizer import LocalizerConfig
+
+    slam = PoseGraphSlam(SlamConfig(
+        localizer=LocalizerConfig(keyframe_cloud_capacity=256),
+        sensor_cloud_capacity=256))
+    pts = rng.uniform(-3, 3, size=(200, 3)).astype(np.float32)
+    eye = np.eye(4, dtype=np.float32)
+    slam.add_data(0, "world", eye, eye, pts)
+    slam.set_icp_config(str(p))          # one-path convenience form
+    assert slam.localizer.icp_engine._reference is not None
+    T = eye.copy()
+    T[0, 3] = 0.05
+    slam.add_data(1, "world", T, eye, pts + np.array([0.05, 0, 0],
+                                                     np.float32))
+    assert np.isfinite(slam.T_world_robot).all()
+
+
+def test_facade_set_icp_config_three_paths(tmp_path):
+    """Reference signature parity (PoseGraphSlam.hpp:43-51): three YAML
+    paths fan out to input filters / localizer ICP / loop-closer ICP."""
+    filt_p = tmp_path / "filters.yaml"
+    filt_p.write_text("- MaxDistDataPointsFilter: {maxDist: 30.0}\n")
+    loc_p = tmp_path / "loc_icp.yaml"
+    loc_p.write_text("errorMinimizer: PointToPointErrorMinimizer\n")
+    loop_p = tmp_path / "loop_icp.yaml"
+    loop_p.write_text("errorMinimizer: PointToPlaneErrorMinimizer\n")
+    from pgslam_tpu.slam import PoseGraphSlam
+    slam = PoseGraphSlam()
+    slam.SetIcpConfig(str(filt_p), str(loc_p), str(loop_p))
+    assert slam.localizer.config.input_filters == (F.MaxDist(30.0),)
+    assert slam.localizer.config.icp.error == "point_to_point"
+    assert slam.loop_closer.config.icp.error == "point_to_plane"
+    with pytest.raises(TypeError):
+        slam.set_icp_config(str(filt_p), str(loc_p))
+
+
+def test_yaml_unset_optimizer_keys_use_dataclass_defaults(tmp_path):
+    """Advisor r1 (low): YAML path and programmatic path must agree on
+    defaults for unset optimizer keys."""
+    from pgslam_tpu.config import load_slam_config
+    from pgslam_tpu.optim.pgo import PGOConfig
+    p = tmp_path / "slam.yaml"
+    p.write_text("optimizer: {priorSigma: 1.0e-5}\n")
+    cfg = load_slam_config(str(p))
+    assert cfg.optimizer.pgo.cg_iterations == PGOConfig().cg_iterations
+    assert cfg.optimizer.pgo.max_iterations == PGOConfig().max_iterations
+    assert cfg.optimizer.pgo.prior_sigma == 1e-5

@@ -151,11 +151,18 @@ def parse_icp_config(doc: Union[str, Dict, io.IOBase]) -> ICPConfig:
             name = next(iter(matcher))
             params = matcher[name] or {}
         if name == "KDTreeMatcher":
-            kwargs["matcher"] = "brute"   # exact kNN, TPU-shaped
+            # Exact kNN. The fused Pallas kernel is the TPU-native
+            # equivalent of the reference's kd-tree (Localizer.hpp:317);
+            # on the CPU backend match_clouds transparently falls back to
+            # the tiled brute-force path with identical semantics.
+            kwargs["matcher"] = "pallas"
+            kwargs["knn"] = int(params.get("knn", 1))
+        elif name == "BruteForceMatcher":
+            kwargs["matcher"] = "brute"
             kwargs["knn"] = int(params.get("knn", 1))
         elif name == "GridMatcher":
             kwargs["matcher"] = "grid"
-            kwargs["grid_cell_size"] = float(params.get("cellSize", 1.0))
+            kwargs["grid_cell_size"] = float(params.get("cellSize", 0.0))
             kwargs["grid_bucket_cap"] = int(params.get("bucketCap", 8))
             kwargs["knn"] = int(params.get("knn", 1))
         else:

@@ -219,11 +219,14 @@ class LoopCloser:
 
         # Dijkstra #1 over the full graph: topological distances; geometric
         # distances are one vectorized norm (visitor at :211-215 collapsed).
+        # Both stay on host: the graph SoA lives in host memory and a
+        # [n]-norm device dispatch costs a full relay round-trip (~45 ms)
+        # — the round-trips, not the Dijkstra, were the r1 bottleneck.
         topo, _ = dijkstra(n, graph.edge_from[:e], graph.edge_to[:e],
                            graph.edge_weight[:e], input_v)
-        geom = np.asarray(distance(
-            jnp.asarray(graph.optimized_poses[:n]),
-            jnp.asarray(graph.optimized_poses[input_v])))
+        geom = np.linalg.norm(
+            graph.optimized_poses[:n, :3, 3]
+            - graph.optimized_poses[input_v, :3, 3], axis=-1)
 
         # Gate: geometrically close AND topologically far (:220-224), then
         # sort by geometric distance (:227-229).

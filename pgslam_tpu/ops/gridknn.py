@@ -85,18 +85,41 @@ def _build(points, mask, cell_size, table_size: int, bucket_cap: int):
     return table, overflow
 
 
+def auto_cell_size(points, mask) -> float:
+    """Cell size from cloud extent/density (host-side, at index build).
+
+    LiDAR clouds are near-2D manifolds, so the typical point spacing is
+    estimated from the two largest bounding-box extents:
+    ``spacing = sqrt(e1 * e2 / n)``; the cell is 3 spacings — the 27-cell
+    query neighborhood then reliably contains the true NN while expected
+    occupancy (~9 points per surface cell) stays near the default bucket
+    capacity. For a guaranteed match radius pass ``cell_size`` explicitly
+    (the contract is "exact NN within cell_size, else unmatched")."""
+    import numpy as np
+    p = np.asarray(points)[np.asarray(mask)]
+    if len(p) < 2:
+        return 1.0
+    e = np.sort(p.max(axis=0) - p.min(axis=0))
+    spacing = float(np.sqrt(max(e[-1] * e[-2], 1e-12) / len(p)))
+    return max(3.0 * spacing, 1e-3)
+
+
 def build_grid_index(points: jax.Array, mask: jax.Array, *,
                      cell_size: float = 0.0, bucket_cap: int = 8,
                      table_size: int = 0) -> GridIndex:
-    """Build the index. ``cell_size=0`` auto-sizes so that the expected
-    occupancy fits the bucket capacity; ``table_size=0`` picks 2 * Nr
-    rounded up to a power of two."""
+    """Build the index. ``cell_size=0`` auto-sizes from the cloud's
+    extent and density (see :func:`auto_cell_size`; requires concrete
+    arrays — inside a trace pass an explicit cell size); ``table_size=0``
+    picks 2 * Nr rounded up to a power of two."""
     n = points.shape[0]
     if table_size <= 0:
         table_size = max(1 << 12, 1 << (int(n * 2 - 1).bit_length()))
     if cell_size <= 0:
-        # Heuristic: median-ish spacing from the bounding box volume.
-        cell_size = 1.0
+        if isinstance(jnp.asarray(points), jax.core.Tracer):
+            raise ValueError(
+                "build_grid_index(cell_size=0) auto-sizing needs concrete "
+                "points; pass an explicit cell_size when tracing")
+        cell_size = auto_cell_size(points, mask)
     cs = jnp.asarray(cell_size, jnp.float32)
     table, overflow = _build(points, mask, cs, table_size, bucket_cap)
     return GridIndex(table=table, points=points, mask=mask, cell_size=cs,

@@ -42,12 +42,15 @@ class ICPConfig:
 
     error: str = "point_to_point"          # or "point_to_plane"
     # matcher
-    matcher: str = "brute"                  # "brute" | "grid"
+    matcher: str = "brute"                  # "brute" | "grid" | "pallas"
     knn: int = 1                            # matches used by the minimizer
     tile_ref: int = 2048
     tile_query: int = 0
     grid_cell_size: float = 0.0             # 0 = auto from cloud extent
     grid_bucket_cap: int = 8
+    # MXU pass count for the fused Pallas matcher's cross-term ("highest"
+    # = bit-exact f32, "high" ~ f32 at 2x the MXU rate, "default" = bf16).
+    pallas_precision: str = "highest"
     # outlier filters. NOTE: the default pairs a relative (trimmed) filter
     # with an absolute distance cut — without an absolute criterion the
     # overlap statistic (weightedPointUsedRatio) degenerates to the trim
@@ -112,10 +115,12 @@ def match_clouds(points: jax.Array, mask: jax.Array, reference: Cloud,
     if cfg.matcher == "grid" and index is not None:
         from .gridknn import grid_knn
         return grid_knn(points, mask, index, k=cfg.knn)
-    if cfg.matcher == "pallas" and cfg.knn == 1 and \
-            jax.default_backend() not in ("cpu",):
+    if cfg.matcher == "pallas" and jax.default_backend() not in ("cpu",):
         from .knn_pallas import nn_pallas
-        return nn_pallas(points, mask, reference.points, reference.mask)
+        return nn_pallas(points, mask, reference.points, reference.mask,
+                         k=cfg.knn, precision=cfg.pallas_precision)
+    # "brute" — also the CPU-backend fallback for "pallas" (identical
+    # exact-kNN semantics; interpret-mode Pallas would be pointlessly slow).
     return knn_brute_force(points, mask, reference.points, reference.mask,
                            k=cfg.knn, tile_ref=cfg.tile_ref,
                            tile_query=cfg.tile_query)

@@ -32,10 +32,16 @@ from .knn import Matches
 NEG_BIG = -3.4e38  # sentinel for masked entries (works with max-reduce)
 
 
-def _kernel(q_ref, rT_ref, rsq_ref, bestd_ref, besti_ref):
+def _kernel(q_ref, rT_ref, rsq_ref, bestd_ref, besti_ref, *, precision, k):
     """One (i, j) grid step: fold reference tile j into query tile i's
-    running best. Scores are NEGATED distances so masked entries can use a
-    single big negative sentinel with max-reduction."""
+    running top-k. Scores are NEGATED distances so masked entries can use a
+    single big negative sentinel with max-reduction.
+
+    Streaming top-k: ``k`` extraction rounds pull the tile's k best
+    (mask-out-the-argmax-column between rounds), each folded into the
+    running ``[TQ, k]`` buffers by replace-the-current-min. k is static
+    and small (<= 8), so the extra VPU passes stay a minor epilogue next
+    to the MXU cross-term."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -43,30 +49,54 @@ def _kernel(q_ref, rT_ref, rsq_ref, bestd_ref, besti_ref):
         bestd_ref[:] = jnp.full_like(bestd_ref, NEG_BIG)
         besti_ref[:] = jnp.zeros_like(besti_ref)
 
-    cross = jnp.dot(q_ref[:], rT_ref[:],
+    cross = jnp.dot(q_ref[:], rT_ref[:], precision=precision,
                     preferred_element_type=jnp.float32)       # [TQ, TR]
     # score = -(|r|^2 - 2 q.r); rsq row is +inf-masked -> sentinel below.
     score = 2.0 * cross - rsq_ref[:]
     score = jnp.maximum(score, NEG_BIG)                       # kill -inf/nan
-    tile_best = jnp.max(score, axis=1, keepdims=True)         # [TQ, 1]
     tr = score.shape[1]
     cols = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
-    is_best = score >= tile_best
-    tile_arg = jnp.min(jnp.where(is_best, cols, tr), axis=1,
-                       keepdims=True) + j * tr                # [TQ, 1]
-    better = tile_best > bestd_ref[:]
-    bestd_ref[:] = jnp.where(better, tile_best, bestd_ref[:])
-    besti_ref[:] = jnp.where(better, tile_arg, besti_ref[:])
+    bestd = bestd_ref[:]                                      # [TQ, k]
+    besti = besti_ref[:]
+    kcols = jax.lax.broadcasted_iota(jnp.int32, bestd.shape, 1)
+    for _ in range(k):
+        tile_best = jnp.max(score, axis=1, keepdims=True)     # [TQ, 1]
+        is_best = score >= tile_best
+        local_arg = jnp.min(jnp.where(is_best, cols, tr), axis=1,
+                            keepdims=True)                    # [TQ, 1]
+        tile_arg = local_arg + j * tr
+        if k > 1:  # retire the winning column before the next round
+            score = jnp.where(cols == local_arg, NEG_BIG, score)
+        cur_min = jnp.min(bestd, axis=1, keepdims=True)       # [TQ, 1]
+        min_pos = jnp.min(jnp.where(bestd <= cur_min, kcols, k),
+                          axis=1, keepdims=True)              # [TQ, 1]
+        replace = (kcols == min_pos) & (tile_best > cur_min)  # [TQ, k]
+        bestd = jnp.where(replace, tile_best, bestd)
+        besti = jnp.where(replace, tile_arg, besti)
+    bestd_ref[:] = bestd
+    besti_ref[:] = besti
 
 
-@functools.partial(jax.jit, static_argnames=("tile_q", "tile_r"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tile_q", "tile_r", "precision"))
 def nn_pallas(query: jax.Array,            # [NQ, 3]
               query_mask: jax.Array,       # [NQ]
               reference: jax.Array,        # [NR, 3]
               reference_mask: jax.Array,   # [NR]
-              *, tile_q: int = 512, tile_r: int = 2048) -> Matches:
-    """Exact masked 1-NN via the fused kernel. Returns squared distances
-    (+inf for masked queries / all-masked references) and indices."""
+              *, k: int = 1, tile_q: int = 512, tile_r: int = 2048,
+              precision: str = "highest") -> Matches:
+    """Exact masked kNN via the fused kernel. Returns squared distances
+    ``[NQ, k]`` sorted ascending (+inf for masked queries / exhausted
+    references) and indices.
+
+    ``precision`` controls the MXU pass count of the in-kernel cross-term
+    matmul (TPU f32 matmuls decompose into bf16 passes): "highest" = 6
+    passes (bit-exact f32), "high" = 3 passes (~f32 accurate), "default"
+    = 1 pass (bf16-rounded inputs, ~6x the MXU throughput). The argmin is
+    over exact |r|^2 minus the approximated cross term, so lower
+    precision can only flip near-ties between almost-equidistant
+    neighbors — harmless to ICP, which trims and averages thousands of
+    correspondences."""
     nq, nr = query.shape[0], reference.shape[0]
     pq = (-nq) % tile_q
     pr = (-nr) % tile_r
@@ -83,7 +113,7 @@ def nn_pallas(query: jax.Array,            # [NQ, 3]
     # Interpreter mode keeps the kernel testable on the CPU backend.
     interpret = jax.default_backend() == "cpu"
     bestd, besti = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, precision=precision, k=k),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_q, 8), lambda i, j: (i, 0),
@@ -94,14 +124,14 @@ def nn_pallas(query: jax.Array,            # [NQ, 3]
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_q, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_q, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nqp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((nqp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nqp, k), jnp.float32),
+            jax.ShapeDtypeStruct((nqp, k), jnp.int32),
         ],
         interpret=interpret,
     )(q, rT, rsq)
@@ -113,4 +143,10 @@ def nn_pallas(query: jax.Array,            # [NQ, 3]
     hit = (bestd > NEG_BIG) & query_mask[:, None]
     d2 = jnp.where(hit, d2, jnp.inf)
     besti = jnp.where(hit, besti, 0)
+    if k > 1:
+        # The running buffers are unordered; present ascending by distance
+        # (brute-force top_k parity). [NQ, k] sorts are trivial.
+        order = jnp.argsort(d2, axis=1)
+        d2 = jnp.take_along_axis(d2, order, axis=1)
+        besti = jnp.take_along_axis(besti, order, axis=1)
     return Matches(dists2=d2, ids=besti)

@@ -50,6 +50,12 @@ class PGOConfig:
     prior_sigma: float = 1e-6         # Optimizer.hpp:128
     min_step_norm: float = 1e-8       # convergence: ||delta||
     min_cost_decrease: float = 1e-7   # convergence: relative cost change
+    # Edge<->vertex data movement inside the LM loop: "incidence" lowers
+    # every gather/scatter to a one-hot [V, E] matmul (MXU-friendly; XLA
+    # scatters serialize badly on TPU), "scatter" uses segment_sum
+    # (cheaper on CPU and for very large graphs), "auto" picks incidence
+    # while the two incidence matrices fit comfortably in HBM.
+    assembly: str = "auto"
 
 
 def _ad(xi: jax.Array) -> jax.Array:
@@ -73,23 +79,6 @@ def _jr_inv(e: jax.Array) -> jax.Array:
     return I + 0.5 * a + (1.0 / 12.0) * (a @ a)
 
 
-def _edge_residuals(poses, edge_from, edge_to, Tinv_meas):
-    """e_k = Log(Z_k^-1 X_f^-1 X_t) for all edges, batched."""
-    Xf = poses[edge_from]
-    Xt = poses[edge_to]
-    M = se3.inverse(Xf) @ Xt
-    return se3.log(Tinv_meas @ M), M
-
-
-def _cost(poses, edge_from, edge_to, Tinv_meas, info, emask,
-          fixed_id, prior_Tinv, prior_info):
-    e, _ = _edge_residuals(poses, edge_from, edge_to, Tinv_meas)
-    c = jnp.einsum("ei,eij,ej->e", e, info, e)
-    cost = jnp.sum(jnp.where(emask, c, 0.0))
-    rp = se3.log(prior_Tinv @ poses[fixed_id])
-    return cost + prior_info * jnp.sum(rp * rp)
-
-
 @functools.partial(jax.jit, static_argnames=("config",))
 def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
                         vmask: jax.Array,        # [V] valid vertices
@@ -107,6 +96,7 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
     avoid recompilation as the graph grows.
     """
     V = poses.shape[0]
+    E = edge_from.shape[0]
     dtype = poses.dtype
     prior_info = jnp.asarray(1.0 / config.prior_sigma ** 2, dtype)
     prior_Tinv = se3.inverse(poses[fixed_id])
@@ -117,9 +107,48 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
     edge_from = jnp.clip(edge_from, 0, V - 1)
     edge_to = jnp.clip(edge_to, 0, V - 1)
 
+    use_incidence = (config.assembly == "incidence"
+                     or (config.assembly == "auto" and V * E <= (1 << 24)))
+    if use_incidence:
+        # One-hot incidence matrices: gather x[edge_from] == Sf @ x and
+        # segment_sum(y, edge_from) == Sf.T @ y — both MXU matmuls. On
+        # TPU this removes every scatter from the LM hot loop (XLA
+        # scatters with duplicate indices serialize); "highest" matmul
+        # precision makes the one-hot selection bit-exact in f32.
+        Sf = jax.nn.one_hot(edge_from, V, dtype=dtype)        # [E, V]
+        St = jax.nn.one_hot(edge_to, V, dtype=dtype)
+        _hp = jax.lax.Precision.HIGHEST
+
+        def gather(x, S):
+            return jnp.matmul(S, x.reshape(V, -1),
+                              precision=_hp).reshape((E,) + x.shape[1:])
+
+        def scatter_add(y, S):
+            return jnp.matmul(S.T, y.reshape(E, -1),
+                              precision=_hp).reshape((V,) + y.shape[1:])
+
+        gather_f = lambda x: gather(x, Sf)
+        gather_t = lambda x: gather(x, St)
+        scatter_f = lambda y: scatter_add(y, Sf)
+        scatter_t = lambda y: scatter_add(y, St)
+    else:
+        gather_f = lambda x: x[edge_from]
+        gather_t = lambda x: x[edge_to]
+        scatter_f = lambda y: jax.ops.segment_sum(y, edge_from,
+                                                  num_segments=V)
+        scatter_t = lambda y: jax.ops.segment_sum(y, edge_to,
+                                                  num_segments=V)
+
+    def edge_residuals(cur):
+        """e_k = Log(Z_k^-1 X_f^-1 X_t) for all edges, batched."""
+        Xf = gather_f(cur)
+        Xt = gather_t(cur)
+        M = se3.inverse(Xf) @ Xt
+        return se3.log(Tinv_meas @ M), M
+
     def build_system(cur):
         """Residuals + per-edge H blocks + gradient b (as [V, 6])."""
-        e, M = _edge_residuals(cur, edge_from, edge_to, Tinv_meas)
+        e, M = edge_residuals(cur)
         Jri = _jr_inv(e)
         Jt = Jri                                     # [E, 6, 6]
         Jf = -Jri @ se3.adjoint(se3.inverse(M))      # -Jr^-1 Ad(Xt^-1 Xf)
@@ -130,28 +159,25 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
         H_ft = JfT_O @ Jt
         b_t = jnp.einsum("eij,ej->ei", JtT_O, e)
         b_f = jnp.einsum("eij,ej->ei", JfT_O, e)
-        b = (jax.ops.segment_sum(b_f, edge_from, num_segments=V)
-             + jax.ops.segment_sum(b_t, edge_to, num_segments=V))
+        b = scatter_f(b_f) + scatter_t(b_t)
         # Prior on the anchor: r_p = Log(P^-1 X), J ~= I.
         rp = se3.log(prior_Tinv @ cur[fixed_id])
         b = b.at[fixed_id].add(prior_info * rp)
         # Block-diagonal of H (for damping + preconditioner).
-        D = (jax.ops.segment_sum(H_ff, edge_from, num_segments=V)
-             + jax.ops.segment_sum(H_tt, edge_to, num_segments=V))
+        D = scatter_f(H_ff) + scatter_t(H_tt)
         D = D.at[fixed_id].add(prior_info * jnp.eye(6, dtype=dtype))
         return (H_ff, H_tt, H_ft), b, D
 
     def matvec(blocks, D, lam, x):
-        """y = (H + lam * diag(D)) x, matrix-free via scatters. x [V, 6]."""
+        """y = (H + lam * diag(D)) x, matrix-free. x [V, 6]."""
         H_ff, H_tt, H_ft = blocks
-        xf = x[edge_from]
-        xt = x[edge_to]
+        xf = gather_f(x)
+        xt = gather_t(x)
         yf = (jnp.einsum("eij,ej->ei", H_ff, xf)
               + jnp.einsum("eij,ej->ei", H_ft, xt))
         yt = (jnp.einsum("eij,ej->ei", H_tt, xt)
               + jnp.einsum("eji,ej->ei", H_ft, xf))   # H_tf = H_ft^T
-        y = (jax.ops.segment_sum(yf, edge_from, num_segments=V)
-             + jax.ops.segment_sum(yt, edge_to, num_segments=V))
+        y = scatter_f(yf) + scatter_t(yt)
         y = y.at[fixed_id].add(prior_info * x[fixed_id])
         diag = jnp.diagonal(D, axis1=-2, axis2=-1)      # [V, 6]
         return y + lam * diag * x
@@ -235,8 +261,12 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
         new = cur @ step
         return jnp.where(vmask[:, None, None], new, cur)
 
-    cost_fn = lambda cur: _cost(cur, edge_from, edge_to, Tinv_meas, info,
-                                emask, fixed_id, prior_Tinv, prior_info)
+    def cost_fn(cur):
+        e, _ = edge_residuals(cur)
+        c = jnp.einsum("ei,eij,ej->e", e, info, e)
+        cost = jnp.sum(jnp.where(emask, c, 0.0))
+        rp = se3.log(prior_Tinv @ cur[fixed_id])
+        return cost + prior_info * jnp.sum(rp * rp)
 
     def lm_cond(state):
         _, _, it, done, _ = state

@@ -51,10 +51,21 @@ class MultiAgentSlam:
         # Queue + batch loop-closure verifications across the fleet.
         self.loop_closer.queue_mode = True
         self.loop_closer.batch_pad_to = n_agents
-        self._batched_icp = jax.jit(
-            jax.vmap(lambda r, m, t: icp_core(r, m, t,
-                                              config.localizer.icp)),
-            static_argnums=())
+        # Fleet registration: with a (dp, tp) mesh the FULL icp_core
+        # semantics run sharded — agents over dp, each reference's point
+        # axis over tp (see parallel/sharded_icp.py); otherwise a plain
+        # vmapped single-device dispatch.
+        self._tp = (int(mesh.shape.get("tp", 1))
+                    if mesh is not None else 1)
+        if self._tp > 1:
+            from .sharded_icp import make_sharded_register
+            self._batched_icp = make_sharded_register(
+                mesh, config.localizer.icp)
+        else:
+            self._batched_icp = jax.jit(
+                jax.vmap(lambda r, m, t: icp_core(r, m, t,
+                                                  config.localizer.icp)),
+                static_argnums=())
 
     def add_data_batch(self, timestamp, world_frame_id: str,
                        T_world_robot: np.ndarray,      # [B, 4, 4]
@@ -107,17 +118,22 @@ class MultiAgentSlam:
         if not live:
             return
 
-        readings = stack_clouds([preps[b][0] for b in live])
+        # Pad the live set to the fleet size: one fixed batch shape (no
+        # per-size recompiles) and divisibility by the mesh's dp axis.
+        pad_ix = live + [live[0]] * (self.n_agents - len(live))
+        readings = stack_clouds([preps[b][0] for b in pad_ix])
         references = stack_clouds(
-            [self.localizers[b].icp_engine.reference for b in live])
-        T0s = jnp.stack([jnp.asarray(preps[b][1]) for b in live])
-        if self.mesh is not None:
+            [self.localizers[b].icp_engine.reference for b in pad_ix])
+        T0s = jnp.stack([jnp.asarray(preps[b][1]) for b in pad_ix])
+        if self.mesh is not None and self._tp == 1:
             from .batched import shard_batch
             put = shard_batch(self.mesh)
             readings, references, T0s = put((readings, references, T0s))
-        # ONE transfer for the whole fleet's results.
+        # ONE transfer for the whole fleet's results (sharded path: jit
+        # reshards inputs to the shard_map's (dp, tp) specs itself).
         results = jax.device_get(self._batched_icp(readings, references,
                                                    T0s))
+        results = jax.tree_util.tree_map(lambda x: x[:len(live)], results)
 
         # Phase 1: pose updates + collect neighbor-probe requests (host).
         live_locs = [self.localizers[b] for b in live]

@@ -60,7 +60,7 @@ def sharded_icp_step(mesh: Mesh, cfg: ICPConfig, merge: str = "all_gather"):
     the ring-attention-style pass; same result, nearest-neighbor-only ICI
     traffic).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     tp = mesh.shape["tp"]
 
@@ -133,7 +133,7 @@ def sharded_icp_step(mesh: Mesh, cfg: ICPConfig, merge: str = "all_gather"):
         body, mesh=mesh,
         in_specs=(P("dp"), P("dp"), P("dp", "tp"), P("dp", "tp"), P("dp")),
         out_specs=(P("dp"), P("dp")),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(step)
 
 
@@ -150,35 +150,54 @@ def make_mesh(n_devices: int, tp: int = 2) -> Mesh:
 
 def multichip_slam_step(mesh: Mesh, cfg: ICPConfig,
                         pgo_cfg: PGOConfig = PGOConfig(max_iterations=3)):
-    """Full multi-chip training-step analog: one sharded scan-matching
-    update for B agents feeding one pose-graph optimization.
+    """Full multi-chip training-step analog: one FULL sharded registration
+    (``parallel.sharded_icp`` — the same semantics MultiAgentSlam runs in
+    production) for B agents feeding one pose-graph optimization.
 
     Returns ``step(args) -> (T_new, overlaps, opt_poses)`` where args is
-    (reading_pts, reading_mask, ref_pts, ref_mask, T_init,
-    poses, vmask, edge_from, edge_to, edge_T, edge_cov, emask).
-    """
-    icp_step = sharded_icp_step(mesh, cfg)
-    repl = NamedSharding(mesh, P())
+    (reading_pts, reading_mask, ref_pts, ref_mask, ref_normals, T_init,
+    poses, vmask, edge_from, edge_to, edge_T, edge_cov, emask,
+    agent_edge_ids, agent_edge_mask).
 
-    def step(reading_pts, reading_mask, ref_pts, ref_mask, T_init,
-             poses, vmask, ef, et, eT, ec, emask):
-        T_new, overlaps = icp_step(reading_pts, reading_mask, ref_pts,
-                                   ref_mask, T_init)
-        # Agents' refined relative transforms become edge measurements of
-        # the shared pose graph (batched multi-agent, BASELINE config 5).
-        B = T_new.shape[0]
-        eT = eT.at[:B].set(T_new)
+    ``agent_edge_ids [B]`` names the edge slot that carries each agent's
+    refined measurement (``agent_edge_mask`` False = agent contributes no
+    edge this step), replacing r1's unconditional ``eT[:B]`` overwrite.
+    """
+    from ..cloud import Cloud
+    from .sharded_icp import make_sharded_register
+
+    register = make_sharded_register(mesh, cfg)
+    repl = NamedSharding(mesh, P())
+    E_axis = None  # edges replicated; scatter below is tiny
+
+    def step(reading_pts, reading_mask, ref_pts, ref_mask, ref_nrm, T_init,
+             poses, vmask, ef, et, eT, ec, emask,
+             agent_edge_ids, agent_edge_mask):
+        reading = Cloud(points=reading_pts, mask=reading_mask,
+                        descriptors={})
+        reference = Cloud(points=ref_pts, mask=ref_mask,
+                          descriptors={"normals": ref_nrm})
+        res = register(reading, reference, T_init)
+        T_new, overlaps = res.T, res.overlap
+        # Agents' refined relative transforms land in their assigned edge
+        # slots of the shared pose graph (batched multi-agent, BASELINE
+        # config 5); masked agents leave the graph untouched.
+        slots = jnp.where(agent_edge_mask, agent_edge_ids, eT.shape[0])
+        eT = eT.at[slots].set(res.T, mode="drop")  # OOB = masked agent
         opt, _ = optimize_pose_graph(poses, vmask, ef, et, eT, ec, emask,
                                      jnp.int32(0), config=pgo_cfg)
         return T_new, overlaps, opt
 
+    del E_axis
     return jax.jit(step,
                    in_shardings=(
                        NamedSharding(mesh, P("dp")),
                        NamedSharding(mesh, P("dp")),
                        NamedSharding(mesh, P("dp", "tp")),
                        NamedSharding(mesh, P("dp", "tp")),
+                       NamedSharding(mesh, P("dp", "tp")),
                        NamedSharding(mesh, P("dp")),
-                       repl, repl, repl, repl, repl, repl, repl),
+                       repl, repl, repl, repl, repl, repl, repl,
+                       repl, repl),
                    out_shardings=(NamedSharding(mesh, P("dp")),
                                   NamedSharding(mesh, P("dp")), repl))

@@ -89,3 +89,27 @@ def test_grid_icp_end_to_end(rng):
     result = icp(reading, ref, se3.identity(), cfg)
     err = np.asarray(se3.log(se3.inverse(result.T) @ T_true))
     assert np.linalg.norm(err) < 2e-3, err
+
+
+def test_grid_auto_cell_size(rng):
+    # cell_size=0 must adapt to the cloud's scale (advisor r1: it was a
+    # hardcoded 1.0, silently unmatching maps with larger spacing).
+    from pgslam_tpu.ops.gridknn import auto_cell_size
+    base = rng.uniform(0, 10, size=(1000, 3)).astype(np.float32)
+    small = jnp.asarray(base)
+    big = jnp.asarray(base * 40.0)   # same layout, 40x spacing
+    m = jnp.ones(1000, bool)
+    cs_small = auto_cell_size(small, m)
+    cs_big = auto_cell_size(big, m)
+    assert 35.0 < cs_big / cs_small < 45.0
+    idx = build_grid_index(big, m, cell_size=0.0, bucket_cap=16)
+    q = big[:200] + 0.5
+    g = grid_knn(q, jnp.ones(200, bool), idx, k=1)
+    b = knn_brute_force(q, jnp.ones(200, bool), big, m, k=1)
+    gd = np.asarray(g.dists2)[:, 0]
+    bd = np.asarray(b.dists2)[:, 0]
+    within = bd < float(idx.cell_size) ** 2
+    # the auto cell must cover the bulk of true-NN distances on this cloud
+    assert within.mean() > 0.95
+    np.testing.assert_array_equal(np.asarray(g.ids)[within, 0],
+                                  np.asarray(b.ids)[within, 0])

@@ -53,3 +53,52 @@ def test_pallas_nonaligned_sizes(rng):
     p = nn_pallas(jnp.asarray(q), jnp.ones(130, bool), jnp.asarray(r),
                   jnp.ones(257, bool), tile_q=64, tile_r=128)
     np.testing.assert_array_equal(np.asarray(p.ids), np.asarray(b.ids))
+
+
+def test_pallas_topk_matches_brute(rng):
+    q = rng.uniform(0, 10, (300, 3)).astype(np.float32)
+    r = rng.uniform(0, 10, (900, 3)).astype(np.float32)
+    qm = np.ones(300, bool)
+    rm = np.ones(900, bool)
+    rm[700:] = False
+    for k in (2, 3, 4):
+        b = knn_brute_force(jnp.asarray(q), jnp.asarray(qm), jnp.asarray(r),
+                            jnp.asarray(rm), k=k)
+        p = nn_pallas(jnp.asarray(q), jnp.asarray(qm), jnp.asarray(r),
+                      jnp.asarray(rm), k=k, tile_q=128, tile_r=256)
+        np.testing.assert_array_equal(np.asarray(p.ids), np.asarray(b.ids))
+        np.testing.assert_allclose(np.asarray(p.dists2),
+                                   np.asarray(b.dists2),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_topk_more_than_valid_refs(rng):
+    # k exceeds the number of valid reference points: surplus slots must
+    # report +inf / id 0.
+    q = rng.uniform(0, 5, (16, 3)).astype(np.float32)
+    r = rng.uniform(0, 5, (64, 3)).astype(np.float32)
+    rm = np.zeros(64, bool)
+    rm[:2] = True
+    p = nn_pallas(jnp.asarray(q), jnp.ones(16, bool), jnp.asarray(r),
+                  jnp.asarray(rm), k=4, tile_q=16, tile_r=64)
+    d = np.asarray(p.dists2)
+    assert np.isfinite(d[:, :2]).all()
+    assert not np.isfinite(d[:, 2:]).any()
+    # ascending order within the finite prefix
+    assert (d[:, 0] <= d[:, 1]).all()
+
+
+def test_pallas_precision_modes(rng):
+    # high/default must stay usable: identical near-NN structure on
+    # well-separated points, distances within the bf16 rounding envelope.
+    q = rng.uniform(-60, 60, (256, 3)).astype(np.float32)
+    r = np.concatenate([q + rng.normal(0, 0.05, (256, 3)).astype(np.float32),
+                        rng.uniform(-60, 60, (768, 3)).astype(np.float32)])
+    qm, rm = np.ones(256, bool), np.ones(1024, bool)
+    exact = nn_pallas(jnp.asarray(q), jnp.asarray(qm), jnp.asarray(r),
+                      jnp.asarray(rm), tile_q=128, tile_r=256)
+    hi = nn_pallas(jnp.asarray(q), jnp.asarray(qm), jnp.asarray(r),
+                   jnp.asarray(rm), tile_q=128, tile_r=256,
+                   precision="high")
+    agree = np.mean(np.asarray(hi.ids) == np.asarray(exact.ids))
+    assert agree > 0.99

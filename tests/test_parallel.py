@@ -114,3 +114,52 @@ def test_sharded_icp_ring_matches_all_gather(rng):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(ov_ring), np.asarray(ov_ag),
                                atol=1e-5)
+
+
+def test_sharded_register_matches_vmapped(rng):
+    """Full sharded registration (dp=4, tp=2) must reproduce the plain
+    vmapped icp_core results: transforms, overlap, convergence flags."""
+    from pgslam_tpu.parallel.sharded_icp import make_sharded_register
+
+    mesh = make_mesh(8, tp=2)
+    B, N, Mref = 4, 128, 512
+    cfg = ICPConfig(error="point_to_plane", max_iterations=20,
+                    outlier=(O.TrimmedDist(0.9), O.MaxDist(1.0)))
+    refs, readings = [], []
+    twists = rng.normal(size=(B, 6)).astype(np.float32) * 0.03
+    from pgslam_tpu.ops.filters import compute_normals
+    for b in range(B):
+        pts = rng.uniform(-3, 3, size=(Mref, 3)).astype(np.float32)
+        pts[:, 2] = 0.3 * np.sin(pts[:, 0]) + 0.2 * np.cos(1.3 * pts[:, 1])
+        ref = compute_normals(make_cloud(pts, capacity=Mref), knn=8)
+        refs.append(ref)
+        T = se3.exp(jnp.asarray(twists[b]))
+        # Noisy reading subset: well-separated residual distances keep the
+        # trimmed-filter boundary stable across the two paths (a noiseless
+        # subset leaves d^2 at fp32-cancellation scale, where the trim
+        # threshold is a coin flip on ties).
+        noisy = pts[:N] + rng.normal(0, 0.02, (N, 3)).astype(np.float32)
+        readings.append(make_cloud(
+            np.asarray(se3.apply(se3.inverse(T), jnp.asarray(noisy))),
+            capacity=N))
+    readings_s = stack_clouds(readings)
+    refs_s = stack_clouds(refs)
+    T0 = jnp.tile(jnp.eye(4), (B, 1, 1))
+
+    plain = batched_register(readings_s, refs_s, T0, cfg)
+    reg = make_sharded_register(mesh, cfg)
+    sharded = reg(readings_s, refs_s, T0)
+
+    assert sharded.T.shape == (B, 4, 4)
+    # Iteration schedules differ (plain vmap runs all agents until the
+    # last converges; sharded converges per device sub-batch), so compare
+    # to tight-but-not-bitwise tolerances.
+    np.testing.assert_allclose(np.asarray(sharded.T), np.asarray(plain.T),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sharded.overlap),
+                               np.asarray(plain.overlap), atol=0.02)
+    # And the registrations actually recover the ground-truth offsets.
+    for b in range(B):
+        err = np.asarray(se3.log(se3.inverse(sharded.T[b])
+                                 @ se3.exp(jnp.asarray(twists[b]))))
+        assert np.linalg.norm(err) < 3e-2, f"agent {b}: {err}"

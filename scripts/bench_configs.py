@@ -76,9 +76,13 @@ def config2_corridor():
     # warm up compiles on the first few scans
     for i in range(3):
         slam.add_data(i, "world", odom[i], T_rs, scans[i])
+    # Double-buffered ingest: scan t+1 transfers while scan t computes.
+    from pgslam_tpu.utils.prefetch import prefetch_clouds
+    cap = small_config().sensor_cloud_capacity
     t0 = time.perf_counter()
-    for i in range(3, len(scans)):
-        slam.add_data(i, "world", odom[i], T_rs, scans[i])
+    for i, cloud in enumerate(prefetch_clouds(scans[3:], capacity=cap),
+                              start=3):
+        slam.add_data(i, "world", odom[i], T_rs, cloud)
     dt = time.perf_counter() - t0
     err = float(np.linalg.norm(
         slam.localizer.T_world_robot[:3, 3] - truth[-1][:3, 3]))
@@ -109,13 +113,24 @@ def config3_loop_500():
     et = np.arange(1, V, dtype=np.int32)
     Ts = np.einsum("eij,ejk->eik", np.linalg.inv(init[ef]),
                    init[et]).astype(np.float32)
-    # Candidate search: geometric vs topological gating over all vertices.
+    # Candidate search, production path (loopcloser.py semantics): host
+    # Dijkstra + host numpy geometric gating + per-candidate filtered
+    # record-3-and-stop searches. No device round-trips (r1: the relay
+    # RTTs, not the graph work, were the 827 ms).
+    from pgslam_tpu.graph.shortest_path import candidate_composition
     w = np.linalg.norm(Ts[:, :3, 3], axis=1).astype(np.float32)
     t0 = time.perf_counter()
     topo, _ = dijkstra(V, ef, et, w, V - 1)
-    geom = np.asarray(distance(jnp.asarray(init), jnp.asarray(init[V - 1])))
+    geom = np.linalg.norm(init[:, :3, 3] - init[V - 1, :3, 3], axis=1)
     cand = np.nonzero((geom <= 5.0) & (topo > 30.0))[0]
+    cand = cand[np.argsort(geom[cand], kind="stable")]
+    vertex_ok = topo > 30.0
+    edge_ok = np.ones(len(ef), bool)
+    comps = [candidate_composition(V, ef, et, w, int(c), 3,
+                                   vertex_ok=vertex_ok, edge_ok=edge_ok)
+             for c in cand]
     t_search = time.perf_counter() - t0
+    del comps
     # Loop edge from last to the best candidate + relaxation.
     c = int(cand[np.argmin(geom[cand])]) if len(cand) else 0
     T_loop = np.linalg.inv(true[V - 1]) @ true[c]
@@ -169,10 +184,13 @@ def config4_velodyne():
     slam = PoseGraphSlam(velodyne_config())
     slam.add_data(0, "world", poses[0], np.eye(4), scans[0])
     slam.add_data(1, "world", poses[1], np.eye(4), scans[1])  # warm
+    # Double-buffer the 64k-point transfers behind the registrations.
+    from pgslam_tpu.utils.prefetch import prefetch_clouds
     t0 = time.perf_counter()
     n = 0
-    for i in range(2, len(scans)):
-        slam.add_data(i, "world", poses[i], np.eye(4), scans[i])
+    for i, cloud in enumerate(prefetch_clouds(scans[2:], capacity=65536),
+                              start=2):
+        slam.add_data(i, "world", poses[i], np.eye(4), cloud)
         n += 1
     dt = (time.perf_counter() - t0) / n
     err = float(np.linalg.norm(

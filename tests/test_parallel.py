@@ -163,3 +163,21 @@ def test_sharded_register_matches_vmapped(rng):
         err = np.asarray(se3.log(se3.inverse(sharded.T[b])
                                  @ se3.exp(jnp.asarray(twists[b]))))
         assert np.linalg.norm(err) < 3e-2, f"agent {b}: {err}"
+
+
+def test_prefetch_clouds_equivalence(rng):
+    """Double-buffered transfers must be a pure latency optimization:
+    identical Clouds, correct order, works for short iterables."""
+    from pgslam_tpu.utils.prefetch import prefetch_clouds
+
+    scans = [rng.uniform(-5, 5, (100 + 10 * i, 3)).astype(np.float32)
+             for i in range(5)]
+    direct = [make_cloud(s, capacity=256) for s in scans]
+    fetched = list(prefetch_clouds(scans, capacity=256, depth=2))
+    assert len(fetched) == 5
+    for d, f in zip(direct, fetched):
+        np.testing.assert_array_equal(np.asarray(d.points),
+                                      np.asarray(f.points))
+        np.testing.assert_array_equal(np.asarray(d.mask), np.asarray(f.mask))
+    # depth larger than the sequence
+    assert len(list(prefetch_clouds(scans[:1], capacity=256, depth=4))) == 1

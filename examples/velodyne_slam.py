@@ -51,10 +51,20 @@ def main():
     rng = np.random.default_rng(0)
 
     if src and os.path.isdir(src):
-        files = sorted(os.listdir(src))[:n_scans]
-        scans = [load_kitti_bin(os.path.join(src, f), max_points=65536)
-                 for f in files]
-        print(f"loaded {len(scans)} KITTI scans from {src}")
+        # Native async loader (C++ IO worker) when available; the numpy
+        # reader otherwise.
+        try:
+            from pgslam_tpu.native import ScanLoader
+            import itertools
+            scans = list(itertools.islice(ScanLoader(src), n_scans))
+            scans = [s[:65536] for s in scans]
+            print(f"streamed {len(scans)} KITTI scans from {src} "
+                  f"(native loader)")
+        except ImportError:
+            files = sorted(os.listdir(src))[:n_scans]
+            scans = [load_kitti_bin(os.path.join(src, f), max_points=65536)
+                     for f in files]
+            print(f"loaded {len(scans)} KITTI scans from {src}")
     else:
         scans = [velodyne_like_scan(rng, 65536) for _ in range(n_scans)]
         print(f"generated {len(scans)} synthetic 64k-pt spins")

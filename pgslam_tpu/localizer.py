@@ -96,6 +96,27 @@ def _prepare_input_batched(chain, capacity: int, clouds: Cloud,
     )(clouds, T_robot_sensors, keys)
 
 
+@functools.partial(jax.jit, static_argnames=("chain", "capacity", "cfg"))
+def _prepare_and_register(chain, capacity: int, cfg, raw: Cloud,
+                          T_robot_sensor, key, reference: Cloud, T0,
+                          index):
+    """Input pipeline + reading filters + the FULL ICP loop as ONE device
+    dispatch. On relay-attached chips each dispatch costs ~45 ms of fixed
+    overhead, so the single-agent hot path (`process_data`) fuses
+    everything between raw scan and ICP result; the split
+    `prepare_scan`/`icp_core` pieces remain for the multi-agent batcher,
+    which interleaves host work between them."""
+    from .ops.icp import icp_core
+
+    cloud = _prepare_input_impl(chain, capacity, raw, T_robot_sensor, key)
+    reading = cloud
+    if cfg.reading_filters:
+        reading = F.apply_chain(cfg.reading_filters, reading,
+                                jax.random.PRNGKey(0))
+    result = icp_core(reading, reference, T0, cfg, index)
+    return cloud, result
+
+
 def _orthonormalize(T: np.ndarray) -> np.ndarray:
     """Project the rotation block back onto SO(3) (host-side, cheap).
 
@@ -195,15 +216,33 @@ class Localizer:
     def process_data(self, input_T_world_robot: np.ndarray,
                      input_T_robot_sensor: np.ndarray,
                      input_cloud: Cloud) -> None:
-        prep = self.prepare_scan(input_T_world_robot, input_T_robot_sensor,
-                                 input_cloud)
-        if prep is None:
+        if not self.local_map.has_cloud():
+            # First cloud: prepare_scan bootstraps the map and returns None.
+            assert self.prepare_scan(input_T_world_robot,
+                                     input_T_robot_sensor,
+                                     input_cloud) is None
             return
-        reading, input_T_refkf_robot = prep
-        # Scan-to-map ICP (Localizer.hpp:126).
-        result = icp_core(reading, self.icp_engine.reference,
-                          jnp.asarray(input_T_refkf_robot),
-                          self.icp_engine.config, self.icp_engine._index)
+        # Hot path: same bookkeeping as prepare_scan, but input pipeline +
+        # reading filters + ICP fuse into ONE dispatch (the dispatch
+        # overhead, not the compute, bounds single-stream scan rate on a
+        # relay-attached chip).
+        log.info("[Localizer] Processing cloud #%d", self.count)
+        from .utils import counters
+        counters["localizer/scans"] += 1
+        key = jax.random.PRNGKey(self.count)
+        self.count += 1
+        input_dT_robot = (
+            np.linalg.inv(np.asarray(self.last_input_T_world_robot,
+                                     np.float64))
+            @ np.asarray(input_T_world_robot, np.float64)).astype(np.float32)
+        input_T_refkf_robot = self.T_refkf_robot @ input_dT_robot
+        cloud, result = _prepare_and_register(
+            self.config.input_filters, self.config.keyframe_cloud_capacity,
+            self.icp_engine.config, input_cloud,
+            jnp.asarray(input_T_robot_sensor, jnp.float32), key,
+            self.icp_engine.reference, jnp.asarray(input_T_refkf_robot),
+            self.icp_engine._index)
+        self.input_cloud = cloud
         self.finish_scan(result, input_T_world_robot)
 
     def prepare_scan(self, input_T_world_robot, input_T_robot_sensor,

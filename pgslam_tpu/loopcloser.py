@@ -27,7 +27,7 @@ from .cloud import Cloud
 from .graph.pose_graph import LOOP_CONSTRAINT, MapManager
 from .graph.shortest_path import candidate_composition, dijkstra
 from .localmap import Composition, LocalMap
-from .metrics import distance
+
 from .ops.icp import ICPConfig, ICPEngine, ICPResult, compute_residual
 
 log = logging.getLogger("pgslam_tpu.loopcloser")

@@ -1,10 +1,13 @@
 """Native (C++) runtime components, loaded via ctypes.
 
 ``graph_core.cpp`` provides the pose-graph shortest-path engine (the role
-Boost.Graph plays in the reference). The library is compiled on first
-import with the system toolchain; if compilation fails (no compiler in a
-restricted environment), everything degrades gracefully to the pure-Python
-implementations in :mod:`pgslam_tpu.graph.shortest_path`.
+Boost.Graph plays in the reference); ``scan_loader.cpp`` is the async
+scan-stream IO worker (threaded KITTI ``.bin`` reader with prefetch). The
+library is compiled on first import with the system toolchain; if
+compilation fails (no compiler in a restricted environment), everything
+degrades gracefully to the pure-Python implementations
+(:mod:`pgslam_tpu.graph.shortest_path`,
+:func:`pgslam_tpu.datasets.load_kitti_bin`).
 """
 
 from __future__ import annotations
@@ -17,7 +20,8 @@ from typing import Optional
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "graph_core.cpp")
+_SRCS = [os.path.join(_DIR, "graph_core.cpp"),
+         os.path.join(_DIR, "scan_loader.cpp")]
 _LIB = os.path.join(_DIR, "libpgslam_graph.so")
 
 _lib = None
@@ -26,8 +30,8 @@ _lib = None
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC,
-             "-o", _LIB],
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
+             *_SRCS, "-o", _LIB],
             check=True, capture_output=True, timeout=120)
         return True
     except Exception:
@@ -39,7 +43,8 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None:
         return _lib
     if (not os.path.exists(_LIB)
-            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            or any(os.path.getmtime(_LIB) < os.path.getmtime(s)
+                   for s in _SRCS)):
         if not _build():
             return None
     try:
@@ -48,7 +53,6 @@ def _load() -> Optional[ctypes.CDLL]:
         return None
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     lib.pg_dijkstra.restype = ctypes.c_int
     lib.pg_dijkstra.argtypes = [
         ctypes.c_int, ctypes.c_int, i32p, i32p, f32p, ctypes.c_int,
@@ -56,6 +60,17 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.pg_components.restype = ctypes.c_int
     lib.pg_components.argtypes = [ctypes.c_int, ctypes.c_int, i32p, i32p,
                                   i32p]
+    lib.sl_open.restype = ctypes.c_int
+    lib.sl_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+    lib.sl_count.restype = ctypes.c_int
+    lib.sl_count.argtypes = [ctypes.c_int]
+    lib.sl_max_points.restype = ctypes.c_long
+    lib.sl_max_points.argtypes = [ctypes.c_int]
+    lib.sl_next.restype = ctypes.c_long
+    lib.sl_next.argtypes = [ctypes.c_int, f32p, ctypes.c_void_p,
+                            ctypes.c_long]
+    lib.sl_close.restype = None
+    lib.sl_close.argtypes = [ctypes.c_int]
     _lib = lib
     return lib
 
@@ -104,3 +119,60 @@ def native_components(n_vertices: int, edge_from, edge_to):
     labels = np.empty(n_vertices, np.int32)
     n = lib.pg_components(n_vertices, len(ef), ef, et, labels)
     return n, labels
+
+
+class ScanLoader:
+    """Async scan stream over a directory of KITTI ``.bin`` files, backed
+    by the native IO worker (a background thread reads and parses ahead of
+    the consumer). Iterate to get ``[N, 3]`` float32 arrays in filename
+    order; combine with :func:`pgslam_tpu.utils.prefetch.prefetch_clouds`
+    for disk -> host -> device triple overlap.
+    """
+
+    def __init__(self, directory: str, ext: str = ".bin",
+                 prefetch_depth: int = 2, with_reflectance: bool = False):
+        lib = _load()
+        if lib is None:
+            raise ImportError("native scan loader unavailable")
+        self._lib = lib
+        self._h = lib.sl_open(directory.encode(), ext.encode(),
+                              int(prefetch_depth))
+        if self._h < 0:
+            raise FileNotFoundError(
+                f"no '{ext}' scans under {directory!r}")
+        self._cap = int(lib.sl_max_points(self._h))
+        self._with_refl = with_reflectance
+
+    def __len__(self) -> int:
+        return int(self._lib.sl_count(self._h))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._h < 0:
+            raise StopIteration
+        xyz = np.empty((self._cap, 3), np.float32)
+        refl = np.empty(self._cap, np.float32) if self._with_refl else None
+        refl_ptr = (refl.ctypes.data_as(ctypes.c_void_p)
+                    if refl is not None else None)
+        n = self._lib.sl_next(self._h, xyz, refl_ptr, self._cap)
+        if n <= 0:
+            self.close()
+            raise StopIteration
+        pts = np.ascontiguousarray(xyz[:n])
+        if self._with_refl:
+            return pts, np.ascontiguousarray(refl[:n])
+        return pts
+
+    def close(self) -> None:
+        if self._h >= 0:
+            self._lib.sl_close(self._h)
+            self._h = -1
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False

@@ -1,0 +1,191 @@
+// Native asynchronous scan loader: the IO worker of the runtime.
+//
+// Streams KITTI-format velodyne .bin files (float32 x,y,z,reflectance
+// records) from a directory with a background prefetch thread, so disk IO
+// and float parsing overlap host orchestration and device compute — the
+// data-loader role the reference delegates to application code around
+// libpointmatcher's DataPoints IO.
+//
+// C ABI (ctypes-friendly):
+//   sl_open(dir, pattern_ext, prefetch_depth) -> handle (>=0) or -1
+//   sl_count(handle)                          -> number of scans found
+//   sl_max_points(handle)                     -> upper bound on points/scan
+//   sl_next(handle, out_xyz, out_refl, cap)   -> n points, 0 = end, -1 err
+//   sl_close(handle)
+//
+// Scans are served in lexicographic filename order (KITTI convention).
+
+#include <atomic>
+#include <algorithm>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <dirent.h>
+#include <mutex>
+#include <string>
+#include <sys/stat.h>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Scan {
+  std::vector<float> xyz;   // 3 * n
+  std::vector<float> refl;  // n
+};
+
+struct Loader {
+  std::vector<std::string> files;
+  size_t next_file = 0;       // producer cursor
+  size_t consumed = 0;        // scans handed to the caller
+  size_t max_points = 0;
+  size_t depth;
+
+  std::deque<Scan> queue;     // produced, not yet consumed
+  std::mutex mu;
+  std::condition_variable cv_produced, cv_consumed;
+  std::atomic<bool> stop{false};
+  std::thread worker;
+
+  ~Loader() {
+    stop.store(true);
+    cv_consumed.notify_all();
+    if (worker.joinable()) worker.join();
+  }
+};
+
+std::mutex g_mu;
+std::vector<Loader*> g_loaders;
+
+bool read_bin(const std::string& path, Scan* out) {
+  FILE* f = std::fopen(path.c_str(), "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  long bytes = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  size_t n = static_cast<size_t>(bytes) / (4 * sizeof(float));
+  std::vector<float> raw(n * 4);
+  size_t got = std::fread(raw.data(), sizeof(float), n * 4, f);
+  std::fclose(f);
+  if (got != n * 4) return false;
+  out->xyz.resize(n * 3);
+  out->refl.resize(n);
+  for (size_t i = 0; i < n; ++i) {
+    out->xyz[3 * i + 0] = raw[4 * i + 0];
+    out->xyz[3 * i + 1] = raw[4 * i + 1];
+    out->xyz[3 * i + 2] = raw[4 * i + 2];
+    out->refl[i] = raw[4 * i + 3];
+  }
+  return true;
+}
+
+void produce(Loader* L) {
+  while (!L->stop.load()) {
+    size_t idx;
+    {
+      std::unique_lock<std::mutex> lk(L->mu);
+      L->cv_consumed.wait(lk, [L] {
+        return L->stop.load() || L->queue.size() < L->depth;
+      });
+      if (L->stop.load() || L->next_file >= L->files.size()) return;
+      idx = L->next_file++;
+    }
+    Scan s;
+    bool ok = read_bin(L->files[idx], &s);
+    {
+      std::unique_lock<std::mutex> lk(L->mu);
+      if (!ok) s = Scan{};  // empty scan marks a read failure
+      L->queue.push_back(std::move(s));
+    }
+    L->cv_produced.notify_one();
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int sl_open(const char* dir, const char* ext, int prefetch_depth) {
+  DIR* d = opendir(dir);
+  if (!d) return -1;
+  std::vector<std::string> files;
+  std::string suffix = ext && ext[0] ? ext : ".bin";
+  for (dirent* e = readdir(d); e; e = readdir(d)) {
+    std::string name = e->d_name;
+    if (name.size() > suffix.size() &&
+        name.compare(name.size() - suffix.size(), suffix.size(), suffix)
+            == 0) {
+      files.push_back(std::string(dir) + "/" + name);
+    }
+  }
+  closedir(d);
+  std::sort(files.begin(), files.end());
+  if (files.empty()) return -1;
+
+  auto* L = new Loader();
+  L->files = std::move(files);
+  L->depth = prefetch_depth > 0 ? static_cast<size_t>(prefetch_depth) : 2;
+  size_t max_bytes = 0;
+  for (const auto& f : L->files) {
+    struct stat st;
+    if (stat(f.c_str(), &st) == 0)
+      max_bytes = std::max(max_bytes, static_cast<size_t>(st.st_size));
+  }
+  L->max_points = max_bytes / (4 * sizeof(float));
+  L->worker = std::thread(produce, L);
+
+  std::lock_guard<std::mutex> lk(g_mu);
+  g_loaders.push_back(L);
+  return static_cast<int>(g_loaders.size()) - 1;
+}
+
+static Loader* get(int h) {
+  std::lock_guard<std::mutex> lk(g_mu);
+  if (h < 0 || h >= static_cast<int>(g_loaders.size())) return nullptr;
+  return g_loaders[h];
+}
+
+int sl_count(int h) {
+  Loader* L = get(h);
+  return L ? static_cast<int>(L->files.size()) : -1;
+}
+
+long sl_max_points(int h) {
+  Loader* L = get(h);
+  return L ? static_cast<long>(L->max_points) : -1;
+}
+
+long sl_next(int h, float* out_xyz, float* out_refl, long cap) {
+  Loader* L = get(h);
+  if (!L) return -1;
+  Scan s;
+  {
+    std::unique_lock<std::mutex> lk(L->mu);
+    if (L->consumed >= L->files.size()) return 0;  // true end of stream
+    // A claimed-but-unread scan may still be in flight: wait on produced.
+    L->cv_produced.wait(lk, [L] { return !L->queue.empty(); });
+    s = std::move(L->queue.front());
+    L->queue.pop_front();
+    L->consumed++;
+  }
+  L->cv_consumed.notify_one();
+  long n = static_cast<long>(s.refl.size());
+  if (n > cap) n = cap;
+  std::memcpy(out_xyz, s.xyz.data(), static_cast<size_t>(n) * 3
+              * sizeof(float));
+  if (out_refl)
+    std::memcpy(out_refl, s.refl.data(), static_cast<size_t>(n)
+                * sizeof(float));
+  return n;
+}
+
+void sl_close(int h) {
+  std::lock_guard<std::mutex> lk(g_mu);
+  if (h < 0 || h >= static_cast<int>(g_loaders.size())) return;
+  delete g_loaders[h];
+  g_loaders[h] = nullptr;
+}
+
+}  // extern "C"

@@ -103,3 +103,38 @@ def test_dispatch_uses_native(rng):
     d2, s2 = native_dijkstra(n, ef, et, w, 0)
     np.testing.assert_allclose(d1, d2)
     assert list(s1) == list(s2)
+
+
+def test_native_scan_loader(tmp_path):
+    """The C++ async scan loader streams KITTI .bin files in order and
+    matches the numpy reader bit-for-bit."""
+    pytest.importorskip("numpy")
+    from pgslam_tpu.datasets import load_kitti_bin, save_kitti_bin
+    from pgslam_tpu.native import ScanLoader, native_available
+    if not native_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(0)
+    scans = []
+    for i in range(5):
+        pts = rng.uniform(-40, 40, (500 + 100 * i, 3)).astype(np.float32)
+        refl = rng.uniform(0, 1, len(pts)).astype(np.float32)
+        save_kitti_bin(str(tmp_path / f"{i:06d}.bin"), pts, refl)
+        scans.append((pts, refl))
+    with ScanLoader(str(tmp_path), with_reflectance=True) as loader:
+        assert len(loader) == 5
+        out = list(loader)
+    assert len(out) == 5
+    for (pts, refl), (lp, lr) in zip(scans, out):
+        np.testing.assert_array_equal(lp, pts)
+        np.testing.assert_array_equal(lr, refl)
+    # and the plain numpy reader agrees with the native one
+    np.testing.assert_array_equal(
+        out[0][0], load_kitti_bin(str(tmp_path / "000000.bin")))
+
+
+def test_native_scan_loader_missing_dir(tmp_path):
+    from pgslam_tpu.native import ScanLoader, native_available
+    if not native_available():
+        pytest.skip("no native toolchain")
+    with pytest.raises(FileNotFoundError):
+        ScanLoader(str(tmp_path / "nope"))

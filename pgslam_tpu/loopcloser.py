@@ -123,10 +123,17 @@ class LoopCloser:
         readings += [readings[0]] * pad
         refs += [refs[0]] * pad
         T0s += [T0s[0]] * pad
+        stacked_readings = stack_clouds(readings)
+        stacked_refs = stack_clouds(refs)
         results = jax.device_get(jax.vmap(
             lambda r, m, t: icp_core(r, m, t, cfg))(
-                stack_clouds(readings), stack_clouds(refs),
+                stacked_readings, stacked_refs,
                 jnp.stack([jnp.asarray(t) for t in T0s])))
+        # Residual recompute (LoopCloser.hpp:343-365) for the whole batch
+        # in ONE dispatch instead of one per surviving closure.
+        residuals = np.asarray(jax.vmap(
+            lambda r, m, t: compute_residual(r, m, t, cfg))(
+                stacked_readings, stacked_refs, jnp.asarray(results.T)))
 
         for i, ((v, comp), lm) in enumerate(zip(reqs, lms)):
             result = jax.tree_util.tree_map(lambda x: x[i], results)
@@ -138,7 +145,7 @@ class LoopCloser:
             self.T_refkf_kf = np.asarray(result.T)
             self.last_result = result
             from .utils import counters
-            if self.check_icp_result(result):
+            if self.check_icp_result(result, residual=float(residuals[i])):
                 counters["loopcloser/accepted"] += 1
                 log.info("[LoopCloser] Loop closure accepted: %d -> %d",
                          lm.reference_vertex(), v)
@@ -256,15 +263,17 @@ class LoopCloser:
 
     # -- acceptance checks (LoopCloser.hpp:308-365) ------------------------
 
-    def check_icp_result(self, result: ICPResult) -> bool:
+    def check_icp_result(self, result: ICPResult,
+                         residual: Optional[float] = None) -> bool:
         if result.diverged is not None and bool(result.diverged):
             return False  # bound checker fired (see ICPConfig)
         if bool(result.max_iter_reached):        # :317
             return False
         if float(result.overlap) < self.config.overlap_threshold:  # :331
             return False
-        if self.compute_residual_error() > \
-                self.config.residual_error_threshold:              # :335
+        if residual is None:  # batched path precomputes the whole fleet's
+            residual = self.compute_residual_error()
+        if residual > self.config.residual_error_threshold:        # :335
             return False
         return True
 

@@ -29,6 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from .knn import INF, Matches
@@ -95,7 +96,6 @@ def auto_cell_size(points, mask) -> float:
     occupancy (~9 points per surface cell) stays near the default bucket
     capacity. For a guaranteed match radius pass ``cell_size`` explicitly
     (the contract is "exact NN within cell_size, else unmatched")."""
-    import numpy as np
     p = np.asarray(points)[np.asarray(mask)]
     if len(p) < 2:
         return 1.0
@@ -126,10 +126,11 @@ def build_grid_index(points: jax.Array, mask: jax.Array, *,
                      overflow_count=overflow)
 
 
-# 27-neighborhood offsets, precomputed [27, 3].
-_OFFSETS = jnp.asarray(
+# 27-neighborhood offsets, [27, 3]. Kept as numpy so importing the module
+# never initializes a JAX backend (see ops/knn.py INF note).
+_OFFSETS = np.asarray(
     [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-     for dz in (-1, 0, 1)], jnp.int32)
+     for dz in (-1, 0, 1)], np.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -26,10 +26,14 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
-INF = jnp.float32(jnp.inf)
+# Host-side constant: module import must NOT touch the JAX backend (a
+# device constant here would block `import pgslam_tpu` whenever the
+# relay-attached chip is unavailable).
+INF = np.float32(np.inf)
 
 
 @struct.dataclass

@@ -66,4 +66,16 @@ def __getattr__(name):
     if name in ("save_checkpoint", "load_checkpoint"):
         from . import io
         return getattr(io, name)
+    if name == "make_sharded_register":
+        from .parallel.sharded_icp import make_sharded_register
+        return make_sharded_register
+    if name in ("prefetch_clouds", "prefetch_batches"):
+        from .utils import prefetch
+        return getattr(prefetch, name)
+    if name == "ScanLoader":
+        from .native import ScanLoader
+        return ScanLoader
+    if name in ("load_kitti_bin", "save_kitti_bin", "harsh_velodyne_pair"):
+        from . import datasets
+        return getattr(datasets, name)
     raise AttributeError(f"module 'pgslam_tpu' has no attribute {name!r}")

@@ -145,11 +145,23 @@ class LoopCloser:
             self.T_refkf_kf = np.asarray(result.T)
             self.last_result = result
             from .utils import counters
-            if self.check_icp_result(result, residual=float(residuals[i])):
+            ref_v = lm.reference_vertex()
+            if self.mm.get_graph().has_edge(ref_v, v) \
+                    or self.mm.get_graph().has_edge(v, ref_v):
+                # Batched race: candidate searches for the whole batch ran
+                # before any insertion, so two vertices can each pick the
+                # other (the ST ordering would have re-searched after the
+                # first insert and gated the reverse pair out by its new
+                # small topological distance). One closure per pair.
+                counters["loopcloser/rejected_duplicate"] += 1
+                log.info("[LoopCloser] Loop closure %d -> %d dropped: "
+                         "edge already exists", ref_v, v)
+            elif self.check_icp_result(result,
+                                       residual=float(residuals[i])):
                 counters["loopcloser/accepted"] += 1
                 log.info("[LoopCloser] Loop closure accepted: %d -> %d",
-                         lm.reference_vertex(), v)
-                self.optimizer.add_new_data(lm.reference_vertex(), v,
+                         ref_v, v)
+                self.optimizer.add_new_data(ref_v, v,
                                             self.T_refkf_kf,
                                             np.asarray(result.cov))
             else:

@@ -107,8 +107,12 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
     edge_from = jnp.clip(edge_from, 0, V - 1)
     edge_to = jnp.clip(edge_to, 0, V - 1)
 
+    # "auto": incidence matmuls pay off where scatters serialize (TPU);
+    # on CPU segment_sum is cheaper than the dense [V, E] products.
     use_incidence = (config.assembly == "incidence"
-                     or (config.assembly == "auto" and V * E <= (1 << 24)))
+                     or (config.assembly == "auto"
+                         and jax.default_backend() != "cpu"
+                         and V * E <= (1 << 24)))
     if use_incidence:
         # One-hot incidence matrices: gather x[edge_from] == Sf @ x and
         # segment_sum(y, edge_from) == Sf.T @ y — both MXU matmuls. On

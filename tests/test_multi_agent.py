@@ -82,3 +82,30 @@ def test_multi_agent_on_tp_mesh():
         assert dev < 0.05, f"agent {b} mesh-vs-plain deviation {dev}"
     g = slam.get_graph()
     assert g.n_vertices == slam_ref.get_graph().n_vertices
+
+
+def test_batched_reciprocal_loop_closures_dont_crash():
+    """Two vertices in one verification batch can each pick the other as
+    candidate (searches run before either insert); the second, reverse
+    closure must be dropped, not raise a duplicate-edge error."""
+    rng = np.random.default_rng(7)
+    scans, odom, truth = corridor_sequence(
+        rng, n_scans=40, scan_points=512, step=0.25, noise=0.003,
+        odom_noise=0.005, length=60.0)
+    B = 16
+    slam = MultiAgentSlam(small_config(), n_agents=B)
+    T_rs = np.eye(4, dtype=np.float32)
+    for i in range(30):
+        Ts = np.stack([odom[i + b % 3] for b in range(B)])
+        clouds = [scans[i + b % 3] for b in range(B)]
+        slam.add_data_batch(i, "world", Ts, T_rs, clouds)
+    g = slam.get_graph()
+    # No duplicate (u, v)/(v, u) pairs survived.
+    pairs = set()
+    for e in range(g.n_edges):
+        key = (min(g.edge_from[e], g.edge_to[e]),
+               max(g.edge_from[e], g.edge_to[e]))
+        assert key not in pairs, f"duplicate edge {key}"
+        pairs.add(key)
+    from pgslam_tpu.utils import counters
+    assert counters["loopcloser/rejected_duplicate"] >= 1

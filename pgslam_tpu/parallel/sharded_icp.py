@@ -82,17 +82,33 @@ def make_sharded_register(mesh: Mesh, cfg: ICPConfig):
         my = jax.lax.axis_index("tp")
         dtype = r_pts.dtype
 
+        use_pallas = (cfg.matcher == "pallas"
+                      and jax.default_backend() != "cpu")
+
         def local_match(q, qm, fp, fm):
             mt = knn_brute_force(q, qm, fp, fm, k=k,
                                  tile_ref=min(cfg.tile_ref, m_local))
             cand_p = fp[mt.ids]                              # [N, k, 3]
             return mt.dists2, mt.ids, cand_p
 
+        def match_local_batch(pts):
+            if use_pallas:
+                # Per-agent fused kernel calls (b is static and small);
+                # semantics identical to the brute path.
+                from ..ops.knn_pallas import nn_pallas
+                outs = [nn_pallas(pts[i], r_mask[i], f_pts[i], f_mask[i],
+                                  k=k, precision=cfg.pallas_precision)
+                        for i in range(b)]
+                d2 = jnp.stack([o.dists2 for o in outs])
+                ids = jnp.stack([o.ids for o in outs])
+                cand_p = jax.vmap(lambda fp, i: fp[i])(f_pts, ids)
+                return d2, ids, cand_p
+            return jax.vmap(local_match)(pts, r_mask, f_pts, f_mask)
+
         def mg(pts):
             """Match pts [b,N,3] globally; return (weights, d2, ref_pts,
             ref_nrm) each [b,N,k(,3)] — identical on every tp peer."""
-            d2, ids, cand_p = jax.vmap(local_match)(pts, r_mask,
-                                                    f_pts, f_mask)
+            d2, ids, cand_p = match_local_batch(pts)
             cand_n = (jax.vmap(lambda fn, i: fn[i])(f_nrm, ids)
                       if p2plane else jnp.zeros_like(cand_p))
             gids = ids + my * m_local

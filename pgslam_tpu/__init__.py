@@ -66,6 +66,9 @@ def __getattr__(name):
     if name in ("save_checkpoint", "load_checkpoint"):
         from . import io
         return getattr(io, name)
+    if name in ("ate_rmse", "rpe", "align_umeyama"):
+        from . import eval as _eval
+        return getattr(_eval, name)
     if name == "make_sharded_register":
         from .parallel.sharded_icp import make_sharded_register
         return make_sharded_register

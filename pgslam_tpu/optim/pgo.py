@@ -56,6 +56,17 @@ class PGOConfig:
     # (cheaper on CPU and for very large graphs), "auto" picks incidence
     # while the two incidence matrices fit comfortably in HBM.
     assembly: str = "auto"
+    # Robust kernel on edge residuals (beyond the reference, which uses
+    # plain Gaussian noise models), applied as IRLS weights on each
+    # edge's information. "huber" bounds an outlier's influence (linear
+    # tail — good for moderately heavy tails); "cauchy" and "gm"
+    # (Geman-McClure) are redescending — a grossly wrong loop closure's
+    # influence decays toward zero instead of pulling linearly forever,
+    # which is what survives aliased scan matches. "none" reproduces the
+    # reference exactly. delta is the inlier scale in whitened-residual
+    # units (||e||_Omega).
+    robust: str = "none"
+    robust_delta: float = 1.0
 
 
 def _ad(xi: jax.Array) -> jax.Array:
@@ -88,6 +99,11 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
                         edge_cov: jax.Array,     # [E, 6, 6] PM order
                         emask: jax.Array,        # [E] valid edges
                         fixed_id: jax.Array,     # scalar int32 anchor
+                        robust_emask: jax.Array | None = None,  # [E] where
+                        # the robust kernel applies (None = every edge);
+                        # production systems robustify loop closures only —
+                        # odometry is trusted, so its quadratic cost must
+                        # not saturate
                         config: PGOConfig = PGOConfig()):
     """Run LM on the pose graph; returns (optimized_poses, stats dict).
 
@@ -150,14 +166,35 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
         M = se3.inverse(Xf) @ Xt
         return se3.log(Tinv_meas @ M), M
 
+    def robust_weight(e):
+        """IRLS weight per edge for the configured robust kernel."""
+        if config.robust == "none":
+            return None
+        chi2 = jnp.einsum("ei,eij,ej->e", e, info, e)
+        r = jnp.sqrt(jnp.maximum(chi2, 1e-30))
+        d = config.robust_delta
+        if config.robust == "huber":
+            w = jnp.minimum(1.0, d / r)
+        elif config.robust == "cauchy":
+            w = 1.0 / (1.0 + chi2 / (d * d))
+        elif config.robust == "gm":
+            w = (d * d / (d * d + chi2)) ** 2
+        else:
+            raise ValueError(f"unknown robust kernel {config.robust!r}")
+        if robust_emask is not None:
+            w = jnp.where(robust_emask, w, 1.0)
+        return w
+
     def build_system(cur):
         """Residuals + per-edge H blocks + gradient b (as [V, 6])."""
         e, M = edge_residuals(cur)
+        rw = robust_weight(e)
+        info_e = info if rw is None else info * rw[:, None, None]
         Jri = _jr_inv(e)
         Jt = Jri                                     # [E, 6, 6]
         Jf = -Jri @ se3.adjoint(se3.inverse(M))      # -Jr^-1 Ad(Xt^-1 Xf)
-        JtT_O = jnp.swapaxes(Jt, -1, -2) @ info
-        JfT_O = jnp.swapaxes(Jf, -1, -2) @ info
+        JtT_O = jnp.swapaxes(Jt, -1, -2) @ info_e
+        JfT_O = jnp.swapaxes(Jf, -1, -2) @ info_e
         H_tt = JtT_O @ Jt
         H_ff = JfT_O @ Jf
         H_ft = JfT_O @ Jt
@@ -268,6 +305,19 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
     def cost_fn(cur):
         e, _ = edge_residuals(cur)
         c = jnp.einsum("ei,eij,ej->e", e, info, e)
+        d = config.robust_delta
+        # rho(chi2) consistent with the IRLS weights so LM accept/reject
+        # sees the same objective the steps descend.
+        if config.robust != "none":
+            if config.robust == "huber":
+                r = jnp.sqrt(jnp.maximum(c, 1e-30))
+                rho = jnp.where(r <= d, c, 2.0 * d * r - d * d)
+            elif config.robust == "cauchy":
+                rho = d * d * jnp.log1p(c / (d * d))
+            elif config.robust == "gm":
+                rho = d * d * c / (d * d + c)
+            c = rho if robust_emask is None else jnp.where(robust_emask,
+                                                           rho, c)
         cost = jnp.sum(jnp.where(emask, c, 0.0))
         rp = se3.log(prior_Tinv @ cur[fixed_id])
         return cost + prior_info * jnp.sum(rp * rp)

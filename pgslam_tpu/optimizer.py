@@ -80,12 +80,12 @@ class Optimizer:
     def process_data(self) -> None:
         log.info("[Optimizer] Building factor graph with %d new loop "
                  "closing factors", len(self.data_buffer))
-        poses, vmask, ef, et, eT, ec, emask, fixed = \
+        poses, vmask, ef, et, eT, ec, emask, fixed, rmask = \
             self.prepare_for_optimization()
         log.info("[Optimizer] Optimizing using the factor graph")
         new_poses, stats = optimize_pose_graph(
             poses, vmask, ef, et, eT, ec, emask, fixed,
-            config=self.config.pgo)
+            robust_emask=rmask, config=self.config.pgo)
         self.last_stats = {k: float(np.asarray(v)) for k, v in stats.items()}
         log.info("[Optimizer] Updating graph poses and adding loop closing "
                  "edges (cost %.3e -> %.3e in %d iters)",
@@ -127,9 +127,19 @@ class Optimizer:
             emask[ne + k] = True
 
         fixed = jnp.int32(self.mm.get_fixed_vertex())    # prior :124-130
+        # Robust kernels (when enabled) apply to loop-closure edges only
+        # (existing loop edges + the pending batch); odometry keeps its
+        # quadratic cost.
+        rmask = None
+        if self.config.pgo.robust != "none":
+            from .graph.pose_graph import LOOP_CONSTRAINT
+            rm = np.zeros(E, bool)
+            rm[:ne] = g.edge_type[:ne] == LOOP_CONSTRAINT
+            rm[ne:ne + n_pending] = True
+            rmask = jnp.asarray(rm)
         return (jnp.asarray(poses), jnp.asarray(vmask), jnp.asarray(ef),
                 jnp.asarray(et), jnp.asarray(eT), jnp.asarray(ec),
-                jnp.asarray(emask), fixed)
+                jnp.asarray(emask), fixed, rmask)
 
     # -- writeback (Optimizer.hpp:135-157) ---------------------------------
 

@@ -116,7 +116,7 @@ def bench_icp_64k():
                                F.Compact(8192),
                                F.SurfaceNormal(knn=8, tile_query=4096)),
             outlier=(O.TrimmedDist(0.9), O.MaxDist(1.0)),
-            anderson_m=3,
+            anderson_m=3, coarse_div=8, coarse_iterations=8,
             max_iterations=10, trans_eps=1e-4, rot_eps=1e-4)
         engine_b = ICPEngine(cfg_b)
         engine_b.set_map(make_cloud(pts, capacity=65536))

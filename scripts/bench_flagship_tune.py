@@ -29,7 +29,8 @@ offset = se3.exp(jnp.asarray([0.3, -0.2, 0.05, 0.01, -0.01, 0.02],
 reading_pts = np.asarray(se3.apply(se3.inverse(offset), jnp.asarray(pts)))
 
 
-def make_cfg(n_read, n_ref, prec, aa=3, iters=10):
+def make_cfg(n_read, n_ref, prec, aa=3, iters=10, c2f=True):
+    extra = dict(coarse_div=8, coarse_iterations=8) if c2f else {}
     return ICPConfig(
         error="point_to_plane", matcher="pallas", pallas_precision=prec,
         reading_filters=(F.VoxelGrid(voxel_size=0.4, hash_size=1 << 17),
@@ -39,7 +40,7 @@ def make_cfg(n_read, n_ref, prec, aa=3, iters=10):
                            F.SurfaceNormal(knn=8, tile_query=4096)),
         outlier=(O.TrimmedDist(0.9), O.MaxDist(1.0)),
         anderson_m=aa,
-        max_iterations=iters, trans_eps=1e-4, rot_eps=1e-4)
+        max_iterations=iters, trans_eps=1e-4, rot_eps=1e-4, **extra)
 
 
 def run_point(B, n_read, n_ref, prec):

@@ -251,10 +251,15 @@ def main(total_budget_s: float = 560.0):
             break
         if attempt:
             time.sleep(5)  # brief backoff before re-claiming the chip
+        # Cap the first attempt so a wedged TPU claim (SIGALRM does not
+        # interrupt a hang inside the claim's native code) still leaves
+        # the second attempt a real time budget.
+        cap = 300.0 if attempt == 0 else remaining - 20
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, stdout=subprocess.PIPE, timeout=remaining - 20)
+                env=env, stdout=subprocess.PIPE,
+                timeout=min(cap, remaining - 20))
         except subprocess.TimeoutExpired:
             errors.append(f"attempt{attempt}_timeout")
             continue

@@ -90,12 +90,12 @@ def test_batched_reciprocal_loop_closures_dont_crash():
     closure must be dropped, not raise a duplicate-edge error."""
     rng = np.random.default_rng(7)
     scans, odom, truth = corridor_sequence(
-        rng, n_scans=40, scan_points=512, step=0.25, noise=0.003,
+        rng, n_scans=32, scan_points=512, step=0.25, noise=0.003,
         odom_noise=0.005, length=60.0)
     B = 16
     slam = MultiAgentSlam(small_config(), n_agents=B)
     T_rs = np.eye(4, dtype=np.float32)
-    for i in range(30):
+    for i in range(28):
         Ts = np.stack([odom[i + b % 3] for b in range(B)])
         clouds = [scans[i + b % 3] for b in range(B)]
         slam.add_data_batch(i, "world", Ts, T_rs, clouds)

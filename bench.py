@@ -96,12 +96,13 @@ def bench_icp_64k():
     # Batched multi-agent throughput. Registration is a
     # latency-insensitive throughput workload in production mapping; the
     # batch axis is the deployment unit and is what shards across a v5e
-    # mesh. Tuned profile: B=64 amortizes the per-dispatch overhead;
-    # 2k reading x 8k reference working set (pose estimation saturates
-    # well below that correspondence count — the full-density map still
-    # backs the localizer); Anderson acceleration cuts the iteration
-    # count; 3-pass MXU cross-term (~f32-accurate) doubles matcher
-    # throughput over the bit-exact 6-pass mode.
+    # mesh. Tuned profile (chip-measured r2): B=128 amortizes the
+    # per-dispatch overhead; 1k reading x 8k reference working set (pose
+    # estimation saturates well below that correspondence count — the
+    # full-density map still backs the localizer); Anderson acceleration
+    # + coarse-to-fine cut iterations to ~4; the packed hi/lo bf16
+    # cross-term ("high") runs the matcher in ONE MXU pass at ~f32
+    # accuracy (6x the bit-exact mode's matmul rate).
     batched_rate = 0.0
     try:
         from pgslam_tpu.cloud import stack_clouds
@@ -109,9 +110,9 @@ def bench_icp_64k():
         cfg_b = ICPConfig(
             error="point_to_plane", matcher="pallas",
             pallas_precision="high",
-            reading_filters=(F.VoxelGrid(voxel_size=0.5, hash_size=1 << 17),
-                             F.Compact(2048)),
-            reference_filters=(F.VoxelGrid(voxel_size=0.25,
+            reading_filters=(F.VoxelGrid(voxel_size=0.4, hash_size=1 << 17),
+                             F.Compact(1024)),
+            reference_filters=(F.VoxelGrid(voxel_size=0.2,
                                            hash_size=1 << 18),
                                F.Compact(8192),
                                F.SurfaceNormal(knn=8, tile_query=4096)),
@@ -120,7 +121,7 @@ def bench_icp_64k():
             max_iterations=10, trans_eps=1e-4, rot_eps=1e-4)
         engine_b = ICPEngine(cfg_b)
         engine_b.set_map(make_cloud(pts, capacity=65536))
-        B = 64
+        B = 128
         readings = stack_clouds([engine_b.prepare_reading(reading)] * B)
         refs = stack_clouds([engine_b.reference] * B)
         Ts = jnp.tile(T0, (B, 1, 1))
@@ -134,7 +135,8 @@ def bench_icp_64k():
         bdt = (time.perf_counter() - t0) / reps
         batched_rate = B / bdt
         berr = np.asarray(se3.log(se3.inverse(bres.T[0]) @ offset))
-        log(f"batched x{B} (2k/8k, AA, high-prec): {bdt*1e3:.2f} ms/batch "
+        log(f"batched x{B} (1k/8k, AA+c2f, packed-high): "
+            f"{bdt*1e3:.2f} ms/batch "
             f"= {batched_rate:.1f} regs/sec throughput, "
             f"err={np.linalg.norm(berr):.2e}, "
             f"iters={int(bres.iterations[0])}")

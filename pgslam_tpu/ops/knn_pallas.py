@@ -51,6 +51,9 @@ def _kernel(q_ref, rT_ref, rsq_ref, bestd_ref, besti_ref, *, precision, k):
 
     cross = jnp.dot(q_ref[:], rT_ref[:], precision=precision,
                     preferred_element_type=jnp.float32)       # [TQ, TR]
+    # (bf16 operand modes pre-pack any hi/lo split into the contraction
+    # dim — see ``_pack_operands`` — so this is always ONE MXU pass with
+    # f32 accumulation unless precision="highest".)
     # score = -(|r|^2 - 2 q.r); rsq row is +inf-masked -> sentinel below.
     score = 2.0 * cross - rsq_ref[:]
     score = jnp.maximum(score, NEG_BIG)                       # kill -inf/nan
@@ -77,6 +80,40 @@ def _kernel(q_ref, rT_ref, rsq_ref, bestd_ref, besti_ref, *, precision, k):
     besti_ref[:] = besti
 
 
+def _bf16_split(x: jax.Array):
+    """Exact-sum bf16 decomposition: x ~= hi + lo with hi = bf16(x)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _pack_operands(qf: jax.Array, rf: jax.Array, precision: str):
+    """Lay out the [*, 3] coordinate operands for the in-kernel matmul.
+
+    Returns (q [NQp, K], rT [K, NRp], dot_precision) with K padded to the
+    f32/bf16 sublane quantum (8/16). See ``nn_pallas`` for the scheme.
+    """
+    if precision == "highest":
+        q = jnp.pad(qf, ((0, 0), (0, 5)))                      # [NQp, 8]
+        rT = jnp.pad(rf, ((0, 0), (0, 5))).T                   # [8, NRp]
+        return q, rT, jax.lax.Precision.HIGHEST
+    if precision == "high":
+        qh, ql = _bf16_split(qf)
+        rh, rl = _bf16_split(rf)
+        q = jnp.concatenate([qh, ql, qh, ql], axis=1)          # [NQp, 12]
+        r = jnp.concatenate([rh, rh, rl, rl], axis=1)
+        q = jnp.pad(q, ((0, 0), (0, 4)))                       # [NQp, 16]
+        rT = jnp.pad(r, ((0, 0), (0, 4))).T                    # [16, NRp]
+        # Explicit DEFAULT: the package's global jax_default_matmul_precision
+        # is "highest", which Mosaic rejects for bf16 operands.
+        return q, rT, jax.lax.Precision.DEFAULT
+    if precision == "default":
+        q = jnp.pad(qf.astype(jnp.bfloat16), ((0, 0), (0, 13)))
+        rT = jnp.pad(rf.astype(jnp.bfloat16), ((0, 0), (0, 13))).T
+        return q, rT, jax.lax.Precision.DEFAULT
+    raise ValueError(f"unknown pallas matcher precision: {precision!r}")
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "tile_q", "tile_r", "precision"))
 def nn_pallas(query: jax.Array,            # [NQ, 3]
@@ -89,36 +126,49 @@ def nn_pallas(query: jax.Array,            # [NQ, 3]
     ``[NQ, k]`` sorted ascending (+inf for masked queries / exhausted
     references) and indices.
 
-    ``precision`` controls the MXU pass count of the in-kernel cross-term
-    matmul (TPU f32 matmuls decompose into bf16 passes): "highest" = 6
-    passes (bit-exact f32), "high" = 3 passes (~f32 accurate), "default"
-    = 1 pass (bf16-rounded inputs, ~6x the MXU throughput). The argmin is
-    over exact |r|^2 minus the approximated cross term, so lower
-    precision can only flip near-ties between almost-equidistant
+    ``precision`` controls the accuracy/cost of the in-kernel cross-term
+    matmul. The contraction dim is tiny (3 coords padded to the MXU's
+    K=128), so instead of asking the compiler for multi-pass f32
+    emulation (which costs one FULL pass per bf16 product, and which this
+    chip's compiler rejects for the 3-pass HIGH enum anyway) we pack the
+    error-compensation terms into the otherwise-wasted K slots:
+
+    * "highest" — f32 operands, bit-exact 6-pass decomposition.
+    * "high"    — each f32 coordinate split as bf16 hi + bf16 lo; the
+      contraction dim carries ``[q_hi,q_lo,q_hi,q_lo] . [r_hi,r_hi,r_lo,
+      r_lo]`` (12 of 16 slots), so ONE bf16 MXU pass with f32
+      accumulation reproduces all four partial products — ~f32-accurate
+      at 6x the "highest" matmul throughput.
+    * "default" — bf16-rounded coordinates, one pass (cheapest; NN ids
+      can drift on near-ties at long range).
+
+    The argmin is over exact |r|^2 minus the approximated cross term, so
+    lower precision can only flip near-ties between almost-equidistant
     neighbors — harmless to ICP, which trims and averages thousands of
     correspondences."""
     nq, nr = query.shape[0], reference.shape[0]
     pq = (-nq) % tile_q
     pr = (-nr) % tile_r
-    q = jnp.pad(query.astype(jnp.float32), ((0, pq), (0, 5)))   # [NQp, 8]
-    r = jnp.pad(reference.astype(jnp.float32), ((0, pr), (0, 5)))
-    rT = r.T                                                    # [8, NRp]
-    rsq = jnp.sum(r * r, axis=1)
+    qf = jnp.pad(query.astype(jnp.float32), ((0, pq), (0, 0)))  # [NQp, 3]
+    rf = jnp.pad(reference.astype(jnp.float32), ((0, pr), (0, 0)))
+    rsq = jnp.sum(rf * rf, axis=1)                              # exact, f32
+    q, rT, dot_precision = _pack_operands(qf, rf, precision)
     rmask = jnp.pad(reference_mask, (0, pr), constant_values=False)
     # Masked reference -> +inf rsq -> score sentinel in-kernel.
     rsq = jnp.where(rmask, rsq, jnp.inf)[None, :]               # [1, NRp]
 
+    kdim = q.shape[1]
     nqp, nrp = q.shape[0], rT.shape[1]
     grid = (nqp // tile_q, nrp // tile_r)
     # Interpreter mode keeps the kernel testable on the CPU backend.
     interpret = jax.default_backend() == "cpu"
     bestd, besti = pl.pallas_call(
-        functools.partial(_kernel, precision=precision, k=k),
+        functools.partial(_kernel, precision=dot_precision, k=k),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_q, 8), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_q, kdim), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tile_r), lambda i, j: (0, j),
+            pl.BlockSpec((kdim, tile_r), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_r), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -138,8 +188,19 @@ def nn_pallas(query: jax.Array,            # [NQ, 3]
 
     bestd = bestd[:nq]
     besti = besti[:nq]
-    qsq = jnp.sum(query.astype(jnp.float32) ** 2, axis=1, keepdims=True)
-    d2 = jnp.maximum(qsq - bestd, 0.0)                          # un-negate
+    if precision == "highest":
+        qsq = jnp.sum(query.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+        d2 = jnp.maximum(qsq - bestd, 0.0)                      # un-negate
+    else:
+        # The winning id came from the approximated cross term, but the
+        # REPORTED distance must be exact — it feeds absolute outlier
+        # thresholds (MaxDist) downstream. One [NQ*k] row-gather matches
+        # the cost of the error-element assembly that follows anyway.
+        sel = jnp.take(reference.astype(jnp.float32),
+                       jnp.clip(besti.reshape(-1), 0, nr - 1), axis=0)
+        diff = query.astype(jnp.float32)[:, None, :] - \
+            sel.reshape(nq, k, 3)
+        d2 = jnp.sum(diff * diff, axis=-1)                      # [NQ, k]
     hit = (bestd > NEG_BIG) & query_mask[:, None]
     d2 = jnp.where(hit, d2, jnp.inf)
     besti = jnp.where(hit, besti, 0)

@@ -1,0 +1,655 @@
+"""The ENTIRE pose-graph LM optimization as ONE Pallas TPU kernel.
+
+Motivation (chip-measured, v5e via relay, V=1024/E=2048): the jitted XLA
+LM costs ~19-22 ms, of which almost everything is small-op overhead —
+~1.7 ms/iteration for ``jnp.linalg.inv`` on the [V,6,6] preconditioner
+(XLA lowers tiny batched LU to serial loops), ~0.8 ms/iteration for the
+residual/Jacobian assembly (~30 fusions of [E,6,6] ops), ~0.6 ms for the
+cost recompute, plus a ~1.5-2.5 ms per-dispatch floor. The arithmetic
+itself is microseconds. So: hold the whole optimizer state in VMEM and
+run every LM iteration — residuals, Jacobians, Hessian blocks,
+block-Jacobi preconditioner (closed-form 6x6 Schur inverse), the full
+PCG solve, retraction, and accept/reject — inside a single kernel.
+One dispatch per optimize() call.
+
+Implementation notes:
+
+* Everything is laid out "rows x lanes": a batch of 4x4 transforms is a
+  [16, N] array (row 4i+j), a 6x6 block field is 36 rows of [1, N], a
+  twist field is 6 rows. Per-entry algebra (SE(3) log/exp, 6x6 products)
+  unrolls into broadcast FMAs over the lane (edge/vertex) axis — the
+  natural TPU vectorization. Instruction count is high (~2k VPU ops per
+  LM iteration) but each op covers E lanes, so an iteration is tens of
+  microseconds.
+* Edge<->vertex data movement uses the stacked one-hot incidence
+  ``S [2E, V]`` in bf16 with hi/lo-split f32 operands (see
+  ``pcg_pallas.py``) — MXU matmuls, no gathers.
+* Mosaic has no acos/atan2; the quaternion-based SO(3) log uses a
+  first-quadrant Cephes polynomial atan2 (canonical quaternion => both
+  arguments >= 0), accurate to ~1 ulp f32.
+* Semantics mirror ``pgo.optimize_pose_graph`` (robust="none" path)
+  op-for-op: same Taylor guards as ``se3.py``, same damping, same LM
+  accept/reject and convergence tests. Equivalence is tested against
+  the XLA path in ``tests/test_pgo_pallas.py``.
+
+Reference role: replaces GTSAM LM (``Optimizer.hpp:68``) wholesale.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import se3
+from .pcg_pallas import build_incidence_bf16
+
+_DEFAULT = jax.lax.Precision.DEFAULT
+
+
+def fits_vmem(n_vertices: int, n_edges: int,
+              budget_bytes: int = 48 * 1024 * 1024) -> bool:
+    """VMEM estimate: S + pose/edge row fields + live 6x6 row blocks.
+    The kernel requests a 64 MiB scoped-vmem limit (v5e headroom); the
+    budget leaves slack for compiler temporaries."""
+    V = -(-n_vertices // 128) * 128
+    E = -(-n_edges // 128) * 128
+    s_bytes = 2 * E * V * 2
+    edge_rows = (36 * 3 + 16 * 4 + 60) * E * 4   # info, blocks, transforms
+    vert_rows = (36 + 16 * 3 + 8 * 8) * V * 4    # Pinv, poses, Krylov
+    return s_bytes + edge_rows + vert_rows <= budget_bytes
+
+
+# --------------------------------------------------------------------------
+# Row-algebra helpers (entries are [1, N] arrays or python float constants)
+# --------------------------------------------------------------------------
+
+def _isz(x):
+    return isinstance(x, (int, float)) and x == 0
+
+
+def _mul(a, b):
+    if _isz(a) or _isz(b):
+        return 0.0
+    if isinstance(a, (int, float)) and a == 1:
+        return b
+    if isinstance(b, (int, float)) and b == 1:
+        return a
+    return a * b
+
+
+def _add(a, b):
+    if _isz(a):
+        return b
+    if _isz(b):
+        return a
+    return a + b
+
+
+def _neg(a):
+    return 0.0 if _isz(a) else -a
+
+
+def _dotn(pairs):
+    acc = 0.0
+    for a, b in pairs:
+        acc = _add(acc, _mul(a, b))
+    return acc
+
+
+def _to_row(x, like):
+    return jnp.full_like(like, float(x)) if isinstance(x, (int, float)) \
+        else x
+
+
+def _mat4_mul(A, B):
+    return [_dotn([(A[4 * i + k], B[4 * k + j]) for k in range(4)])
+            for i in range(4) for j in range(4)]
+
+
+def _se3_inv(T):
+    out = [0.0] * 16
+    for i in range(3):
+        for j in range(3):
+            out[4 * i + j] = T[4 * j + i]
+    for i in range(3):
+        out[4 * i + 3] = _neg(_dotn([(T[4 * k + i], T[4 * k + 3])
+                                     for k in range(3)]))
+    out[15] = 1.0
+    return out
+
+
+def _mm3(A, B):
+    return [[_dotn([(A[i][k], B[k][j]) for k in range(3)])
+             for j in range(3)] for i in range(3)]
+
+
+def _t3(A):
+    return [[A[j][i] for j in range(3)] for i in range(3)]
+
+
+def _inv3(A):
+    """Adjugate inverse of a 3x3 row-matrix (assumes invertible)."""
+    c = [[0.0] * 3 for _ in range(3)]   # cofactors
+    idx = [(1, 2), (0, 2), (0, 1)]
+    sgn = [[1, -1, 1], [-1, 1, -1], [1, -1, 1]]
+    for i in range(3):
+        r = idx[i]
+        for j in range(3):
+            cidx = idx[j]
+            m = _add(_mul(A[r[0]][cidx[0]], A[r[1]][cidx[1]]),
+                     _neg(_mul(A[r[0]][cidx[1]], A[r[1]][cidx[0]])))
+            c[i][j] = m if sgn[i][j] > 0 else _neg(m)
+    det = _dotn([(A[0][k], c[0][k]) for k in range(3)])
+    rdet = 1.0 / det
+    return [[_mul(c[j][i], rdet) for j in range(3)] for i in range(3)]
+
+
+def _schur_inv6(M):
+    """Closed-form inverse of an SPD 6x6 row-matrix via 3x3 Schur blocks:
+    inv([[A,B],[B^T,C]]) with S = C - B^T A^-1 B."""
+    A = [[M[i][j] for j in range(3)] for i in range(3)]
+    B = [[M[i][j + 3] for j in range(3)] for i in range(3)]
+    C = [[M[i + 3][j + 3] for j in range(3)] for i in range(3)]
+    Ai = _inv3(A)
+    AiB = _mm3(Ai, B)
+    S = [[_add(C[i][j], _neg(_dotn([(B[k][i], AiB[k][j])
+                                    for k in range(3)])))
+          for j in range(3)] for i in range(3)]
+    Si = _inv3(S)
+    AiBSi = _mm3(AiB, Si)
+    TL = [[_add(Ai[i][j], _dotn([(AiBSi[i][k], AiB[j][k])
+                                 for k in range(3)]))
+           for j in range(3)] for i in range(3)]
+    out = [[0.0] * 6 for _ in range(6)]
+    for i in range(3):
+        for j in range(3):
+            out[i][j] = TL[i][j]
+            out[i][j + 3] = _neg(AiBSi[i][j])
+            out[i + 3][j] = _neg(AiBSi[j][i])
+            out[i + 3][j + 3] = Si[i][j]
+    return out
+
+
+def _mm6(A, B):
+    return [[_dotn([(A[i][k], B[k][j]) for k in range(6)])
+             for j in range(6)] for i in range(6)]
+
+
+def _t6(A):
+    return [[A[j][i] for j in range(6)] for i in range(6)]
+
+
+def _mv6(A, x):
+    return [_dotn([(A[i][k], x[k]) for k in range(6)]) for i in range(6)]
+
+
+def _eye6_plus(A, scale_a, B, scale_b):
+    """I + scale_a * A + scale_b * B, entrywise."""
+    out = [[_add(_mul(scale_a, A[i][j]), _mul(scale_b, B[i][j]))
+            for j in range(6)] for i in range(6)]
+    for i in range(6):
+        out[i][i] = _add(1.0, out[i][i])
+    return out
+
+
+def _atan_poly(x):
+    """Cephes atanf core for x in [0, 0.4142]; ~1 ulp f32."""
+    z = x * x
+    return (((8.05374449538e-2 * z - 1.38776856032e-1) * z
+             + 1.99777106478e-1) * z - 3.33329491539e-1) * z * x + x
+
+
+_PI_2 = 1.5707963267948966
+_PI_4 = 0.7853981633974483
+_TAN_PI_8 = 0.4142135623730950
+
+
+def _atan01(r):
+    """atan(r) for r in [0, 1] with the Cephes pi/4 range reduction."""
+    hi = r > _TAN_PI_8
+    rr = jnp.where(hi, (r - 1.0) / (r + 1.0), r)
+    return jnp.where(hi, _PI_4 + _atan_poly(rr), _atan_poly(rr))
+
+
+def _atan2_pos(y, x):
+    """atan2(y, x) for y >= 0, x >= 0 (first quadrant), branch-free."""
+    big = y > x
+    num = jnp.where(big, x, y)
+    den = jnp.where(big, y, x)
+    r = num / jnp.maximum(den, 1e-30)
+    phi = _atan01(r)
+    return jnp.where(big, _PI_2 - phi, phi)
+
+
+def _quat(T):
+    """Shepperd quaternion of the rotation block, canonical (w >= 0).
+    Mirrors ``se3.quaternion_from_matrix`` including tie order."""
+    m00, m11, m22 = T[0], T[5], T[10]
+    r01, r02, r10 = T[1], T[2], T[4]
+    r12, r20, r21 = T[6], T[8], T[9]
+    tr = m00 + m11 + m22
+
+    def S(p):
+        return 2.0 * jnp.sqrt(jnp.maximum(p, 1e-12))
+
+    s_w = S(1.0 + tr)
+    q_w = [0.25 * s_w, (r21 - r12) / s_w, (r02 - r20) / s_w,
+           (r10 - r01) / s_w]
+    s_x = S(1.0 + m00 - m11 - m22)
+    q_x = [(r21 - r12) / s_x, 0.25 * s_x, (r01 + r10) / s_x,
+           (r02 + r20) / s_x]
+    s_y = S(1.0 - m00 + m11 - m22)
+    q_y = [(r02 - r20) / s_y, (r01 + r10) / s_y, 0.25 * s_y,
+           (r12 + r21) / s_y]
+    s_z = S(1.0 - m00 - m11 + m22)
+    q_z = [(r10 - r01) / s_z, (r02 + r20) / s_z, (r12 + r21) / s_z,
+           0.25 * s_z]
+    use_w = tr >= m00
+    p01 = jnp.maximum(tr, m00)
+    use_y = m11 >= m22
+    p23 = jnp.maximum(m11, m22)
+    first = p01 >= p23
+    q = [jnp.where(first, jnp.where(use_w, a, b), jnp.where(use_y, c, d))
+         for a, b, c, d in zip(q_w, q_x, q_y, q_z)]
+    sign = jnp.where(q[0] < 0, -1.0, 1.0)
+    q = [sign * qi for qi in q]
+    rn = jax.lax.rsqrt(q[0] * q[0] + q[1] * q[1] + q[2] * q[2]
+                       + q[3] * q[3])
+    return [qi * rn for qi in q]
+
+
+def _sinc_ABC(t2):
+    """(A, B, C) of the Rodrigues formulas from theta^2, with the same
+    Taylor guard as ``se3._sinc_coeffs``."""
+    small = t2 < 1e-3
+    safe_t2 = jnp.where(small, 1.0, t2)
+    ts = jnp.sqrt(safe_t2)
+    t4 = t2 * t2
+    A = jnp.where(small, 1.0 - t2 / 6.0 + t4 / 120.0, jnp.sin(ts) / ts)
+    B = jnp.where(small, 0.5 - t2 / 24.0 + t4 / 720.0,
+                  (1.0 - jnp.cos(ts)) / safe_t2)
+    C = jnp.where(small, 1.0 / 6.0 - t2 / 120.0 + t4 / 5040.0,
+                  (1.0 - A) / safe_t2)
+    return A, B, C
+
+
+def _se3_log(T):
+    """Twist rows [v; w] of a [16]-row transform. Mirrors ``se3.log``."""
+    q = _quat(T)
+    qw = q[0]
+    n = jnp.sqrt(q[1] * q[1] + q[2] * q[2] + q[3] * q[3])
+    angle = 2.0 * _atan2_pos(n, qw)
+    small_n = n < 1e-8
+    factor = jnp.where(small_n, 2.0 / jnp.maximum(qw, 1e-12),
+                       angle / jnp.where(small_n, 1.0, n))
+    w = [factor * q[1], factor * q[2], factor * q[3]]
+    t2 = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
+    A, B, _ = _sinc_ABC(t2)
+    small = t2 < 1e-3
+    safe_t2 = jnp.where(small, 1.0, t2)
+    safe_B = jnp.where(small, 1.0, B)
+    t4 = t2 * t2
+    coef = jnp.where(small, 1.0 / 12.0 + t2 / 720.0 + t4 / 30240.0,
+                     (1.0 - A / (2.0 * safe_B)) / safe_t2)
+    # Vinv = I - W/2 + coef * (w w^T - t2 I)
+    W = _hat_rows(w)
+    t = [T[3], T[7], T[11]]
+    v = []
+    for i in range(3):
+        acc = 0.0
+        for j in range(3):
+            ww = w[i] * w[j] - (t2 if i == j else 0.0)
+            entry = _add((1.0 if i == j else 0.0),
+                         _add(_mul(-0.5, W[i][j]), coef * ww))
+            acc = _add(acc, _mul(entry, t[j]))
+        v.append(acc)
+    return v + w
+
+
+def _hat_rows(w):
+    return [[0.0, _neg(w[2]), w[1]],
+            [w[2], 0.0, _neg(w[0])],
+            [_neg(w[1]), w[0], 0.0]]
+
+
+def _se3_exp(x6):
+    """[16]-row transform of twist rows. Mirrors ``se3.exp``."""
+    v, w = x6[:3], x6[3:]
+    t2 = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
+    A, B, C = _sinc_ABC(t2)
+    W = _hat_rows(w)
+    T = [0.0] * 16
+    for i in range(3):
+        for j in range(3):
+            ww = w[i] * w[j] - (t2 if i == j else 0.0)
+            T[4 * i + j] = _add((1.0 if i == j else 0.0),
+                                _add(_mul(A, W[i][j]), B * ww))
+    for i in range(3):
+        acc = 0.0
+        for j in range(3):
+            ww = w[i] * w[j] - (t2 if i == j else 0.0)
+            Ve = _add((1.0 if i == j else 0.0),
+                      _add(_mul(B, W[i][j]), C * ww))
+            acc = _add(acc, _mul(Ve, v[j]))
+        T[4 * i + 3] = acc
+    T[15] = 1.0
+    return T
+
+
+def _ad6(e):
+    """little ad of a twist in [t; r] order: [[hat(w), hat(v)], [0, hat(w)]]."""
+    hv = _hat_rows(e[:3])
+    hw = _hat_rows(e[3:])
+    out = [[0.0] * 6 for _ in range(6)]
+    for i in range(3):
+        for j in range(3):
+            out[i][j] = hw[i][j]
+            out[i][j + 3] = hv[i][j]
+            out[i + 3][j + 3] = hw[i][j]
+    return out
+
+
+def _adjoint_of_inv(M):
+    """Ad(M^-1) as a 6x6 row-matrix, from the [16]-row transform M."""
+    Mi = _se3_inv(M)
+    R = [[Mi[4 * i + j] for j in range(3)] for i in range(3)]
+    t = [Mi[3], Mi[7], Mi[11]]
+    tR = _mm3(_hat_rows(t), R)
+    out = [[0.0] * 6 for _ in range(6)]
+    for i in range(3):
+        for j in range(3):
+            out[i][j] = R[i][j]
+            out[i][j + 3] = tR[i][j]
+            out[i + 3][j + 3] = R[i][j]
+    return out
+
+
+# --------------------------------------------------------------------------
+# Kernel
+# --------------------------------------------------------------------------
+
+def _split16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=0)
+
+
+def _stack_rows(rows, total, like):
+    rows = [_to_row(r, like) for r in rows]
+    pad = total - len(rows)
+    if pad:
+        rows = rows + [jnp.zeros_like(like)] * pad
+    return jnp.concatenate(rows, axis=0)
+
+
+def _lm_kernel(fixed_ref, S_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref,
+               em_ref, priorT_ref, PT_out_ref, stats_ref, *,
+               n_edges, cg_iterations, cg_tol, max_iterations,
+               lambda_init, lambda_up, lambda_down, min_step_norm,
+               min_cost_decrease, prior_info):
+    E = n_edges
+    V = PT0_ref.shape[1]
+    f32 = jnp.float32
+    fixed = fixed_ref[0]
+    em = em_ref[0:1, :]                                     # [1, E]
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+    is_fixed1 = lane1 == fixed
+    rowlike_E = em
+    rowlike_V = lane1.astype(f32) * 0.0 + 1.0               # ones [1, V]
+
+    # info = inv(cov) per edge, zeroed where masked (closed-form Schur;
+    # masked/padded lanes invert identity so no NaNs leak through *0).
+    cov = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(6):
+            c = covT_ref[6 * i + j:6 * i + j + 1, :]
+            cov[i][j] = jnp.where(em > 0.5, c, 1.0 if i == j else 0.0)
+    O = _schur_inv6(cov)
+    O = [[_mul(O[i][j], em) for j in range(6)] for i in range(6)]
+
+    Zinv = [ZinvT_ref[r:r + 1, :] for r in range(16)]
+    prior_Tinv = [priorT_ref[r:r + 1, 0:1] for r in range(16)]
+
+    def edge_pass(PT):
+        """Gather endpoint poses, return (e rows, M rows)."""
+        xs = jax.lax.dot_general(
+            _split16(PT), S_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=_DEFAULT)   # [32, 2E]
+        full = xs[:16] + xs[16:]
+        Xf = [full[r:r + 1, :E] for r in range(16)]
+        Xt = [full[r:r + 1, E:] for r in range(16)]
+        M = _mat4_mul(_se3_inv(Xf), Xt)
+        e = _se3_log(_mat4_mul(Zinv, M))
+        return e, M
+
+    def prior_residual(PT):
+        col = jnp.sum(jnp.where(lane1 == fixed, PT, 0.0), axis=1,
+                      keepdims=True)                          # [16, 1]
+        rows = [col[r:r + 1, :] for r in range(16)]
+        return _se3_log(_mat4_mul(prior_Tinv, rows))          # [1,1] rows
+
+    def cost_of(PT):
+        e, _ = edge_pass(PT)
+        Oe = _mv6(O, e)
+        chi = _dotn([(e[i], Oe[i]) for i in range(6)])
+        rp = prior_residual(PT)
+        pc = _dotn([(rp[i], rp[i]) for i in range(6)])
+        return jnp.sum(chi) + prior_info * jnp.sum(pc)
+
+    def scatter_to_vertices(rows_f, rows_t, n_rows):
+        """sum over edges into vertices: rows [*, E] x2 -> [n_rows, V]."""
+        stacked = jnp.concatenate(
+            [_stack_rows(rows_f, n_rows, rowlike_E),
+             _stack_rows(rows_t, n_rows, rowlike_E)], axis=1)  # [n, 2E]
+        out = jax.lax.dot_general(
+            _split16(stacked), S_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=_DEFAULT)
+        return out[:n_rows] + out[n_rows:]                     # [n, V]
+
+    def lm_body(_, carry):
+        PT, lam, cost, done, n_iter = carry
+        # ---- build system ----
+        e, M = edge_pass(PT)
+        a = _ad6(e)
+        Jri = _eye6_plus(a, 0.5, _mm6(a, a), 1.0 / 12.0)
+        AdMi = _adjoint_of_inv(M)
+        Jf = [[_neg(x) for x in row] for row in _mm6(Jri, AdMi)]
+        JtT_O = _mm6(_t6(Jri), O)
+        JfT_O = _mm6(_t6(Jf), O)
+        H_ff = _mm6(JfT_O, Jf)
+        H_tt = _mm6(JtT_O, Jri)
+        H_ft = _mm6(JfT_O, Jri)
+        b_f = _mv6(JfT_O, e)
+        b_t = _mv6(JtT_O, e)
+        bD = scatter_to_vertices(
+            b_f + [H_ff[i][j] for i in range(6) for j in range(6)],
+            b_t + [H_tt[i][j] for i in range(6) for j in range(6)], 42)
+        b8 = jnp.concatenate([bD[:6], jnp.zeros((2, V), f32)], axis=0)
+        D = [[bD[6 + 6 * i + j:7 + 6 * i + j, :] for j in range(6)]
+             for i in range(6)]
+        # prior on the anchor vertex
+        rp = prior_residual(PT)
+        rp8 = _stack_rows([prior_info * r for r in rp], 8,
+                          jnp.zeros((1, 1), f32))               # [8, 1]
+        b8 = b8 + jnp.where(jax.lax.broadcasted_iota(
+            jnp.int32, (8, V), 1) == fixed, rp8, 0.0)
+        for i in range(6):
+            D[i][i] = _add(D[i][i],
+                           jnp.where(is_fixed1, prior_info, 0.0))
+        # ---- preconditioner: (D + lam diag(D) + 1e-10 I)^-1, vmask guard
+        P = [[None] * 6 for _ in range(6)]
+        for i in range(6):
+            for j in range(6):
+                val = D[i][j]
+                if i == j:
+                    val = _add(val, _add(_mul(lam, val), 1e-10))
+                val = _to_row(val, rowlike_V)
+                P[i][j] = jnp.where(vm_ref[0:1, :] > 0.5, val,
+                                    1.0 if i == j else 0.0)
+        Pinv = _schur_inv6(P)
+
+        def pinv_apply(r):
+            z = _mv6(Pinv, [r[j:j + 1, :] for j in range(6)])
+            return _stack_rows(z, 8, rowlike_V)
+
+        # per-j [8, E] block tensors for the CG matvec FMAs
+        def jstack(Hb):
+            return [_stack_rows([Hb[i][j] for i in range(6)], 8,
+                                rowlike_E) for j in range(6)]
+
+        Aff, Aft, Att = jstack(H_ff), jstack(H_ft), jstack(H_tt)
+        Atf = [_stack_rows([H_ft[j][i] for i in range(6)], 8, rowlike_E)
+               for j in range(6)]
+        dd = _stack_rows([_mul(lam, D[i][i]) for i in range(6)], 8,
+                         rowlike_V)
+        is_fixed8 = jax.lax.broadcasted_iota(jnp.int32, (8, V), 1) == fixed
+
+        def matvec(p):
+            xs = jax.lax.dot_general(
+                _split16(p), S_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=_DEFAULT)
+            full = xs[:8] + xs[8:]
+            xf = full[:, :E]
+            xt = full[:, E:]
+            yf = jnp.zeros((8, E), f32)
+            yt = jnp.zeros((8, E), f32)
+            for j in range(6):
+                yf = yf + Aff[j] * xf[j:j + 1, :] + Aft[j] * xt[j:j + 1, :]
+                yt = yt + Atf[j] * xf[j:j + 1, :] + Att[j] * xt[j:j + 1, :]
+            ys = jnp.concatenate([yf, yt], axis=1)
+            ysc = jax.lax.dot_general(
+                _split16(ys), S_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=_DEFAULT)
+            y = ysc[:8] + ysc[8:]
+            y = y + jnp.where(is_fixed8, prior_info * p, 0.0)
+            return y + dd * p
+
+        rhs = -b8
+        rhs2 = jnp.maximum(jnp.sum(rhs * rhs), 1e-30)
+        z0 = pinv_apply(rhs)
+        rz0 = jnp.sum(rhs * z0)
+
+        def cg_body(_, c):
+            x, r, p, rz, cdone = c
+            Ap = matvec(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+            xn = x + alpha * p
+            rn = r - alpha * Ap
+            zn = pinv_apply(rn)
+            rzn = jnp.sum(rn * zn)
+            beta = rzn / jnp.maximum(rz, 1e-30)
+            pn = zn + beta * p
+            x = jnp.where(cdone, x, xn)
+            r = jnp.where(cdone, r, rn)
+            p = jnp.where(cdone, p, pn)
+            rz = jnp.where(cdone, rz, rzn)
+            cdone = jnp.logical_or(cdone,
+                                   jnp.sum(rn * rn) <= cg_tol * rhs2)
+            return (x, r, p, rz, cdone)
+
+        delta8, _, _, _, _ = jax.lax.fori_loop(
+            0, cg_iterations, cg_body,
+            (jnp.zeros((8, V), f32), rhs, z0, rz0, jnp.bool_(False)))
+        delta8 = jnp.where(vm_ref[:] > 0.5, delta8, 0.0)
+        # ---- retract + accept/reject ----
+        step = _se3_exp([delta8[j:j + 1, :] for j in range(6)])
+        PT_rows = [PT[r:r + 1, :] for r in range(16)]
+        cand_rows = _mat4_mul(PT_rows, step)
+        cand = _stack_rows(cand_rows, 16, rowlike_V)
+        cand = jnp.where(vm_ref[0:1, :] > 0.5, cand, PT)
+        new_cost = cost_of(cand)
+        accept = new_cost < cost
+        PT_next = jnp.where(jnp.logical_and(accept, ~done), cand, PT)
+        lam_next = jnp.where(accept, lam * lambda_down, lam * lambda_up)
+        lam_next = jnp.clip(lam_next, 1e-12, 1e10)
+        step_norm = jnp.sqrt(jnp.sum(delta8 * delta8))
+        rel_decrease = (cost - new_cost) / jnp.maximum(cost, 1e-30)
+        done_now = jnp.logical_and(
+            accept, jnp.logical_or(step_norm < min_step_norm,
+                                   rel_decrease < min_cost_decrease))
+        cost_next = jnp.where(jnp.logical_and(accept, ~done), new_cost,
+                              cost)
+        lam = jnp.where(done, lam, lam_next)
+        n_iter = n_iter + jnp.where(done, 0, 1)
+        done = jnp.logical_or(done, done_now)
+        return (PT_next, lam, cost_next, done, n_iter)
+
+    init_cost = cost_of(PT0_ref[:])
+    PT_fin, lam_fin, cost_fin, _, n_iter = jax.lax.fori_loop(
+        0, max_iterations, lm_body,
+        (PT0_ref[:], jnp.float32(lambda_init), init_cost,
+         jnp.bool_(False), jnp.int32(0)))
+    PT_out_ref[:] = PT_fin
+    stats_ref[0] = init_cost
+    stats_ref[1] = cost_fin
+    stats_ref[2] = n_iter.astype(f32)
+    stats_ref[3] = lam_fin
+
+
+def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
+                       emask, fixed_id, *, config):
+    """Single-dispatch LM optimize. Same contract as the LM loop inside
+    ``pgo.optimize_pose_graph`` (robust='none'); returns (poses, stats)."""
+    V, E = poses.shape[0], edge_from.shape[0]
+    Vp = -(-V // 128) * 128
+    Ep = -(-E // 128) * 128
+    ef = jnp.clip(edge_from, 0, V - 1)
+    et = jnp.clip(edge_to, 0, V - 1)
+    S = build_incidence_bf16(ef, et, V)
+
+    def padT(x, rows_to, n_to):
+        x = x.reshape(x.shape[0], -1).T.astype(jnp.float32)
+        x = jnp.pad(x, ((0, rows_to - x.shape[0]), (0, n_to - x.shape[1])))
+        return x
+
+    PT0 = padT(poses, 16, Vp)
+    ZinvT = padT(se3.inverse(edge_T), 16, Ep)
+    covT = padT(edge_cov, 40, Ep)
+    em = jnp.pad(emask.astype(jnp.float32), (0, Ep - E))[None, :]
+    vm = jnp.broadcast_to(
+        jnp.pad(vmask.astype(jnp.float32), (0, Vp - V))[None, :], (8, Vp))
+    prior_Tinv = se3.inverse(poses[fixed_id])
+    priorT = jnp.pad(prior_Tinv.reshape(16, 1).astype(jnp.float32),
+                     ((0, 0), (0, 127)))
+
+    kern = functools.partial(
+        _lm_kernel, n_edges=Ep,
+        cg_iterations=config.cg_iterations, cg_tol=config.cg_tol,
+        max_iterations=config.max_iterations,
+        lambda_init=config.lambda_init, lambda_up=config.lambda_up,
+        lambda_down=config.lambda_down,
+        min_step_norm=config.min_step_norm,
+        min_cost_decrease=config.min_cost_decrease,
+        prior_info=float(1.0 / config.prior_sigma ** 2))
+    PT_out, stats = pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((16, Vp), jnp.float32),
+                   jax.ShapeDtypeStruct((4,), jnp.float32)],
+        # The default scoped-vmem limit is 16 MiB; v5e has headroom above
+        # that, and S + the live row fields need ~20 MiB at V=1k/E=2k.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=jax.default_backend() == "cpu",
+    )(jnp.asarray(fixed_id, jnp.int32)[None], S, PT0, vm, ZinvT, covT,
+      em, priorT)
+    final = PT_out[:, :V].T.reshape(V, 4, 4).astype(poses.dtype)
+    out_stats = {"initial_cost": stats[0], "final_cost": stats[1],
+                 "iterations": stats[2].astype(jnp.int32),
+                 "lambda": stats[3]}
+    return final, out_stats

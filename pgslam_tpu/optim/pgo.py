@@ -34,10 +34,21 @@ from .. import se3
 @dataclasses.dataclass(frozen=True)
 class PGOConfig:
     max_iterations: int = 50          # LM outer iterations
-    # Linear solver: "pcg" (matrix-free block-Jacobi CG — the default;
-    # measured ~6x faster than dense on TPU even at 1k poses because XLA's
-    # blocked Cholesky plus the [V,V,6,6] assembly dominate) or
-    # "cholesky" (dense 6Vx6V factorization; exact Newton steps).
+    # Linear solver:
+    #   "pcg"        — matrix-free block-Jacobi CG. On TPU, when the
+    #                  problem fits VMEM: robust="none" runs the ENTIRE
+    #                  LM (residuals, Jacobians, preconditioner, CG,
+    #                  retract, accept/reject) as ONE fused Pallas kernel
+    #                  dispatch (optim/lm_pallas.py — the XLA loop is
+    #                  launch-bound at ~5 ms/LM-iteration on the relay
+    #                  chip); robust kernels fuse only the CG solve
+    #                  (optim/pcg_pallas.py). Larger graphs use the XLA
+    #                  loop.
+    #   "pcg_xla"    — force the XLA CG loop (any backend/size).
+    #   "pcg_pallas" — force the fused CG kernel (tests; interpret on CPU).
+    #   "lm_pallas"  — force the whole-LM kernel (tests; interpret on CPU).
+    #   "cholesky"   — dense 6Vx6V factorization; exact Newton steps
+    #                  (measured ~6x slower than PCG on TPU at 1k poses).
     solver: str = "pcg"
     cg_iterations: int = 64           # CG cap per linear solve
     # Inexact-Newton: the LM step only needs a rough solve; 1e-4 on the
@@ -114,6 +125,24 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
     V = poses.shape[0]
     E = edge_from.shape[0]
     dtype = poses.dtype
+
+    def _lm_kernel_eligible():
+        from .lm_pallas import fits_vmem as lm_fits
+        return (config.robust == "none"
+                and jax.default_backend() not in ("cpu",)
+                and lm_fits(V, E))
+
+    if config.solver == "lm_pallas" or (config.solver == "pcg"
+                                        and _lm_kernel_eligible()):
+        # Single-dispatch whole-LM kernel (see optim/lm_pallas.py).
+        from .lm_pallas import lm_optimize_pallas
+        final, stats = lm_optimize_pallas(
+            poses, vmask, edge_from, edge_to, edge_T, edge_cov, emask,
+            fixed_id, config=config)
+        final = se3.normalize_rotation(final)
+        final = jnp.where(vmask[:, None, None], final, poses)
+        return final, stats
+
     prior_info = jnp.asarray(1.0 / config.prior_sigma ** 2, dtype)
     prior_Tinv = se3.inverse(poses[fixed_id])
     Tinv_meas = se3.inverse(edge_T)
@@ -290,9 +319,36 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
         x = jax.scipy.linalg.cho_solve((L, True), -b.reshape(-1))
         return x.reshape(V, 6), jnp.int32(0)
 
+    def make_pcg_fused():
+        from .pcg_pallas import build_incidence_bf16, pcg_solve_pallas
+        S_bf16 = build_incidence_bf16(edge_from, edge_to, V)
+
+        def pcg_fused(blocks, D, lam, b):
+            H_ff, H_tt, H_ft = blocks
+            diag_term = lam * jnp.diagonal(D, axis1=-2, axis2=-1)
+            P = D + jax.vmap(jnp.diag)(diag_term)
+            P = jnp.where(vmask[:, None, None], P,
+                          jnp.eye(6, dtype=dtype))
+            P_inv = jnp.linalg.inv(P + 1e-10 * jnp.eye(6, dtype=dtype))
+            x = pcg_solve_pallas(
+                S_bf16, H_ff, H_tt, H_ft, P_inv, diag_term, b,
+                prior_info, fixed_id, n_edges=E,
+                cg_iterations=config.cg_iterations, cg_tol=config.cg_tol)
+            return x.astype(dtype), jnp.int32(0)
+
+        return pcg_fused
+
     if config.solver == "cholesky" or (config.solver == "auto"
                                        and 6 * V <= 8192):
         solve = dense_solve
+    elif config.solver == "pcg_pallas":
+        solve = make_pcg_fused()
+    elif config.solver == "pcg":
+        from .pcg_pallas import fits_vmem
+        if jax.default_backend() not in ("cpu",) and fits_vmem(V, E):
+            solve = make_pcg_fused()
+        else:
+            solve = pcg
     else:
         solve = pcg
 

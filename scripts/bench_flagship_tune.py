@@ -72,11 +72,10 @@ def run_point(B, n_read, n_ref, prec):
 
 
 points = [
-    (16, 4096, 16384, "highest"),   # r1 flagship baseline
-    (16, 4096, 16384, "high"),
     (64, 2048, 8192, "high"),
     (128, 2048, 8192, "high"),
     (128, 1024, 8192, "high"),
+    (256, 2048, 8192, "high"),
     (128, 2048, 8192, "default"),
 ]
 best = 0.0

@@ -1,0 +1,88 @@
+"""Equivalence of the fused Pallas PGO solvers against the XLA path.
+
+Runs on the CPU backend in Pallas interpret mode (conftest forces cpu),
+so these tests exercise the exact kernel code the TPU compiles.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pgslam_tpu import se3
+from pgslam_tpu.optim.pgo import PGOConfig, optimize_pose_graph
+
+
+def _ring_problem(V=64, E=128, seed=1, noise=0.05):
+    rng = np.random.default_rng(seed)
+    angles = 2 * np.pi * np.arange(V) / V
+    R = np.asarray(se3.exp_so3(jnp.asarray(
+        np.stack([np.zeros(V), np.zeros(V), angles], -1), jnp.float32)))
+    t = np.stack([10 * np.cos(angles), 10 * np.sin(angles),
+                  np.zeros(V)], -1).astype(np.float32)
+    poses = np.asarray(se3.make(jnp.asarray(R), jnp.asarray(t)))
+    ef = np.concatenate([np.arange(V - 1), rng.integers(0, V, E - V + 1)])
+    et = np.concatenate([np.arange(1, V), rng.integers(0, V, E - V + 1)])
+    dup = ef == et
+    et[dup] = (et[dup] + 1) % V
+    Ts = np.einsum("eij,ejk->eik", np.linalg.inv(poses[ef]),
+                   poses[et]).astype(np.float32)
+    covs = np.tile((np.eye(6) * 0.01).astype(np.float32), (E, 1, 1))
+    init = poses.copy()
+    init[1:] = init[1:] @ np.asarray(jax.vmap(se3.exp)(jnp.asarray(
+        rng.normal(size=(V - 1, 6)) * noise, jnp.float32)))
+    emask = np.ones(E, bool)
+    emask[-5:] = False  # padded edges must not contribute
+    args = (jnp.asarray(init), jnp.ones(V, bool),
+            jnp.asarray(ef, jnp.int32), jnp.asarray(et, jnp.int32),
+            jnp.asarray(Ts), jnp.asarray(covs), jnp.asarray(emask),
+            jnp.int32(0))
+    return args, poses
+
+
+@pytest.mark.parametrize("solver", ["pcg_pallas", "lm_pallas"])
+def test_fused_solver_matches_xla(solver):
+    args, gt = _ring_problem()
+    cfg_x = PGOConfig(max_iterations=4, cg_iterations=30, cg_tol=1e-3,
+                      solver="pcg_xla")
+    cfg_p = PGOConfig(max_iterations=4, cg_iterations=30, cg_tol=1e-3,
+                      solver=solver)
+    out_x, st_x = optimize_pose_graph(*args, config=cfg_x)
+    out_p, st_p = optimize_pose_graph(*args, config=cfg_p)
+    # hi/lo bf16 split noise floor is ~2^-16 relative; poses are O(10).
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               atol=2e-3)
+    assert int(st_p["iterations"]) == int(st_x["iterations"])
+    # both converge to (near) zero cost on the noise-free measurements
+    assert float(st_p["final_cost"]) < 1e-4 * float(st_p["initial_cost"])
+
+
+def test_lm_pallas_respects_fixed_vertex():
+    args, gt = _ring_problem()
+    cfg = PGOConfig(max_iterations=4, cg_iterations=30, cg_tol=1e-3,
+                    solver="lm_pallas")
+    out, _ = optimize_pose_graph(*args, config=cfg)
+    # anchor unchanged (prior sigma 1e-6)
+    np.testing.assert_allclose(np.asarray(out)[0], np.asarray(args[0][0]),
+                               atol=1e-4)
+    # recovered trajectory close to ground truth
+    err = np.linalg.norm(np.asarray(out)[:, :3, 3] - gt[:, :3, 3], axis=1)
+    assert err.max() < 0.12
+
+
+def test_lm_pallas_vertex_mask_passthrough():
+    args, gt = _ring_problem()
+    vmask = np.ones(64, bool)
+    vmask[-3:] = False
+    args = args[:1] + (jnp.asarray(vmask),) + args[2:]
+    # also mask every edge touching the masked vertices
+    ef = np.asarray(args[2])
+    et = np.asarray(args[3])
+    emask = np.asarray(args[6]) & (ef < 61) & (et < 61)
+    args = args[:6] + (jnp.asarray(emask),) + args[7:]
+    cfg = PGOConfig(max_iterations=3, cg_iterations=20, cg_tol=1e-3,
+                    solver="lm_pallas")
+    out, _ = optimize_pose_graph(*args, config=cfg)
+    np.testing.assert_allclose(np.asarray(out)[-3:],
+                               np.asarray(args[0])[-3:], atol=1e-6)
+    assert np.all(np.isfinite(np.asarray(out)))

@@ -44,7 +44,7 @@ _DEFAULT = jax.lax.Precision.DEFAULT  # bf16 operands: Mosaic rejects HIGHEST
 
 
 def fits_vmem(n_vertices: int, n_edges: int,
-              budget_bytes: int = 14 * 1024 * 1024) -> bool:
+              budget_bytes: int = 48 * 1024 * 1024) -> bool:
     """VMEM estimate for the fused solve at (V, E). Live set: S + the four
     block tensors + preconditioner + Krylov vectors (x/r/p/z [8,V]) + the
     transient split/edge buffers ([16,2E] + a few [8,E])."""
@@ -201,6 +201,9 @@ def pcg_solve_pallas(S: jax.Array,          # [2Ep, Vp] bf16 one-hot
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, Vp), jnp.float32),
+        # Default scoped-vmem limit is 16 MiB; v5e has headroom above it.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )(scalars, S, Aff, Aft, Atf, Att, Pinv_t, dd, bT)
     return xT[:6, :V].T

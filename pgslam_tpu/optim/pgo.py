@@ -92,6 +92,41 @@ def _ad(xi: jax.Array) -> jax.Array:
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def _inv3(A: jax.Array) -> jax.Array:
+    """Batched closed-form 3x3 inverse via the adjugate."""
+    c1 = jnp.cross(A[..., 1, :], A[..., 2, :])
+    c2 = jnp.cross(A[..., 2, :], A[..., 0, :])
+    c3 = jnp.cross(A[..., 0, :], A[..., 1, :])
+    det = jnp.sum(A[..., 0, :] * c1, axis=-1)[..., None, None]
+    adjT = jnp.stack([c1, c2, c3], axis=-1)          # adj^T columns
+    return adjT / det
+
+
+def spd_inverse6(M: jax.Array) -> jax.Array:
+    """Batched closed-form inverse of SPD 6x6 blocks via the Schur
+    complement of the leading 3x3 block.
+
+    ``jnp.linalg.inv`` on [N, 6, 6] lowers to tiny batched LU loops that
+    serialize on TPU (measured ~1.7 ms per call at N=1024 — the dominant
+    cost of an LM iteration); this closed form is a handful of fused
+    batched ops.
+    """
+    A = M[..., :3, :3]
+    B = M[..., :3, 3:]
+    C = M[..., 3:, 3:]
+    Ai = _inv3(A)
+    AiB = Ai @ B
+    S = C - jnp.swapaxes(B, -1, -2) @ AiB
+    Si = _inv3(S)
+    AiBSi = AiB @ Si
+    TL = Ai + AiBSi @ jnp.swapaxes(AiB, -1, -2)
+    TR = -AiBSi
+    return jnp.concatenate([
+        jnp.concatenate([TL, TR], axis=-1),
+        jnp.concatenate([jnp.swapaxes(TR, -1, -2), Si], axis=-1),
+    ], axis=-2)
+
+
 def _jr_inv(e: jax.Array) -> jax.Array:
     """Inverse right Jacobian of SE(3), 2nd-order approximation:
     Jr^-1(e) ~= I + ad(e)/2 + ad(e)^2/12. Exact enough near convergence
@@ -146,7 +181,12 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
     prior_info = jnp.asarray(1.0 / config.prior_sigma ** 2, dtype)
     prior_Tinv = se3.inverse(poses[fixed_id])
     Tinv_meas = se3.inverse(edge_T)
-    info = jnp.linalg.inv(edge_cov)
+    # Closed-form SPD inverse: jnp.linalg.inv on tiny batched blocks
+    # serializes on TPU (see spd_inverse6). Masked edges are zeroed below,
+    # so guard them with identity to keep the inverse finite.
+    cov_safe = jnp.where(emask[:, None, None], edge_cov,
+                         jnp.eye(6, dtype=dtype))
+    info = spd_inverse6(cov_safe)
     info = jnp.where(emask[:, None, None], info, 0.0)
     # Clamp padded edge endpoints into range (gathers stay in-bounds).
     edge_from = jnp.clip(edge_from, 0, V - 1)
@@ -259,7 +299,7 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
         P = D + jax.vmap(jnp.diag)(diag_term)
         # Guard padded vertices with identity blocks.
         P = jnp.where(vmask[:, None, None], P, jnp.eye(6, dtype=dtype))
-        P_inv = jnp.linalg.inv(P + 1e-10 * jnp.eye(6, dtype=dtype))
+        P_inv = spd_inverse6(P + 1e-10 * jnp.eye(6, dtype=dtype))
 
         rhs = -b
         x0 = jnp.zeros_like(rhs)
@@ -329,7 +369,7 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
             P = D + jax.vmap(jnp.diag)(diag_term)
             P = jnp.where(vmask[:, None, None], P,
                           jnp.eye(6, dtype=dtype))
-            P_inv = jnp.linalg.inv(P + 1e-10 * jnp.eye(6, dtype=dtype))
+            P_inv = spd_inverse6(P + 1e-10 * jnp.eye(6, dtype=dtype))
             x = pcg_solve_pallas(
                 S_bf16, H_ff, H_tt, H_ft, P_inv, diag_term, b,
                 prior_info, fixed_id, n_edges=E,

@@ -387,10 +387,10 @@ def _stack_rows(rows, total, like):
 
 
 def _lm_kernel(fixed_ref, S_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref,
-               em_ref, priorT_ref, PT_out_ref, stats_ref, *,
+               em_ref, rm_ref, priorT_ref, PT_out_ref, stats_ref, *,
                n_edges, cg_iterations, cg_tol, max_iterations,
                lambda_init, lambda_up, lambda_down, min_step_norm,
-               min_cost_decrease, prior_info):
+               min_cost_decrease, prior_info, robust, robust_delta):
     E = n_edges
     V = PT0_ref.shape[1]
     f32 = jnp.float32
@@ -432,13 +432,47 @@ def _lm_kernel(fixed_ref, S_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref,
         rows = [col[r:r + 1, :] for r in range(16)]
         return _se3_log(_mat4_mul(prior_Tinv, rows))          # [1,1] rows
 
+    rmask = rm_ref[0:1, :] > 0.5                             # [1, E]
+    d2 = robust_delta * robust_delta
+
+    def _chi2(e):
+        Oe = _mv6(O, e)
+        return _dotn([(e[i], Oe[i]) for i in range(6)])
+
+    def robust_weight(e):
+        """IRLS weight per edge — mirrors ``pgo.robust_weight``."""
+        if robust == "none":
+            return None
+        chi2 = _chi2(e)
+        if robust == "huber":
+            r = jnp.sqrt(jnp.maximum(chi2, 1e-30))
+            w = jnp.minimum(1.0, robust_delta / r)
+        elif robust == "cauchy":
+            w = 1.0 / (1.0 + chi2 / d2)
+        elif robust == "gm":
+            w = (d2 / (d2 + chi2)) ** 2
+        else:
+            raise ValueError(f"unknown robust kernel {robust!r}")
+        return jnp.where(rmask, w, 1.0)
+
     def cost_of(PT):
         e, _ = edge_pass(PT)
-        Oe = _mv6(O, e)
-        chi = _dotn([(e[i], Oe[i]) for i in range(6)])
+        c = _chi2(e)
+        if robust != "none":
+            if robust == "huber":
+                r = jnp.sqrt(jnp.maximum(c, 1e-30))
+                rho = jnp.where(r <= robust_delta, c,
+                                2.0 * robust_delta * r - d2)
+            elif robust == "cauchy":
+                # log1p has no Mosaic lowering; plain log is fine at the
+                # chi2 magnitudes robust kernels gate on.
+                rho = d2 * jnp.log(1.0 + c / d2)
+            else:  # gm
+                rho = d2 * c / (d2 + c)
+            c = jnp.where(rmask, rho, c)
         rp = prior_residual(PT)
         pc = _dotn([(rp[i], rp[i]) for i in range(6)])
-        return jnp.sum(chi) + prior_info * jnp.sum(pc)
+        return jnp.sum(c) + prior_info * jnp.sum(pc)
 
     def scatter_to_vertices(rows_f, rows_t, n_rows):
         """sum over edges into vertices: rows [*, E] x2 -> [n_rows, V]."""
@@ -454,12 +488,15 @@ def _lm_kernel(fixed_ref, S_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref,
         PT, lam, cost, done, n_iter = carry
         # ---- build system ----
         e, M = edge_pass(PT)
+        rw = robust_weight(e)
+        Ow = O if rw is None else \
+            [[_mul(O[i][j], rw) for j in range(6)] for i in range(6)]
         a = _ad6(e)
         Jri = _eye6_plus(a, 0.5, _mm6(a, a), 1.0 / 12.0)
         AdMi = _adjoint_of_inv(M)
         Jf = [[_neg(x) for x in row] for row in _mm6(Jri, AdMi)]
-        JtT_O = _mm6(_t6(Jri), O)
-        JfT_O = _mm6(_t6(Jf), O)
+        JtT_O = _mm6(_t6(Jri), Ow)
+        JfT_O = _mm6(_t6(Jf), Ow)
         H_ff = _mm6(JfT_O, Jf)
         H_tt = _mm6(JtT_O, Jri)
         H_ft = _mm6(JfT_O, Jri)
@@ -591,9 +628,10 @@ def _lm_kernel(fixed_ref, S_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref,
 
 
 def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
-                       emask, fixed_id, *, config):
+                       emask, fixed_id, robust_emask=None, *, config):
     """Single-dispatch LM optimize. Same contract as the LM loop inside
-    ``pgo.optimize_pose_graph`` (robust='none'); returns (poses, stats)."""
+    ``pgo.optimize_pose_graph`` incl. the robust IRLS kernels; returns
+    (poses, stats)."""
     V, E = poses.shape[0], edge_from.shape[0]
     Vp = -(-V // 128) * 128
     Ep = -(-E // 128) * 128
@@ -610,6 +648,9 @@ def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
     ZinvT = padT(se3.inverse(edge_T), 16, Ep)
     covT = padT(edge_cov, 40, Ep)
     em = jnp.pad(emask.astype(jnp.float32), (0, Ep - E))[None, :]
+    rme = jnp.ones((E,), jnp.float32) if robust_emask is None \
+        else robust_emask.astype(jnp.float32)
+    rme = jnp.pad(rme, (0, Ep - E))[None, :]
     vm = jnp.broadcast_to(
         jnp.pad(vmask.astype(jnp.float32), (0, Vp - V))[None, :], (8, Vp))
     prior_Tinv = se3.inverse(poses[fixed_id])
@@ -624,19 +665,12 @@ def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
         lambda_down=config.lambda_down,
         min_step_norm=config.min_step_norm,
         min_cost_decrease=config.min_cost_decrease,
-        prior_info=float(1.0 / config.prior_sigma ** 2))
+        prior_info=float(1.0 / config.prior_sigma ** 2),
+        robust=config.robust, robust_delta=float(config.robust_delta))
     PT_out, stats = pl.pallas_call(
         kern,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=[jax.ShapeDtypeStruct((16, Vp), jnp.float32),
@@ -647,7 +681,7 @@ def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )(jnp.asarray(fixed_id, jnp.int32)[None], S, PT0, vm, ZinvT, covT,
-      em, priorT)
+      em, rme, priorT)
     final = PT_out[:, :V].T.reshape(V, 4, 4).astype(poses.dtype)
     out_stats = {"initial_cost": stats[0], "final_cost": stats[1],
                  "iterations": stats[2].astype(jnp.int32),

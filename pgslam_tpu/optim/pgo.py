@@ -36,14 +36,14 @@ class PGOConfig:
     max_iterations: int = 50          # LM outer iterations
     # Linear solver:
     #   "pcg"        — matrix-free block-Jacobi CG. On TPU, when the
-    #                  problem fits VMEM: robust="none" runs the ENTIRE
-    #                  LM (residuals, Jacobians, preconditioner, CG,
-    #                  retract, accept/reject) as ONE fused Pallas kernel
-    #                  dispatch (optim/lm_pallas.py — the XLA loop is
-    #                  launch-bound at ~5 ms/LM-iteration on the relay
-    #                  chip); robust kernels fuse only the CG solve
-    #                  (optim/pcg_pallas.py). Larger graphs use the XLA
-    #                  loop.
+    #                  problem fits VMEM, the ENTIRE LM (residuals,
+    #                  Jacobians, robust IRLS weights, preconditioner,
+    #                  CG, retract, accept/reject) runs as ONE fused
+    #                  Pallas kernel dispatch (optim/lm_pallas.py — the
+    #                  XLA loop is launch-bound at ~5 ms/LM-iteration on
+    #                  the relay chip). Larger graphs use the XLA loop;
+    #                  the CG-only fused kernel (optim/pcg_pallas.py)
+    #                  remains as an intermediate option.
     #   "pcg_xla"    — force the XLA CG loop (any backend/size).
     #   "pcg_pallas" — force the fused CG kernel (tests; interpret on CPU).
     #   "lm_pallas"  — force the whole-LM kernel (tests; interpret on CPU).
@@ -163,8 +163,7 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
 
     def _lm_kernel_eligible():
         from .lm_pallas import fits_vmem as lm_fits
-        return (config.robust == "none"
-                and jax.default_backend() not in ("cpu",)
+        return (jax.default_backend() not in ("cpu",)
                 and lm_fits(V, E))
 
     if config.solver == "lm_pallas" or (config.solver == "pcg"
@@ -173,7 +172,7 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
         from .lm_pallas import lm_optimize_pallas
         final, stats = lm_optimize_pallas(
             poses, vmask, edge_from, edge_to, edge_T, edge_cov, emask,
-            fixed_id, config=config)
+            fixed_id, robust_emask, config=config)
         final = se3.normalize_rotation(final)
         final = jnp.where(vmask[:, None, None], final, poses)
         return final, stats

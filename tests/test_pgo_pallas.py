@@ -57,6 +57,30 @@ def test_fused_solver_matches_xla(solver):
     assert float(st_p["final_cost"]) < 1e-4 * float(st_p["initial_cost"])
 
 
+@pytest.mark.parametrize("robust", ["huber", "cauchy", "gm"])
+def test_lm_pallas_robust_matches_xla(robust):
+    args, gt = _ring_problem()
+    # corrupt one loop edge so the robust kernel has something to gate
+    Ts = np.asarray(args[4]).copy()
+    Ts[70] = Ts[70] @ np.asarray(se3.exp(jnp.asarray(
+        [3.0, 0.0, 0.0, 0.0, 0.0, 0.3], jnp.float32)))
+    rmask = np.zeros(Ts.shape[0], bool)
+    rmask[63:] = True  # robustify the non-chain edges only
+    args = args[:4] + (jnp.asarray(Ts),) + args[5:]
+    kw = dict(max_iterations=6, cg_iterations=30, cg_tol=1e-3,
+              robust=robust, robust_delta=1.0)
+    out_x, st_x = optimize_pose_graph(
+        *args, robust_emask=jnp.asarray(rmask),
+        config=PGOConfig(solver="pcg_xla", **kw))
+    out_p, st_p = optimize_pose_graph(
+        *args, robust_emask=jnp.asarray(rmask),
+        config=PGOConfig(solver="lm_pallas", **kw))
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               atol=5e-3)
+    np.testing.assert_allclose(float(st_p["final_cost"]),
+                               float(st_x["final_cost"]), rtol=1e-2)
+
+
 def test_lm_pallas_respects_fixed_vertex():
     args, gt = _ring_problem()
     cfg = PGOConfig(max_iterations=4, cg_iterations=30, cg_tol=1e-3,

@@ -60,10 +60,12 @@ def __getattr__(name):
     if name in ("OptimizerConfig", "Optimizer"):
         from . import optimizer
         return getattr(optimizer, name)
-    if name in ("PGOConfig", "optimize_pose_graph"):
+    if name in ("PGOConfig", "optimize_pose_graph", "pose_marginals"):
         from .optim import pgo
         return getattr(pgo, name)
-    if name in ("save_checkpoint", "load_checkpoint"):
+    if name in ("save_checkpoint", "load_checkpoint",
+                "save_trajectory_kitti", "load_trajectory_kitti",
+                "save_trajectory_tum", "load_trajectory_tum"):
         from . import io
         return getattr(io, name)
     if name in ("ate_rmse", "rpe", "align_umeyama"):

@@ -110,3 +110,69 @@ def load_checkpoint(path: str, map_manager: MapManager,
             localizer.next_composition = comp.copy()
             localizer.local_map.update_to_new_composition(g, comp)
             localizer.icp_engine.set_map(localizer.local_map.cloud())
+
+
+# --------------------------------------------------------------------------
+# Trajectory interchange formats (KITTI odometry / TUM RGB-D)
+# --------------------------------------------------------------------------
+#
+# The reference has no trajectory export at all (its only persistence is a
+# graphviz topology dump, ``MapManager.hpp:137-147``); these formats are
+# what the surrounding ecosystem (evo, kitti-devkit, rpg_trajectory_eval)
+# consumes, so a user migrating from the reference can plug straight into
+# their existing evaluation tooling alongside :mod:`pgslam_tpu.eval`.
+
+def save_trajectory_kitti(path: str, poses) -> None:
+    """Write ``[N, 4, 4]`` poses in KITTI odometry format: one line per
+    pose, the 12 values of the upper 3x4 block, row-major."""
+    arr = np.asarray(poses, dtype=np.float64).reshape(-1, 4, 4)
+    np.savetxt(path, arr[:, :3, :].reshape(len(arr), 12), fmt="%.9e")
+
+
+def load_trajectory_kitti(path: str) -> np.ndarray:
+    """Read KITTI odometry poses -> ``[N, 4, 4]`` float32."""
+    flat = np.loadtxt(path, dtype=np.float64).reshape(-1, 3, 4)
+    out = np.tile(np.eye(4, dtype=np.float32), (len(flat), 1, 1))
+    out[:, :3, :] = flat.astype(np.float32)
+    return out
+
+
+def save_trajectory_tum(path: str, poses, timestamps=None) -> None:
+    """Write poses in TUM format: ``t tx ty tz qx qy qz qw`` per line.
+    ``timestamps`` defaults to the pose index."""
+    import jax.numpy as jnp
+
+    from . import se3
+    arr = np.asarray(poses, dtype=np.float32).reshape(-1, 4, 4)
+    q = np.asarray(se3.quaternion_from_matrix(
+        jnp.asarray(arr[:, :3, :3])))                   # [N, 4] (w,x,y,z)
+    t = arr[:, :3, 3]
+    ts = np.arange(len(arr), dtype=np.float64) if timestamps is None \
+        else np.asarray(timestamps, dtype=np.float64)
+    cols = np.column_stack([ts, t, q[:, 1], q[:, 2], q[:, 3], q[:, 0]])
+    np.savetxt(path, cols, fmt="%.9f")
+
+
+def load_trajectory_tum(path: str):
+    """Read TUM trajectory -> (timestamps ``[N]``, poses ``[N, 4, 4]``)."""
+    import jax.numpy as jnp
+
+    from . import se3
+    data = np.loadtxt(path, dtype=np.float64).reshape(-1, 8)
+    ts = data[:, 0]
+    t = data[:, 1:4].astype(np.float32)
+    qxyzw = data[:, 4:8].astype(np.float32)
+    # TUM order (x, y, z, w) -> twist via exp of log_so3 of the rotation
+    w, x, y, z = qxyzw[:, 3], qxyzw[:, 0], qxyzw[:, 1], qxyzw[:, 2]
+    R = np.empty((len(data), 3, 3), np.float32)
+    R[:, 0, 0] = 1 - 2 * (y * y + z * z)
+    R[:, 0, 1] = 2 * (x * y - z * w)
+    R[:, 0, 2] = 2 * (x * z + y * w)
+    R[:, 1, 0] = 2 * (x * y + z * w)
+    R[:, 1, 1] = 1 - 2 * (x * x + z * z)
+    R[:, 1, 2] = 2 * (y * z - x * w)
+    R[:, 2, 0] = 2 * (x * z - y * w)
+    R[:, 2, 1] = 2 * (y * z + x * w)
+    R[:, 2, 2] = 1 - 2 * (x * x + y * y)
+    poses = np.asarray(se3.make(jnp.asarray(R), jnp.asarray(t)))
+    return ts, poses

@@ -452,3 +452,72 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
     stats = {"initial_cost": init_cost, "final_cost": final_cost,
              "iterations": n_iter, "lambda": lam}
     return final, stats
+
+
+@functools.partial(jax.jit, static_argnames=("method",))
+def pose_marginals(poses: jax.Array,        # [V, 4, 4] (optimized) values
+                   vmask: jax.Array,
+                   edge_from: jax.Array,
+                   edge_to: jax.Array,
+                   edge_T: jax.Array,
+                   edge_cov: jax.Array,
+                   emask: jax.Array,
+                   fixed_id: jax.Array,
+                   prior_sigma: float = 1e-6,
+                   method: str = "dense") -> jax.Array:
+    """Per-vertex 6x6 marginal covariances of the pose graph at ``poses``
+    (PM [t; r] twist order) — the GTSAM ``Marginals`` capability, which
+    the reference never exposes despite linking it.
+
+    ``method="dense"`` inverts the full damped information matrix and
+    extracts the diagonal blocks (exact Gaussian marginals; fine for
+    V up to a few thousand). ``method="block_diag"`` inverts only the
+    block-diagonal of H — the conditional covariance given all
+    neighbors; a cheap optimistic bound useful as a relative confidence
+    signal at any scale.
+    """
+    V = poses.shape[0]
+    dtype = poses.dtype
+    prior_info = jnp.asarray(1.0 / prior_sigma ** 2, dtype)
+    edge_from = jnp.clip(edge_from, 0, V - 1)
+    edge_to = jnp.clip(edge_to, 0, V - 1)
+    cov_safe = jnp.where(emask[:, None, None], edge_cov,
+                         jnp.eye(6, dtype=dtype))
+    info = jnp.where(emask[:, None, None], spd_inverse6(cov_safe), 0.0)
+
+    Xf = poses[edge_from]
+    Xt = poses[edge_to]
+    M = se3.inverse(Xf) @ Xt
+    e = se3.log(se3.inverse(edge_T) @ M)
+    Jri = _jr_inv(e)
+    Jf = -Jri @ se3.adjoint(se3.inverse(M))
+    JtT_O = jnp.swapaxes(Jri, -1, -2) @ info
+    JfT_O = jnp.swapaxes(Jf, -1, -2) @ info
+    H_ff = JfT_O @ Jf
+    H_tt = JtT_O @ Jri
+    H_ft = JfT_O @ Jri
+
+    D = (jax.ops.segment_sum(H_ff, edge_from, num_segments=V)
+         + jax.ops.segment_sum(H_tt, edge_to, num_segments=V))
+    D = D.at[fixed_id].add(prior_info * jnp.eye(6, dtype=dtype))
+    # Regularize padded / unconstrained vertices so the inverse exists.
+    D = jnp.where(vmask[:, None, None], D, jnp.eye(6, dtype=dtype))
+
+    if method == "block_diag":
+        out = spd_inverse6(D + 1e-8 * jnp.eye(6, dtype=dtype))
+        return jnp.where(vmask[:, None, None], out, 0.0)
+
+    Hb = jnp.zeros((V, V, 6, 6), dtype)
+    Hb = Hb.at[edge_from, edge_from].add(H_ff)
+    Hb = Hb.at[edge_to, edge_to].add(H_tt)
+    Hb = Hb.at[edge_from, edge_to].add(H_ft)
+    Hb = Hb.at[edge_to, edge_from].add(jnp.swapaxes(H_ft, -1, -2))
+    H = Hb.transpose(0, 2, 1, 3).reshape(6 * V, 6 * V)
+    didx = jnp.arange(6 * V)
+    prior_rows = (didx // 6) == fixed_id
+    H = H.at[didx, didx].add(jnp.where(prior_rows, prior_info, 0.0))
+    pad = jnp.repeat(~vmask, 6)
+    H = H.at[didx, didx].add(jnp.where(pad, 1.0, 1e-8))
+    Sigma = jnp.linalg.inv(H)
+    blocks = Sigma.reshape(V, 6, V, 6)[jnp.arange(V), :, jnp.arange(V), :]
+    return jnp.where(vmask[:, None, None], blocks, 0.0)

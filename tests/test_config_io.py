@@ -221,3 +221,38 @@ def test_yaml_unset_optimizer_keys_use_dataclass_defaults(tmp_path):
     assert cfg.optimizer.pgo.cg_iterations == PGOConfig().cg_iterations
     assert cfg.optimizer.pgo.max_iterations == PGOConfig().max_iterations
     assert cfg.optimizer.pgo.prior_sigma == 1e-5
+
+
+def test_trajectory_kitti_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from pgslam_tpu import se3
+    from pgslam_tpu.io import load_trajectory_kitti, save_trajectory_kitti
+
+    rng = np.random.default_rng(3)
+    tw = jnp.asarray(rng.normal(size=(7, 6)) * 0.5, jnp.float32)
+    poses = np.asarray(jax.vmap(se3.exp)(tw))
+    path = str(tmp_path / "traj.kitti")
+    save_trajectory_kitti(path, poses)
+    back = load_trajectory_kitti(path)
+    np.testing.assert_allclose(back, poses, atol=1e-6)
+
+
+def test_trajectory_tum_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from pgslam_tpu import se3
+    from pgslam_tpu.io import load_trajectory_tum, save_trajectory_tum
+
+    rng = np.random.default_rng(4)
+    tw = jnp.asarray(rng.normal(size=(9, 6)) * 0.8, jnp.float32)
+    poses = np.asarray(jax.vmap(se3.exp)(tw))
+    ts = np.linspace(100.0, 101.6, 9)
+    path = str(tmp_path / "traj.tum")
+    save_trajectory_tum(path, poses, ts)
+    ts2, back = load_trajectory_tum(path)
+    np.testing.assert_allclose(ts2, ts, atol=1e-6)
+    # quaternion round-trip: rotation to ~1e-6, translation exact-ish
+    np.testing.assert_allclose(back, poses, atol=1e-5)

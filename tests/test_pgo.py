@@ -138,3 +138,41 @@ def test_disconnected_components_stay_bounded(rng):
     out = np.asarray(out)
     for i in range(6):
         np.testing.assert_allclose(out[i], poses[i], atol=1e-3)
+
+
+def test_pose_marginals_chain_uncertainty_grows():
+    """Dense marginals: anchor is pinned by the prior; uncertainty
+    accumulates with graph distance from it; the block-diagonal
+    (conditional) covariance never exceeds the true marginal."""
+    import jax
+    import jax.numpy as jnp
+
+    from pgslam_tpu import se3
+    from pgslam_tpu.optim.pgo import pose_marginals
+
+    V = 6
+    poses = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))
+    poses[:, 0, 3] = np.arange(V, dtype=np.float32)
+    ef = np.arange(V - 1, dtype=np.int32)
+    et = ef + 1
+    Ts = np.einsum("eij,ejk->eik", np.linalg.inv(poses[ef]), poses[et])
+    covs = np.tile((np.eye(6, dtype=np.float32) * 0.01), (V - 1, 1, 1))
+    vmask = np.ones(V, bool)
+    emask = np.ones(V - 1, bool)
+    args = (jnp.asarray(poses), jnp.asarray(vmask), jnp.asarray(ef),
+            jnp.asarray(et), jnp.asarray(Ts.astype(np.float32)),
+            jnp.asarray(covs), jnp.asarray(emask), jnp.int32(0))
+    dense = np.asarray(pose_marginals(*args, method="dense"))
+    bd = np.asarray(pose_marginals(*args, method="block_diag"))
+    tr = np.trace(dense, axis1=1, axis2=2)
+    # anchor pinned to the prior scale
+    assert tr[0] < 1e-8
+    # strictly growing uncertainty down the chain
+    assert np.all(np.diff(tr) > 0)
+    # chain tail accumulates ~k * edge covariance
+    np.testing.assert_allclose(tr[1], 0.06, rtol=0.15)
+    # conditional (block-diag) covariance <= marginal, interior vertices
+    tr_bd = np.trace(bd, axis1=1, axis2=2)
+    assert np.all(tr_bd[1:-1] <= tr[1:-1] + 1e-9)
+    # symmetric SPD blocks
+    np.testing.assert_allclose(dense, np.swapaxes(dense, 1, 2), atol=1e-7)

@@ -176,3 +176,66 @@ def load_trajectory_tum(path: str):
     R[:, 2, 2] = 1 - 2 * (x * x + y * y)
     poses = np.asarray(se3.make(jnp.asarray(R), jnp.asarray(t)))
     return ts, poses
+
+
+# --------------------------------------------------------------------------
+# PLY point-cloud export/import
+# --------------------------------------------------------------------------
+
+def save_cloud_ply(path: str, cloud, binary: bool = True) -> None:
+    """Write a :class:`Cloud` (or raw ``[N, 3]`` array) to PLY. Masked
+    points are dropped; a ``normals`` descriptor becomes nx/ny/nz."""
+    if hasattr(cloud, "points"):
+        mask = np.asarray(cloud.mask)
+        pts = np.asarray(cloud.points)[mask].astype(np.float32)
+        normals = cloud.descriptors.get("normals")
+        normals = None if normals is None \
+            else np.asarray(normals)[mask].astype(np.float32)
+    else:
+        pts = np.asarray(cloud, dtype=np.float32).reshape(-1, 3)
+        normals = None
+    props = ["property float x", "property float y", "property float z"]
+    cols = [pts]
+    if normals is not None:
+        props += ["property float nx", "property float ny",
+                  "property float nz"]
+        cols.append(normals)
+    fmt = ("binary_little_endian" if binary else "ascii")
+    header = ("ply\nformat %s 1.0\nelement vertex %d\n%s\nend_header\n"
+              % (fmt, len(pts), "\n".join(props)))
+    data = np.column_stack(cols).astype("<f4")
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        if binary:
+            f.write(data.tobytes())
+        else:
+            np.savetxt(f, data, fmt="%.6f")
+
+
+def load_cloud_ply(path: str, capacity: int | None = None):
+    """Read a PLY written by :func:`save_cloud_ply` (float32 x/y/z
+    [+ nx/ny/nz]) into a :class:`Cloud`."""
+    from .cloud import make_cloud
+    with open(path, "rb") as f:
+        header = []
+        while True:
+            line = f.readline().decode("ascii").strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        n = next(int(h.split()[-1]) for h in header
+                 if h.startswith("element vertex"))
+        props = [h.split()[-1] for h in header if h.startswith("property")]
+        binary = any("binary_little_endian" in h for h in header)
+        width = len(props)
+        if binary:
+            data = np.frombuffer(f.read(4 * n * width),
+                                 dtype="<f4").reshape(n, width)
+        else:
+            data = np.loadtxt(f, dtype=np.float32).reshape(n, width)
+    pts = data[:, :3]
+    descriptors = {}
+    if "nx" in props:
+        i = props.index("nx")
+        descriptors["normals"] = data[:, i:i + 3]
+    return make_cloud(pts, capacity=capacity or n, descriptors=descriptors)

@@ -134,6 +134,29 @@ class PoseGraphSlam:
         g = self.map_manager.get_graph()
         return g.optimized_poses[:g.n_vertices].copy()
 
+    def global_map(self, max_points_per_keyframe: int = 0) -> np.ndarray:
+        """Concatenate every keyframe cloud in the world frame using the
+        OPTIMIZED poses — the full reconstructed map (the reference keeps
+        clouds per-vertex but never offers this assembly). Returns a
+        dense ``[N, 3]`` float32 array (masked points dropped); cap the
+        per-keyframe contribution with ``max_points_per_keyframe``.
+        Export with :func:`pgslam_tpu.io.save_cloud_ply`."""
+        g = self.map_manager.get_graph()
+        parts = []
+        for v in range(g.n_vertices):
+            cloud = g.clouds[v]
+            if cloud is None:
+                continue
+            pts = np.asarray(cloud.points)[np.asarray(cloud.mask)]
+            if max_points_per_keyframe and len(pts) > max_points_per_keyframe:
+                step = len(pts) // max_points_per_keyframe + 1
+                pts = pts[::step]
+            T = np.asarray(g.optimized_poses[v], dtype=np.float32)
+            parts.append(pts @ T[:3, :3].T + T[:3, 3])
+        if not parts:
+            return np.zeros((0, 3), np.float32)
+        return np.concatenate(parts, axis=0)
+
     def write_graphviz(self, path: str) -> None:
         self.map_manager.write_graphviz(path)
 

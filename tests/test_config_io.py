@@ -256,3 +256,42 @@ def test_trajectory_tum_roundtrip(tmp_path):
     np.testing.assert_allclose(ts2, ts, atol=1e-6)
     # quaternion round-trip: rotation to ~1e-6, translation exact-ish
     np.testing.assert_allclose(back, poses, atol=1e-5)
+
+
+def test_ply_roundtrip(tmp_path):
+    from pgslam_tpu.cloud import make_cloud
+    from pgslam_tpu.io import load_cloud_ply, save_cloud_ply
+
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    nrm = rng.normal(size=(100, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    mask = np.ones(128, bool)
+    mask[100:] = False
+    cloud = make_cloud(pts, capacity=128, descriptors={"normals": nrm})
+    for binary in (True, False):
+        path = str(tmp_path / f"c_{binary}.ply")
+        save_cloud_ply(path, cloud, binary=binary)
+        back = load_cloud_ply(path)
+        assert int(back.count()) == 100
+        np.testing.assert_allclose(np.asarray(back.points)[:100], pts,
+                                   atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(back.descriptors["normals"])[:100], nrm, atol=1e-5)
+
+
+def test_global_map_assembly():
+    from pgslam_tpu import PoseGraphSlam, SlamConfig
+    from pgslam_tpu.datasets import corridor_sequence
+
+    rng = np.random.default_rng(6)
+    scans, odom, _gt = corridor_sequence(rng, n_scans=8, scan_points=512)
+    slam = PoseGraphSlam(SlamConfig())
+    for t, (scan, T) in enumerate(zip(scans, odom)):
+        slam.add_data(t, "world", T, np.eye(4), scan)
+    gm = slam.global_map()
+    n_kf = slam.get_graph().n_vertices
+    assert gm.shape[1] == 3 and len(gm) >= 512 * n_kf
+    assert np.isfinite(gm).all()
+    capped = slam.global_map(max_points_per_keyframe=100)
+    assert len(capped) < len(gm)

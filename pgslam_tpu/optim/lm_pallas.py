@@ -588,9 +588,19 @@ def _lm_kernel(fixed_ref, S_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref,
                                    jnp.sum(rn * rn) <= cg_tol * rhs2)
             return (x, r, p, rz, cdone)
 
-        delta8, _, _, _, _ = jax.lax.fori_loop(
-            0, cg_iterations, cg_body,
-            (jnp.zeros((8, V), f32), rhs, z0, rz0, jnp.bool_(False)))
+        def cg_cond(c):
+            _, _, _, _, cdone = c[:5]
+            it = c[5]
+            return jnp.logical_and(it < cg_iterations, ~cdone)
+
+        def cg_step(c):
+            x, r, p, rz, cdone = cg_body(None, c[:5])
+            return (x, r, p, rz, cdone, c[5] + 1)
+
+        delta8, _, _, _, _, _ = jax.lax.while_loop(
+            cg_cond, cg_step,
+            (jnp.zeros((8, V), f32), rhs, z0, rz0, jnp.bool_(False),
+             jnp.int32(0)))
         delta8 = jnp.where(vm_ref[:] > 0.5, delta8, 0.0)
         # ---- retract + accept/reject ----
         step = _se3_exp([delta8[j:j + 1, :] for j in range(6)])
@@ -616,8 +626,13 @@ def _lm_kernel(fixed_ref, S_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref,
         return (PT_next, lam, cost_next, done, n_iter)
 
     init_cost = cost_of(PT0_ref[:])
-    PT_fin, lam_fin, cost_fin, _, n_iter = jax.lax.fori_loop(
-        0, max_iterations, lm_body,
+
+    def lm_cond(carry):
+        _, _, _, done, n_iter = carry
+        return jnp.logical_and(n_iter < max_iterations, ~done)
+
+    PT_fin, lam_fin, cost_fin, _, n_iter = jax.lax.while_loop(
+        lm_cond, functools.partial(lm_body, None),
         (PT0_ref[:], jnp.float32(lambda_init), init_cost,
          jnp.bool_(False), jnp.int32(0)))
     PT_out_ref[:] = PT_fin

@@ -96,11 +96,12 @@ def bench_icp_64k():
     # Batched multi-agent throughput. Registration is a
     # latency-insensitive throughput workload in production mapping; the
     # batch axis is the deployment unit and is what shards across a v5e
-    # mesh. Tuned profile (chip-measured r2): B=128 amortizes the
-    # per-dispatch overhead; 1k reading x 8k reference working set (pose
-    # estimation saturates well below that correspondence count — the
-    # full-density map still backs the localizer); Anderson acceleration
-    # + coarse-to-fine cut iterations to ~4; the packed hi/lo bf16
+    # mesh. Tuned profile (chip-measured r2): B=128 over the fused
+    # whole-ICP Pallas kernel (ops/icp_pallas.py — one kernel for the
+    # entire batch, grid = agents); 1k reading x 8k reference working
+    # set (pose estimation saturates well below that correspondence
+    # count — the full-density map still backs the localizer);
+    # coarse-to-fine cuts iterations to ~4; the packed hi/lo bf16
     # cross-term ("high") runs the matcher in ONE MXU pass at ~f32
     # accuracy (6x the bit-exact mode's matmul rate).
     batched_rate = 0.0
@@ -117,7 +118,7 @@ def bench_icp_64k():
                                F.Compact(8192),
                                F.SurfaceNormal(knn=8, tile_query=4096)),
             outlier=(O.TrimmedDist(0.9), O.MaxDist(1.0)),
-            anderson_m=3, coarse_div=8, coarse_iterations=8,
+            coarse_div=8, coarse_iterations=8,
             max_iterations=10, trans_eps=1e-4, rot_eps=1e-4)
         engine_b = ICPEngine(cfg_b)
         engine_b.set_map(make_cloud(pts, capacity=65536))
@@ -135,7 +136,7 @@ def bench_icp_64k():
         bdt = (time.perf_counter() - t0) / reps
         batched_rate = B / bdt
         berr = np.asarray(se3.log(se3.inverse(bres.T[0]) @ offset))
-        log(f"batched x{B} (1k/8k, AA+c2f, packed-high): "
+        log(f"batched x{B} (fused kernel, 1k/8k, c2f, packed-high): "
             f"{bdt*1e3:.2f} ms/batch "
             f"= {batched_rate:.1f} regs/sec throughput, "
             f"err={np.linalg.norm(berr):.2e}, "

@@ -1,0 +1,440 @@
+"""The ENTIRE point-to-plane ICP registration as ONE Pallas TPU kernel.
+
+Motivation (chip-measured, v5e): the jitted XLA registration loop is a
+single dispatch, but inside it every iteration runs ~40 small batched
+fusions (matcher epilogue aside, the minimizer/outlier/SE(3) ops are all
+tiny) — at B=128 the batched register spends ~50 of 68 ms/batch outside
+the matcher matmul. This kernel holds one registration's full state in
+VMEM and runs match -> weigh -> minimize -> check to convergence,
+including the coarse-to-fine stage and the final overlap/residual/
+covariance introspection. The batch axis is the Pallas grid.
+
+Key design points:
+
+* **No per-iteration reading transform.** Since ``p'.r = (Rp + t).r =
+  p.(R^T r) + t.r``, the packed bf16 hi/lo reading operand (see
+  ``knn_pallas._pack_operands``) is built ONCE outside the kernel, and
+  each iteration rotates the *reference tile* by R^T (12 FMAs) instead.
+* **No gathers.** The matched reference point+normal are accumulated
+  during the tile fold as ``values16 @ one_hot(argmax)`` MXU products —
+  the running best match carries its payload with it.
+* **Exact trimmed-distance threshold by bisection** on the squared
+  distances (Mosaic has no sort): ~32 masked-count passes converge to
+  the same keep-set as the XLA sort-based quantile.
+* The 6x6 normal-equation solve, SE(3) exp, and covariance run on
+  scalars via the row-math helpers shared with the LM kernel
+  (``ops/rowmath.py``).
+
+Scope: error="point_to_plane", exact-NN matching (k=1), TrimmedDist /
+MaxDist outlier chains, iteration + smoothed-differential checkers,
+optional coarse-to-fine. Anderson acceleration is intentionally absent
+(measured neutral at these working sets). Everything else falls back to
+:func:`pgslam_tpu.ops.icp.icp_core`, whose semantics this kernel mirrors
+(equivalence-tested in ``tests/test_icp_fused.py``).
+
+Reference role: the full ``ICPSequence::operator()`` iterate loop
+(``Localizer.hpp:126``; pipeline pinned at SURVEY.md §2b N3-N8).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import se3
+from ..cloud import Cloud
+from .rowmath import _mat4_mul, _schur_inv6, _se3_exp
+from .icp import ICPConfig, ICPResult
+from . import outlier as O
+
+_DEFAULT = jax.lax.Precision.DEFAULT
+NEG_BIG = -3.4e38
+MIN_SUPPORT = 6.0     # minimizer degenerate guard (ops/minimizer.py)
+
+
+def fused_eligible(cfg: ICPConfig) -> bool:
+    """Whether this config's semantics are covered by the fused kernel."""
+    return (cfg.error == "point_to_plane"
+            and cfg.matcher in ("pallas", "brute")
+            and cfg.knn == 1
+            and not (cfg.anderson_m and cfg.anderson_m > 1)
+            and all(isinstance(f, (O.TrimmedDist, O.MaxDist))
+                    for f in cfg.outlier))
+
+
+def _bf16_trunc(x):
+    """The bf16-representable truncation of f32 ``x``, computed by
+    mantissa bit-masking. NEVER use ``x.astype(bf16).astype(f32)`` for
+    hi/lo splitting in XLA code on this platform: the terminal forces
+    ``--xla_allow_excess_precision=true``, under which XLA folds the
+    downcast/upcast pair to the identity and the residual term
+    ``x - f32(bf16(x))`` constant-folds to ZERO (chip-verified — it
+    silently degraded every matched payload to bf16)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
+def _split_hi_lo(x):
+    hi = _bf16_trunc(x)
+    lo = _bf16_trunc(x - hi)
+    # exact casts: both values lie on the bf16 grid already
+    return hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
+
+
+def _split3(x):
+    """Three-term bf16 decomposition (~2^-22 relative). The matched-value
+    payload feeds near-zero residuals at convergence, where a two-term
+    split leaves ~1e-4 coordinate noise that visibly perturbs the
+    overlap/residual statistics."""
+    hi = _bf16_trunc(x)
+    r1 = x - hi
+    mid = _bf16_trunc(r1)
+    lo = (r1 - mid).astype(jnp.bfloat16)
+    return hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16), lo
+
+
+def _bisect_kth(d2_row, valid_row, k_keep, iters: int = 48):
+    """Smallest threshold t with count(valid & d2 <= t) >= k_keep.
+    Equivalent keep-set to the sort-based kth-smallest threshold.
+    48 halvings resolve thresholds down to ~1e-14 relative to the max —
+    enough that even the near-tie clusters of noise-free synthetic data
+    at convergence split the same way the sort does."""
+    finite = jnp.where(valid_row, d2_row, 0.0)
+    hi0 = jnp.max(finite) + 1.0
+    lo0 = jnp.zeros_like(hi0)
+
+    def body(_, c):
+        lo, hi = c
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum(jnp.where(valid_row & (d2_row <= mid), 1.0, 0.0))
+        ok = cnt >= k_keep
+        return (jnp.where(ok, lo, mid), jnp.where(ok, mid, hi))
+
+    _, hi = jax.lax.fori_loop(0, iters, body, (lo0, hi0))
+    return hi
+
+
+def _icp_kernel(T0_ref, rdT_ref, rdm_ref, rdcT_ref, rdcm_ref, refT_ref,
+                ref32_ref, vals16_ref, rsq_ref, T_out_ref,
+                stats_ref, dbg_ref=None, *, cfg: ICPConfig, tile_r: int,
+                n_coarse_iters: int):
+    f32 = jnp.float32
+    NR = refT_ref.shape[2]
+    n_tiles = NR // tile_r
+    L = max(1, cfg.smooth_length)
+
+    T0 = tuple(T0_ref[0, 0, i] for i in range(16))
+
+    def match(rdT, rdm, T):
+        """Exact 1-NN of the T-transformed reading against the reference.
+        Returns (matched [8, NQ] rows = [qpt(3), qnrm(3), 0, 0],
+                 d2 [1, NQ], hit [1, NQ] bool, p' rows [3][1, NQ]).
+
+        The query operand is the TRANSFORMED reading, rebuilt each
+        iteration (one f32 transpose). Rounding on the query side is
+        common-mode per reading point and cancels in the argmax; putting
+        it on the reference side instead (the r' = R^T r trick) leaves a
+        fixed per-reference score bias (~1e-3 m^2 at 100 m coordinates)
+        that systematically skews the match field and stalls convergence
+        ~2e-3 short — chip-measured.
+        """
+        NQ = rdT.shape[2]
+        # p' = R p + t in rows layout
+        Rm = [[T[4 * i + j] for j in range(3)] for i in range(3)]
+        rd = [rdT[0, i][None, :] for i in range(3)]
+        pp = [Rm[i][0] * rd[0] + Rm[i][1] * rd[1] + Rm[i][2] * rd[2]
+              + T[4 * i + 3] for i in range(3)]
+        z5 = jnp.zeros((5, NQ), f32)
+        if cfg.pallas_precision == "highest":
+            q = jnp.concatenate(pp + [z5], axis=0).T        # [NQ, 8] f32
+        else:
+            # hi/lo parts as exactly-representable f32 rows (bit-masked —
+            # see _bf16_trunc); transpose in f32 (bf16 transpose does not
+            # lower), cast after — exact.
+            ph = [_bf16_trunc(r) for r in pp]
+            plo = [pp[i] - ph[i] for i in range(3)]
+            blk_h = jnp.concatenate(ph + [z5], axis=0)      # [8, NQ]
+            blk_l = jnp.concatenate(plo + [z5], axis=0)
+            q = jnp.concatenate([blk_h, blk_l, blk_h, blk_l],
+                                axis=0).T.astype(jnp.bfloat16)  # [NQ, 32]
+        best = jnp.full((NQ, 1), NEG_BIG, f32)
+        matched = jnp.zeros((8, NQ), f32)
+        for j in range(n_tiles):
+            sl = slice(j * tile_r, (j + 1) * tile_r)
+            if cfg.pallas_precision == "highest":
+                cross = jax.lax.dot_general(
+                    q, refT_ref[0, :, sl], (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)
+            else:
+                cross = jax.lax.dot_general(
+                    q, ref32_ref[0, :, sl], (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32, precision=_DEFAULT)
+            # score = -(|p'-r|^2) + |p'|^2 = 2 p'.r - |r|^2  (argmax-safe)
+            score = 2.0 * cross - rsq_ref[0, 0:1, sl]
+            score = jnp.maximum(score, NEG_BIG)
+            tile_best = jnp.max(score, axis=1, keepdims=True)   # [NQ, 1]
+            cols = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+            arg = jnp.min(jnp.where(score >= tile_best, cols, tile_r),
+                          axis=1, keepdims=True)
+            onehot = (cols == arg).astype(jnp.bfloat16)
+            tv = jax.lax.dot_general(
+                vals16_ref[0, :, sl], onehot, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=_DEFAULT)  # [32, NQ]
+            tile_matched = tv[:8] + tv[8:16] + tv[16:24]  # rows 24-31 zero
+            if j == 0:
+                best, matched = tile_best, tile_matched
+            else:
+                # transpose floats, not bools (no i1 transpose in Mosaic)
+                gap = (tile_best - best)
+                best = jnp.where(gap > 0, tile_best, best)
+                matched = jnp.where(gap.T > 0, tile_matched, matched)
+        d2 = ((pp[0] - matched[0:1]) ** 2 + (pp[1] - matched[1:2]) ** 2
+              + (pp[2] - matched[2:3]) ** 2)
+        hit = (best.T > NEG_BIG) & (rdm[0, 0:1, :] > 0.5)
+        d2 = jnp.where(hit, d2, jnp.inf)
+        return matched, d2, hit, pp
+
+    def weights_of(d2, hit):
+        w = hit.astype(f32)
+        n_valid = jnp.sum(w)
+        for f in cfg.outlier:
+            if isinstance(f, O.TrimmedDist):
+                k_keep = jnp.ceil(f.ratio * n_valid)
+                thresh = _bisect_kth(d2, hit, k_keep)
+                w = w * jnp.where(d2 <= thresh, 1.0, 0.0)
+            elif isinstance(f, O.MaxDist):
+                w = w * jnp.where(d2 <= f.max_dist * f.max_dist, 1.0, 0.0)
+        return w
+
+    def p2plane_system(matched, pp, w):
+        """A = sum w J J^T, b = -sum w r J, ssr; J = [n; p' x n]."""
+        n = [matched[3 + i:4 + i, :] for i in range(3)]
+        q = [matched[i:i + 1, :] for i in range(3)]
+        r = (n[0] * (pp[0] - q[0]) + n[1] * (pp[1] - q[1])
+             + n[2] * (pp[2] - q[2]))
+        J = n + [pp[1] * n[2] - pp[2] * n[1],
+                 pp[2] * n[0] - pp[0] * n[2],
+                 pp[0] * n[1] - pp[1] * n[0]]
+        A = [[jnp.sum(w * J[i] * J[j]) if j >= i else None
+              for j in range(6)] for i in range(6)]
+        for i in range(6):
+            for j in range(i):
+                A[i][j] = A[j][i]
+        b = [-jnp.sum(w * r * J[i]) for i in range(6)]
+        ssr = jnp.sum(w * r * r)
+        return A, b, ssr
+
+    def step(T, rdT, rdm):
+        matched, d2, hit, pp = match(rdT, rdm, T)
+        w = weights_of(d2, hit)
+        A, b, _ = p2plane_system(matched, pp, w)
+        A = [[A[i][j] + (1e-6 if i == j else 0.0) for j in range(6)]
+             for i in range(6)]
+        Ainv = _schur_inv6(A)
+        x = [sum(Ainv[i][j] * b[j] for j in range(6)) for i in range(6)]
+        # degenerate guard: identity step when support is too small
+        ok = jnp.sum(w) >= MIN_SUPPORT
+        x = [jnp.where(ok, xi, 0.0) for xi in x]
+        delta = _se3_exp(x)
+        T_new = tuple(_mat4_mul(list(delta), list(T)))
+        dt = jnp.sqrt(delta[3] ** 2 + delta[7] ** 2 + delta[11] ** 2)
+        dr = jnp.sqrt(x[3] ** 2 + x[4] ** 2 + x[5] ** 2)
+        return T_new, dt, dr
+
+    def run_stage(T, rdT, rdm, max_it):
+        big = tuple(jnp.float32(jnp.inf) for _ in range(L))
+
+        def cond(c):
+            _, it, conv, _, _ = c
+            return jnp.logical_and(it < max_it, ~conv)
+
+        def body(c):
+            T, it, _, dts, drs = c
+            T, dt, dr = step(T, rdT, rdm)
+            dts = (dt,) + dts[:-1]
+            drs = (dr,) + drs[:-1]
+            conv = jnp.logical_and(sum(dts) / L < cfg.trans_eps,
+                                   sum(drs) / L < cfg.rot_eps)
+            return (T, it + 1, conv, dts, drs)
+
+        return jax.lax.while_loop(
+            cond, body, (T, jnp.int32(0), jnp.bool_(False), big, big))
+
+    T = T0
+    if n_coarse_iters > 0:
+        T, _, _, _, _ = run_stage(T, rdcT_ref, rdcm_ref, n_coarse_iters)
+    T, iters, conv, _, _ = run_stage(T, rdT_ref, rdm_ref,
+                                     cfg.max_iterations)
+
+    # Final introspection at the solution (mirrors icp_core's last pass).
+    matched, d2, hit, pp = match(rdT_ref, rdm_ref, T)
+    w = weights_of(d2, hit)
+    wsum = jnp.sum(w)
+    n_valid_reading = jnp.sum(rdm_ref[0, 0:1, :])
+    overlap = wsum / jnp.maximum(n_valid_reading, 1.0)
+    A, _, ssr = p2plane_system(matched, pp, w)
+    dof = jnp.maximum(wsum - 6.0, 1.0)
+    sigma2 = ssr / dof
+    Areg = [[A[i][j] + (1e-9 if i == j else 0.0) for j in range(6)]
+            for i in range(6)]
+    Ainv = _schur_inv6(Areg)
+
+    # Mosaic cannot store scalars to VMEM; build the output rows as full
+    # vectors with lane-iota selects (read back as [:, 0, :k] outside).
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+    def scatter_lanes(values):
+        out = jnp.zeros((8, 128), f32)
+        for i, v in enumerate(values):
+            out = out + jnp.where(lanes == i, v, 0.0)
+        return out
+
+    T_out_ref[0] = scatter_lanes(T)
+    if dbg_ref is not None:
+        dbg_ref[0] = jnp.concatenate(
+            [matched, d2, w] + pp
+            + [jnp.zeros((3, d2.shape[1]), f32)], axis=0)   # [16, NQ]
+    stats_vals = [iters.astype(f32), conv.astype(f32), overlap, ssr]
+    for i in range(6):
+        for j in range(6):
+            stats_vals.append(sigma2 * Ainv[i][j]
+                              + (1e-12 if i == j else 0.0))
+    # Diagnostic lanes 40..52: gradient b, the would-be next step, and
+    # the weight sum at the solution (chip-vs-XLA numerics comparison).
+    _, b_fin, _ = p2plane_system(matched, pp, w)
+    Areg2 = [[A[i][j] + (1e-6 if i == j else 0.0) for j in range(6)]
+             for i in range(6)]
+    Ainv2 = _schur_inv6(Areg2)
+    x_fin = [sum(Ainv2[i][j] * b_fin[j] for j in range(6))
+             for i in range(6)]
+    stats_vals += b_fin + x_fin + [wsum]
+    stats_ref[0] = scatter_lanes(stats_vals)
+
+
+def _rows_T(x, rows):
+    """[B, N, C] -> [B, rows, N] padded rows-layout."""
+    xt = jnp.swapaxes(x, 1, 2)
+    return jnp.pad(xt, ((0, 0), (0, rows - xt.shape[1]), (0, 0)))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "tile_r", "debug_stats"))
+def fused_icp_register(reading: Cloud, reference: Cloud, T_init: jax.Array,
+                       cfg: ICPConfig, tile_r: int = 1024,
+                       debug_stats: bool = False) -> ICPResult:
+    """Batched fused registration. ``reading``/``reference`` are stacked
+    clouds ([B, N, 3] + [B, N] masks, reference with ``normals``);
+    ``T_init`` is [B, 4, 4]. Returns a batched :class:`ICPResult`."""
+    B, NQ = reading.points.shape[:2]
+    NR = reference.points.shape[1]
+    if NR % tile_r:
+        pad = (-NR) % tile_r
+        reference = Cloud(
+            points=jnp.pad(reference.points, ((0, 0), (0, pad), (0, 0))),
+            mask=jnp.pad(reference.mask, ((0, 0), (0, pad))),
+            descriptors={k: jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+                         for k, v in reference.descriptors.items()})
+        NR += pad
+
+    rpts = reference.points.astype(jnp.float32)
+    rnrm = reference.descriptors["normals"].astype(jnp.float32)
+    refT = _rows_T(rpts, 8)
+    payload = jnp.concatenate(
+        [rpts, rnrm, jnp.zeros((B, NR, 2), jnp.float32)], axis=-1)
+    ph, pm, plo = _split3(payload)
+    vals16 = jnp.concatenate([jnp.swapaxes(ph, 1, 2),
+                              jnp.swapaxes(pm, 1, 2),
+                              jnp.swapaxes(plo, 1, 2)], axis=1)  # [B,24,NR]
+    # bf16 sublane quantum is 16: pad the row dim so the in-kernel block
+    # is tile-aligned (24-row bf16 blocks load corrupted tails on chip).
+    vals16 = jnp.pad(vals16, ((0, 0), (0, 8), (0, 0)))           # [B,32,NR]
+    rsq = jnp.sum(rpts * rpts, axis=-1)
+    rsq = jnp.where(reference.mask, rsq, jnp.inf)[:, None, :]   # [B,1,NR]
+
+    # Reference operand for the packed bf16 cross-term: row blocks
+    # [rh, rh, rl, rl] (pairing the in-kernel [ph, pl, ph, pl] query).
+    rh, rl = _split_hi_lo(rpts)
+    blk = lambda x: jnp.pad(jnp.swapaxes(x, 1, 2), ((0, 0), (0, 5), (0, 0)))
+    ref32 = jnp.concatenate([blk(rh), blk(rh), blk(rl), blk(rl)],
+                            axis=1)                              # [B,32,NR]
+
+    rd = reading.points.astype(jnp.float32)
+    rdT = _rows_T(rd, 8)
+    rdm = reading.mask.astype(jnp.float32)[:, None, :]
+
+    n_coarse = cfg.coarse_iterations if (cfg.coarse_div
+                                         and cfg.coarse_div > 1) else 0
+    if n_coarse:
+        rdc = rd[:, ::cfg.coarse_div]
+        mc = reading.mask[:, ::cfg.coarse_div]
+    else:  # placeholder blocks (never read)
+        rdc = rd[:, :8]
+        mc = reading.mask[:, :8]
+    rdcT = _rows_T(rdc, 8)
+    rdcm = mc.astype(jnp.float32)[:, None, :]
+
+    # Scalar I/O rides in VMEM [B, 8, 128] row blocks: Mosaic requires
+    # grid blocks with (8, 128)-divisible trailing dims (SMEM included).
+    T0 = jnp.zeros((B, 8, 128), jnp.float32).at[:, 0, :16].set(
+        T_init.reshape(B, 16).astype(jnp.float32))
+
+    kern = functools.partial(_icp_kernel, cfg=cfg, tile_r=tile_r,
+                             n_coarse_iters=n_coarse)
+    vspec = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda b: (b,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            vspec((8, 128)),
+            vspec(rdT.shape[1:]), vspec(rdm.shape[1:]),
+            vspec(rdcT.shape[1:]), vspec(rdcm.shape[1:]),
+            vspec(refT.shape[1:]), vspec(ref32.shape[1:]),
+            vspec(vals16.shape[1:]), vspec(rsq.shape[1:]),
+        ],
+        out_specs=[vspec((8, 128)), vspec((8, 128))]
+        + ([vspec((16, NQ))] if debug_stats else []),
+        out_shape=[jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)]
+        + ([jax.ShapeDtypeStruct((B, 16, NQ), jnp.float32)]
+           if debug_stats else []),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=jax.default_backend() == "cpu",
+    )(T0, rdT, rdm, rdcT, rdcm, refT, ref32, vals16, rsq)
+    T_out, stats = outs[0], outs[1]
+    dbg = outs[2] if debug_stats else None
+
+    T = T_out[:, 0, :16].reshape(B, 4, 4)
+    stats = stats[:, 0, :]
+    iters = stats[:, 0].astype(jnp.int32)
+    converged = stats[:, 1] > 0.5
+    overlap = stats[:, 2]
+    residual = stats[:, 3]
+    cov = stats[:, 4:40].reshape(B, 6, 6)
+
+    # Bound checker + NaN guard (mirrors icp_core's epilogue).
+    T_start = T_init.astype(jnp.float32)
+    diverged = jnp.zeros((B,), bool)
+    dT = T @ se3.inverse(T_start)
+    if cfg.max_correction_trans > 0:
+        diverged |= se3.translation_norm(dT) > cfg.max_correction_trans
+    if cfg.max_correction_rot > 0:
+        diverged |= se3.rotation_angle(dT) > cfg.max_correction_rot
+    diverged |= ~jnp.all(jnp.isfinite(T), axis=(1, 2))
+    T = jnp.where(diverged[:, None, None], T_start, T)
+    converged = converged & ~diverged
+    max_iter_reached = (iters >= cfg.max_iterations) & ~converged
+    result = ICPResult(T=T, iterations=iters, converged=converged,
+                        max_iter_reached=max_iter_reached, overlap=overlap,
+                        residual=residual, cov=cov, diverged=diverged)
+    if debug_stats:  # lanes 40..52: b, would-be next step, wsum
+        return result, stats, dbg
+    return result

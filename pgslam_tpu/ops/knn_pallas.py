@@ -81,10 +81,17 @@ def _kernel(q_ref, rT_ref, rsq_ref, bestd_ref, besti_ref, *, precision, k):
 
 
 def _bf16_split(x: jax.Array):
-    """Exact-sum bf16 decomposition: x ~= hi + lo with hi = bf16(x)."""
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+    """Exact-sum bf16 decomposition: x ~= hi + lo.
+
+    Implemented by mantissa bit-masking, NOT ``astype(bf16).astype(f32)``:
+    this platform compiles XLA with ``--xla_allow_excess_precision=true``,
+    under which the downcast/upcast pair can fold to the identity and the
+    residual constant-folds to zero (observed on-chip), silently turning
+    the ~f32-accurate packed mode into plain bf16."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi_f32 = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    return hi_f32.astype(jnp.bfloat16), (x - hi_f32).astype(jnp.bfloat16)
 
 
 def _pack_operands(qf: jax.Array, rf: jax.Array, precision: str):

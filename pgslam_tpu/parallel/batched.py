@@ -15,14 +15,28 @@ from ..cloud import Cloud
 from ..ops.icp import ICPConfig, ICPResult, icp_core
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "fused"))
 def batched_register(readings: Cloud, references: Cloud,
                      T_inits: jax.Array,
-                     cfg: ICPConfig = ICPConfig()) -> ICPResult:
+                     cfg: ICPConfig = ICPConfig(),
+                     fused: str = "auto") -> ICPResult:
     """Register a batch: readings/references carry a leading agent axis
     ``[B, N, ...]``; ``T_inits`` is ``[B, 4, 4]``. Returns a batched
-    :class:`ICPResult`. Under ``vmap`` every agent runs the full
-    ``lax.while_loop`` (lanes that converge early idle until all do)."""
+    :class:`ICPResult`.
+
+    ``fused`` ("auto" | "on" | "off"): on TPU, configs the fused
+    whole-ICP kernel covers (:func:`ops.icp_pallas.fused_eligible`)
+    dispatch ONE kernel for the whole batch (grid = agents) instead of
+    the vmapped XLA loop — chip-measured ~2.5x at the flagship profile.
+    Under vmap every agent otherwise runs the full ``lax.while_loop``
+    (lanes that converge early idle until all do)."""
+    from ..ops.icp_pallas import fused_eligible, fused_icp_register
+    use_fused = fused == "on" or (
+        fused == "auto" and jax.default_backend() not in ("cpu",)
+        and fused_eligible(cfg)
+        and "normals" in references.descriptors)
+    if use_fused:
+        return fused_icp_register(readings, references, T_inits, cfg)
     return jax.vmap(lambda r, m, t: icp_core(r, m, t, cfg))(
         readings, references, T_inits)
 

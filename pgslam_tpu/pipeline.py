@@ -301,4 +301,22 @@ class PoseGraphSlamMT:
         with self.map_manager.get_graph_lock():
             self.map_manager.write_graphviz(path)
 
+    # Base-facade accessors (the reference MT facade inherits these from
+    # PoseGraphSlamBase; mirror that surface). Reads of localizer state
+    # are safe: the worker publishes them atomically under the graph lock.
+    @property
+    def T_world_robot(self) -> np.ndarray:
+        return self.localizer.T_world_robot
+
+    def get_local_map(self):
+        return self.localizer.get_local_map()
+
+    def get_local_map_in_world_frame(self):
+        return self.localizer.get_local_map_in_world_frame()
+
+    def global_map(self, max_points_per_keyframe: int = 0) -> np.ndarray:
+        from .slam import PoseGraphSlam
+        with self.map_manager.get_graph_lock():
+            return PoseGraphSlam.global_map(self, max_points_per_keyframe)
+
     WriteGraphviz = write_graphviz

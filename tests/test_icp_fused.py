@@ -1,0 +1,121 @@
+"""Fused whole-ICP Pallas kernel vs the XLA icp_core reference path.
+
+Runs in Pallas interpret mode on the CPU backend (conftest), i.e. the
+exact kernel code the TPU compiles.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pgslam_tpu import se3
+from pgslam_tpu.cloud import make_cloud, stack_clouds
+from pgslam_tpu.ops import filters as F
+from pgslam_tpu.ops import outlier as O
+from pgslam_tpu.ops.icp import ICPConfig, ICPEngine, icp_core
+from pgslam_tpu.ops.icp_pallas import fused_eligible, fused_icp_register
+
+
+def _scene(n=800, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    pts[:, 2] = np.sign(pts[:, 2]) * 2 + \
+        rng.normal(size=n).astype(np.float32) * 0.1
+    return rng, pts
+
+
+def _cfg(**kw):
+    base = dict(error="point_to_plane", matcher="pallas",
+                outlier=(O.TrimmedDist(0.9), O.MaxDist(1.0)),
+                reference_filters=(F.SurfaceNormal(knn=8),),
+                max_iterations=12, trans_eps=1e-4, rot_eps=1e-4,
+                coarse_div=4, coarse_iterations=4)
+    base.update(kw)
+    return ICPConfig(**base)
+
+
+def _pair(cfg, noise=0.01, seed=0, capacity=1024):
+    rng, pts = _scene(seed=seed)
+    eng = ICPEngine(cfg)
+    eng.set_map(make_cloud(pts, capacity=capacity))
+    offset = se3.exp(jnp.asarray([0.2, -0.1, 0.05, 0.02, -0.03, 0.04],
+                                 jnp.float32))
+    moved = np.array(se3.apply(se3.inverse(offset), jnp.asarray(pts)))
+    moved += rng.normal(size=moved.shape).astype(np.float32) * noise
+    reading = make_cloud(moved, capacity=capacity)
+    return eng, reading, offset
+
+
+@pytest.mark.parametrize("cfg_kw", [
+    {},                                          # flagship shape
+    {"coarse_div": 0},                           # no coarse stage
+    {"outlier": (O.MaxDist(1.0),)},              # maxdist only
+])
+def test_fused_matches_icp_core(cfg_kw):
+    cfg = _cfg(**cfg_kw)
+    assert fused_eligible(cfg)
+    eng, reading, offset = _pair(cfg)
+    res_x = icp_core(reading, eng.reference, se3.identity(), cfg)
+    res_f = fused_icp_register(
+        stack_clouds([reading] * 2), stack_clouds([eng.reference] * 2),
+        jnp.tile(se3.identity(), (2, 1, 1)), cfg, tile_r=512)
+    dT = np.asarray(se3.log(se3.inverse(res_f.T[0]) @ res_x.T))
+    assert np.linalg.norm(dT) < 1e-5
+    assert int(res_f.iterations[0]) == int(res_x.iterations)
+    assert bool(res_f.converged[0]) == bool(res_x.converged)
+    np.testing.assert_allclose(float(res_f.overlap[0]),
+                               float(res_x.overlap), atol=0.01)
+    np.testing.assert_allclose(float(res_f.residual[0]),
+                               float(res_x.residual), rtol=0.02)
+    np.testing.assert_allclose(np.asarray(res_f.cov[0]),
+                               np.asarray(res_x.cov),
+                               atol=1e-8 + 0.05 * np.abs(
+                                   np.asarray(res_x.cov)).max())
+    # batch lanes independent & identical here
+    np.testing.assert_array_equal(np.asarray(res_f.T[0]),
+                                  np.asarray(res_f.T[1]))
+
+
+def test_fused_respects_masks():
+    cfg = _cfg()
+    eng, reading, offset = _pair(cfg, capacity=1152)  # padded capacity
+    res_x = icp_core(reading, eng.reference, se3.identity(), cfg)
+    res_f = fused_icp_register(
+        stack_clouds([reading]), stack_clouds([eng.reference]),
+        jnp.tile(se3.identity(), (1, 1, 1)), cfg, tile_r=384)
+    dT = np.asarray(se3.log(se3.inverse(res_f.T[0]) @ res_x.T))
+    assert np.linalg.norm(dT) < 1e-5
+
+
+def test_fused_degenerate_reading_is_safe():
+    """All reading points masked -> identity step, no NaNs."""
+    cfg = _cfg()
+    rng, pts = _scene()
+    eng = ICPEngine(cfg)
+    eng.set_map(make_cloud(pts, capacity=1024))
+    dead = make_cloud(np.zeros((4, 3), np.float32),
+                      mask=np.zeros(4, bool), capacity=1024)
+    res = fused_icp_register(
+        stack_clouds([dead]), stack_clouds([eng.reference]),
+        jnp.tile(se3.identity(), (1, 1, 1)), cfg, tile_r=512)
+    assert np.allclose(np.asarray(res.T[0]), np.eye(4), atol=1e-6)
+    assert np.isfinite(np.asarray(res.cov)).all()
+    assert float(res.overlap[0]) == 0.0
+
+
+def test_fused_bound_checker():
+    cfg = _cfg(max_correction_trans=0.01)  # reject the 0.2 m correction
+    eng, reading, offset = _pair(cfg)
+    res = fused_icp_register(
+        stack_clouds([reading]), stack_clouds([eng.reference]),
+        jnp.tile(se3.identity(), (1, 1, 1)), cfg, tile_r=512)
+    assert bool(res.diverged[0])
+    np.testing.assert_allclose(np.asarray(res.T[0]), np.eye(4), atol=1e-6)
+
+
+def test_fused_eligibility_gate():
+    assert not fused_eligible(_cfg(error="point_to_point"))
+    assert not fused_eligible(_cfg(anderson_m=3))
+    assert not fused_eligible(_cfg(knn=2))
+    assert not fused_eligible(_cfg(outlier=(O.MedianDist(),)))

@@ -113,6 +113,12 @@ def _prepare_and_register(chain, capacity: int, cfg, raw: Cloud,
     if cfg.reading_filters:
         reading = F.apply_chain(cfg.reading_filters, reading,
                                 jax.random.PRNGKey(0))
+    # NOTE: the fused whole-ICP kernel is NOT routed here on purpose —
+    # the localizer's reference capacity changes with the local-map
+    # composition, and each new shape costs a fresh Pallas compile over
+    # the relay (measured: config-2 wall throughput DROPPED 11.8 -> 7.7
+    # scans/s). The XLA loop compiles faster and caches across shapes;
+    # the fused kernel serves the fixed-shape batched/fleet paths.
     result = icp_core(reading, reference, T0, cfg, index)
     return cloud, result
 

@@ -80,6 +80,11 @@ _FILTERS = {
 _OUTLIERS = {
     "TrimmedDistOutlierFilter":
         lambda p: O.TrimmedDist(ratio=float(p.get("ratio", 0.85))),
+    "VarTrimmedDistOutlierFilter":
+        lambda p: O.VarTrimmedDist(
+            min_ratio=float(p.get("minRatio", 0.2)),
+            max_ratio=float(p.get("maxRatio", 0.99)),
+            lam=float(p.get("lambda", 2.0))),
     "MaxDistOutlierFilter":
         lambda p: O.MaxDist(max_dist=float(p.get("maxDist", 1.0))),
     "MedianDistOutlierFilter":

@@ -70,6 +70,8 @@ def compute_weights(chain: OutlierChain, matches: Matches,
             w = w * _trimmed(d2, valid, cfg.ratio)
         elif isinstance(cfg, MaxDist):
             w = w * (d2 <= cfg.max_dist * cfg.max_dist).astype(w.dtype)
+        elif isinstance(cfg, VarTrimmedDist):
+            w = w * _var_trimmed(d2, valid, cfg)
         elif isinstance(cfg, MedianDist):
             med = _masked_quantile(d2, valid, 0.5, n_valid)
             w = w * (d2 <= cfg.factor * cfg.factor * med).astype(w.dtype)
@@ -92,6 +94,29 @@ def _masked_quantile(d2, valid, q, n_valid):
     return s[idx]
 
 
+def _var_trimmed(d2, valid, cfg):
+    """Binary keep-mask with the FTMP-optimal trim ratio.
+
+    Vectorized over all candidate ratios: sort the distances, evaluate
+    psi(k) = (cumsum_k / k) / (k / n_valid)^lam for every k in the
+    [min_ratio, max_ratio] band, keep everything up to the argmin k.
+    """
+    flat = jnp.where(valid, d2, jnp.inf).reshape(-1)
+    n = flat.shape[0]
+    s = jnp.sort(flat)
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    ks = jnp.arange(1, n + 1, dtype=jnp.float32)
+    r = ks / n_valid.astype(jnp.float32)
+    csum = jnp.cumsum(jnp.where(jnp.isfinite(s), s, 0.0))
+    e = csum / ks
+    psi = e / jnp.maximum(r, 1e-9) ** cfg.lam
+    in_band = (r >= cfg.min_ratio) & (r <= cfg.max_ratio)
+    psi = jnp.where(in_band, psi, jnp.inf)
+    kth = jnp.argmin(psi)
+    thresh = s[kth]
+    return (d2 <= thresh).astype(jnp.float32)
+
+
 def _trimmed(d2, valid, ratio):
     """Binary keep-mask for the trimmed-distance filter.
 
@@ -105,3 +130,17 @@ def _trimmed(d2, valid, ratio):
                    0, flat.shape[0] - 1)
     thresh = s[kth]
     return (d2 <= thresh).astype(jnp.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class VarTrimmedDist:
+    """Auto-tuned trimmed-distance filter (libpointmatcher
+    ``VarTrimmedDistOutlierFilter``): pick the trim ratio by minimizing
+    Chetverikov's FTMP criterion psi(r) = e(r) / r^lambda, where e(r) is
+    the mean squared distance of the closest ``r`` fraction. Adapts the
+    inlier ratio per scan pair instead of fixing it a priori — the right
+    choice when overlap varies widely (loop-closure verification against
+    partially overlapping candidate maps)."""
+    min_ratio: float = 0.2
+    max_ratio: float = 0.99
+    lam: float = 2.0

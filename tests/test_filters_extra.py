@@ -57,3 +57,39 @@ def test_yaml_mappings():
     ])
     assert chain == (F.Shadow(0.2), F.MaxDensity(1.0, 2),
                      F.FixStepSampling(2))
+
+
+def test_var_trimmed_adapts_to_overlap():
+    """FTMP auto-ratio trim: with a bimodal distance distribution (60%
+    tight inliers, 40% gross outliers) the chosen threshold must land in
+    the gap — unlike a fixed 0.9 trim, which would keep outliers."""
+    import jax.numpy as jnp
+
+    from pgslam_tpu.ops.knn import Matches
+    from pgslam_tpu.ops.outlier import (MaxDist, TrimmedDist,
+                                        VarTrimmedDist, compute_weights)
+
+    rng = np.random.default_rng(0)
+    n = 500
+    d2 = np.concatenate([rng.uniform(0.0, 0.01, 300),
+                         rng.uniform(4.0, 9.0, 200)]).astype(np.float32)
+    rng.shuffle(d2)
+    matches = Matches(dists2=jnp.asarray(d2)[:, None],
+                      ids=jnp.zeros((n, 1), jnp.int32))
+    mask = jnp.ones((n,), bool)
+    w_var = np.asarray(compute_weights((VarTrimmedDist(),), matches, mask))
+    kept = d2[w_var[:, 0] > 0]
+    assert (kept < 0.02).all()               # only the inlier mode
+    assert 280 <= len(kept) <= 300
+    w_fix = np.asarray(compute_weights((TrimmedDist(0.9),), matches, mask))
+    assert w_fix[:, 0].sum() > 400           # fixed trim keeps outliers
+
+
+def test_var_trimmed_yaml_mapping():
+    from pgslam_tpu.config import parse_outlier_chain
+    from pgslam_tpu.ops.outlier import VarTrimmedDist
+
+    chain = parse_outlier_chain([
+        {"VarTrimmedDistOutlierFilter": {"minRatio": 0.3, "lambda": 1.5}}])
+    assert isinstance(chain[0], VarTrimmedDist)
+    assert chain[0].min_ratio == 0.3 and chain[0].lam == 1.5

@@ -23,7 +23,6 @@ from ..graph.pose_graph import MapManager
 from ..localizer import Localizer
 from ..loopcloser import LoopCloser
 from ..optimizer import Optimizer
-from ..ops.icp import icp_core
 from ..slam import SlamConfig
 
 
@@ -62,10 +61,13 @@ class MultiAgentSlam:
             self._batched_icp = make_sharded_register(
                 mesh, config.localizer.icp)
         else:
-            self._batched_icp = jax.jit(
-                jax.vmap(lambda r, m, t: icp_core(r, m, t,
-                                                  config.localizer.icp)),
-                static_argnums=())
+            # batched_register auto-routes eligible configs (p2plane,
+            # exact-NN, trim/maxdist) to the fused whole-ICP kernel on
+            # TPU; everything else runs the vmapped icp_core loop.
+            from .batched import batched_register
+            _icp_cfg = config.localizer.icp
+            self._batched_icp = (
+                lambda r, m, t: batched_register(r, m, t, _icp_cfg))
 
     def add_data_batch(self, timestamp, world_frame_id: str,
                        T_world_robot: np.ndarray,      # [B, 4, 4]

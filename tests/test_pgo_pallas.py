@@ -13,7 +13,7 @@ from pgslam_tpu import se3
 from pgslam_tpu.optim.pgo import PGOConfig, optimize_pose_graph
 
 
-def _ring_problem(V=64, E=128, seed=1, noise=0.05):
+def _ring_problem(V=40, E=72, seed=1, noise=0.05):
     rng = np.random.default_rng(seed)
     angles = 2 * np.pi * np.arange(V) / V
     R = np.asarray(se3.exp_so3(jnp.asarray(
@@ -43,9 +43,9 @@ def _ring_problem(V=64, E=128, seed=1, noise=0.05):
 @pytest.mark.parametrize("solver", ["pcg_pallas", "lm_pallas"])
 def test_fused_solver_matches_xla(solver):
     args, gt = _ring_problem()
-    cfg_x = PGOConfig(max_iterations=4, cg_iterations=30, cg_tol=1e-3,
+    cfg_x = PGOConfig(max_iterations=4, cg_iterations=16, cg_tol=1e-3,
                       solver="pcg_xla")
-    cfg_p = PGOConfig(max_iterations=4, cg_iterations=30, cg_tol=1e-3,
+    cfg_p = PGOConfig(max_iterations=4, cg_iterations=16, cg_tol=1e-3,
                       solver=solver)
     out_x, st_x = optimize_pose_graph(*args, config=cfg_x)
     out_p, st_p = optimize_pose_graph(*args, config=cfg_p)
@@ -62,12 +62,12 @@ def test_lm_pallas_robust_matches_xla(robust):
     args, gt = _ring_problem()
     # corrupt one loop edge so the robust kernel has something to gate
     Ts = np.asarray(args[4]).copy()
-    Ts[70] = Ts[70] @ np.asarray(se3.exp(jnp.asarray(
+    Ts[50] = Ts[50] @ np.asarray(se3.exp(jnp.asarray(
         [3.0, 0.0, 0.0, 0.0, 0.0, 0.3], jnp.float32)))
     rmask = np.zeros(Ts.shape[0], bool)
-    rmask[63:] = True  # robustify the non-chain edges only
+    rmask[39:] = True  # robustify the non-chain edges only
     args = args[:4] + (jnp.asarray(Ts),) + args[5:]
-    kw = dict(max_iterations=6, cg_iterations=30, cg_tol=1e-3,
+    kw = dict(max_iterations=4, cg_iterations=16, cg_tol=1e-3,
               robust=robust, robust_delta=1.0)
     out_x, st_x = optimize_pose_graph(
         *args, robust_emask=jnp.asarray(rmask),
@@ -83,7 +83,7 @@ def test_lm_pallas_robust_matches_xla(robust):
 
 def test_lm_pallas_respects_fixed_vertex():
     args, gt = _ring_problem()
-    cfg = PGOConfig(max_iterations=4, cg_iterations=30, cg_tol=1e-3,
+    cfg = PGOConfig(max_iterations=4, cg_iterations=16, cg_tol=1e-3,
                     solver="lm_pallas")
     out, _ = optimize_pose_graph(*args, config=cfg)
     # anchor unchanged (prior sigma 1e-6)
@@ -96,15 +96,15 @@ def test_lm_pallas_respects_fixed_vertex():
 
 def test_lm_pallas_vertex_mask_passthrough():
     args, gt = _ring_problem()
-    vmask = np.ones(64, bool)
+    vmask = np.ones(40, bool)
     vmask[-3:] = False
     args = args[:1] + (jnp.asarray(vmask),) + args[2:]
     # also mask every edge touching the masked vertices
     ef = np.asarray(args[2])
     et = np.asarray(args[3])
-    emask = np.asarray(args[6]) & (ef < 61) & (et < 61)
+    emask = np.asarray(args[6]) & (ef < 37) & (et < 37)
     args = args[:6] + (jnp.asarray(emask),) + args[7:]
-    cfg = PGOConfig(max_iterations=3, cg_iterations=20, cg_tol=1e-3,
+    cfg = PGOConfig(max_iterations=3, cg_iterations=12, cg_tol=1e-3,
                     solver="lm_pallas")
     out, _ = optimize_pose_graph(*args, config=cfg)
     np.testing.assert_allclose(np.asarray(out)[-3:],

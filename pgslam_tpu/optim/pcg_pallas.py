@@ -44,13 +44,14 @@ _DEFAULT = jax.lax.Precision.DEFAULT  # bf16 operands: Mosaic rejects HIGHEST
 
 
 def fits_vmem(n_vertices: int, n_edges: int,
-              budget_bytes: int = 48 * 1024 * 1024) -> bool:
+              budget_bytes: int = 56 * 1024 * 1024) -> bool:
     """VMEM estimate for the fused solve at (V, E). Live set: S + the four
     block tensors + preconditioner + Krylov vectors (x/r/p/z [8,V]) + the
-    transient split/edge buffers ([16,2E] + a few [8,E])."""
+    transient split/edge buffers ([16,2E] + a few [8,E]). S counts double
+    (Mosaic materializes one layout per contraction orientation)."""
     V = -(-n_vertices // 128) * 128
     E = -(-n_edges // 128) * 128
-    s_bytes = 2 * E * V * 2                  # S [2E, V] bf16
+    s_bytes = 2 * (2 * E * V * 2)            # S [2E, V] bf16, x2 layouts
     blocks = 4 * 6 * 8 * E * 4               # four [6, 8, E] f32
     pinv = 6 * 8 * V * 4
     krylov = 6 * 8 * V * 4                   # x, r, p, z, Ap, rhs

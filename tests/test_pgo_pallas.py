@@ -110,3 +110,17 @@ def test_lm_pallas_vertex_mask_passthrough():
     np.testing.assert_allclose(np.asarray(out)[-3:],
                                np.asarray(args[0])[-3:], atol=1e-6)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_fused_vmem_gate_calibration():
+    """The dispatch gates must stay under the kernels' 64 MiB scoped-vmem
+    request (Mosaic keeps one incidence layout per contraction
+    orientation): 2k poses / 4k edges measured 74.9 MiB on chip and MUST
+    fall back to the XLA path."""
+    from pgslam_tpu.optim.lm_pallas import fits_vmem as lm_fits
+    from pgslam_tpu.optim.pcg_pallas import fits_vmem as cg_fits
+
+    assert lm_fits(1024, 2048)
+    assert not lm_fits(2048, 4096)
+    assert cg_fits(1024, 2048)
+    assert not cg_fits(2048, 4096)

@@ -42,3 +42,28 @@ def test_instantiation_smoke():
     PoseGraphSlam(small_config())
     s = PoseGraphSlamMT(small_config())
     s.stop()
+
+
+def test_mt_facade_base_accessors():
+    """The MT facade must expose the full base-facade surface (the
+    reference's MT class inherits it from PoseGraphSlamBase)."""
+    from test_slam_e2e import small_config
+
+    from pgslam_tpu.datasets import corridor_sequence
+    from pgslam_tpu.pipeline import PoseGraphSlamMT
+
+    rng = np.random.default_rng(2)
+    scans, odom, _ = corridor_sequence(rng, n_scans=4, scan_points=256,
+                                       length=20.0)
+    with PoseGraphSlamMT(small_config(sensor_cap=384, kf_cap=256)) as slam:
+        for t, (s, T) in enumerate(zip(scans, odom)):
+            slam.add_data(t, "world", T, np.eye(4), s)
+        assert slam.wait_idle(timeout=120.0)
+        pose = slam.T_world_robot
+        assert pose.shape == (4, 4) and np.isfinite(pose).all()
+        cloud, ok = slam.get_local_map()
+        assert ok and cloud is not None
+        cloud_w, ok_w = slam.get_local_map_in_world_frame()
+        assert ok_w
+        gm = slam.global_map(max_points_per_keyframe=64)
+        assert gm.shape[1] == 3 and len(gm) > 0

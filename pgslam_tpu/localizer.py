@@ -34,6 +34,15 @@ from .ops.icp import (ICPConfig, ICPEngine, ICPResult, compute_overlap,
 log = logging.getLogger("pgslam_tpu.localizer")
 
 import functools
+import os
+
+# Route eligible single-stream registrations through the fused whole-ICP
+# kernel (ops/icp_pallas.py). Off by default: chip A/B on the velodyne
+# config measured warm parity with the XLA loop (the per-scan cost there
+# is dispatch floor + input prep, not loop op-overhead), and the extra
+# kernel compile is pure regression on cold runs. Set
+# PGSLAM_FUSED_SINGLE=1 to enable for long warm sessions.
+FUSED_SINGLE = os.environ.get("PGSLAM_FUSED_SINGLE", "0") == "1"
 
 
 def _probe_overlap_impl(points, masks, descs, T_refkf_kf, slot_valid,
@@ -107,19 +116,26 @@ def _prepare_and_register(chain, capacity: int, cfg, raw: Cloud,
     `prepare_scan`/`icp_core` pieces remain for the multi-agent batcher,
     which interleaves host work between them."""
     from .ops.icp import icp_core
+    from .ops.icp_pallas import fused_eligible, fused_icp_register
 
     cloud = _prepare_input_impl(chain, capacity, raw, T_robot_sensor, key)
     reading = cloud
     if cfg.reading_filters:
         reading = F.apply_chain(cfg.reading_filters, reading,
                                 jax.random.PRNGKey(0))
-    # NOTE: the fused whole-ICP kernel is NOT routed here on purpose —
-    # the localizer's reference capacity changes with the local-map
-    # composition, and each new shape costs a fresh Pallas compile over
-    # the relay (measured: config-2 wall throughput DROPPED 11.8 -> 7.7
-    # scans/s). The XLA loop compiles faster and caches across shapes;
-    # the fused kernel serves the fixed-shape batched/fleet paths.
-    result = icp_core(reading, reference, T0, cfg, index)
+    # Eligible configs (p2plane, exact-NN, trim/maxdist, no AA) run the
+    # fused whole-ICP kernel inside this same jit — still one dispatch
+    # per scan. The local-map reference has a fixed capacity
+    # (local_map_size x keyframe_cloud_capacity), so the kernel compiles
+    # once per config, not per composition.
+    if (jax.default_backend() not in ("cpu",) and fused_eligible(cfg)
+            and "normals" in reference.descriptors and FUSED_SINGLE):
+        lift = lambda t: jax.tree_util.tree_map(lambda x: x[None], t)
+        res = fused_icp_register(lift(reading), lift(reference),
+                                 T0[None], cfg)
+        result = jax.tree_util.tree_map(lambda x: x[0], res)
+    else:
+        result = icp_core(reading, reference, T0, cfg, index)
     return cloud, result
 
 

@@ -129,7 +129,8 @@ def _prepare_and_register(chain, capacity: int, cfg, raw: Cloud,
     # (local_map_size x keyframe_cloud_capacity), so the kernel compiles
     # once per config, not per composition.
     if (jax.default_backend() not in ("cpu",) and fused_eligible(cfg)
-            and "normals" in reference.descriptors and FUSED_SINGLE):
+            and (cfg.error != "point_to_plane"
+                 or "normals" in reference.descriptors) and FUSED_SINGLE):
         lift = lambda t: jax.tree_util.tree_map(lambda x: x[None], t)
         res = fused_icp_register(lift(reading), lift(reference),
                                  T0[None], cfg)

@@ -25,9 +25,11 @@ Key design points:
   scalars via the row-math helpers shared with the LM kernel
   (``ops/rowmath.py``).
 
-Scope: error="point_to_plane", exact-NN matching (k=1), TrimmedDist /
-MaxDist outlier chains, iteration + smoothed-differential checkers,
-optional coarse-to-fine. Anderson acceleration is intentionally absent
+Scope: point-to-plane (linearized 6x6 solve) and point-to-point
+(weighted Kabsch/Umeyama via a Newton polar iteration — Mosaic has no
+SVD), exact-NN matching (k=1), TrimmedDist / MaxDist outlier chains,
+iteration + smoothed-differential checkers, optional coarse-to-fine.
+Anderson acceleration is intentionally absent
 (measured neutral at these working sets). Everything else falls back to
 :func:`pgslam_tpu.ops.icp.icp_core`, whose semantics this kernel mirrors
 (equivalence-tested in ``tests/test_icp_fused.py``).
@@ -47,7 +49,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import se3
 from ..cloud import Cloud
-from .rowmath import _mat4_mul, _schur_inv6, _se3_exp
+from .rowmath import _det3, _mat4_mul, _polar3, _schur_inv6, _se3_exp, \
+    _se3_log
 from .icp import ICPConfig, ICPResult
 from . import outlier as O
 
@@ -58,7 +61,7 @@ MIN_SUPPORT = 6.0     # minimizer degenerate guard (ops/minimizer.py)
 
 def fused_eligible(cfg: ICPConfig) -> bool:
     """Whether this config's semantics are covered by the fused kernel."""
-    return (cfg.error == "point_to_plane"
+    return (cfg.error in ("point_to_plane", "point_to_point")
             and cfg.matcher in ("pallas", "brute")
             and cfg.knn == 1
             and not (cfg.anderson_m and cfg.anderson_m > 1)
@@ -230,21 +233,56 @@ def _icp_kernel(T0_ref, rdT_ref, rdm_ref, rdcT_ref, rdcm_ref, refT_ref,
         ssr = jnp.sum(w * r * r)
         return A, b, ssr
 
+    def p2p_delta(matched, pp, w):
+        """Weighted Kabsch/Umeyama via the 3x3 polar factor of the
+        cross-covariance (Newton iteration on scalars — no SVD in
+        Mosaic). Degenerate support or a reflection-sign cross-
+        covariance (det <= 0, which sane ICP matches never produce)
+        falls back to the identity step, like the XLA degenerate
+        guard."""
+        wsum = jnp.maximum(jnp.sum(w), 1e-12)
+        q = [matched[i:i + 1, :] for i in range(3)]
+        mup = [jnp.sum(w * pp[i]) / wsum for i in range(3)]
+        muq = [jnp.sum(w * q[i]) / wsum for i in range(3)]
+        G = [[jnp.sum(w * (q[i] - muq[i]) * (pp[j] - mup[j]))
+              for j in range(3)] for i in range(3)]
+        R = _polar3(G)
+        ok = jnp.logical_and(jnp.sum(w) >= MIN_SUPPORT,
+                             _det3(G) > 1e-12)
+        R = [[jnp.where(ok, R[i][j], 1.0 if i == j else 0.0)
+              for j in range(3)] for i in range(3)]
+        t = [jnp.where(ok, muq[i] - (R[i][0] * mup[0] + R[i][1] * mup[1]
+                                     + R[i][2] * mup[2]), 0.0)
+             for i in range(3)]
+        delta = [0.0] * 16
+        for i in range(3):
+            for j in range(3):
+                delta[4 * i + j] = R[i][j]
+            delta[4 * i + 3] = t[i]
+        delta[15] = 1.0
+        return delta
+
     def step(T, rdT, rdm):
         matched, d2, hit, pp = match(rdT, rdm, T)
         w = weights_of(d2, hit)
-        A, b, _ = p2plane_system(matched, pp, w)
-        A = [[A[i][j] + (1e-6 if i == j else 0.0) for j in range(6)]
-             for i in range(6)]
-        Ainv = _schur_inv6(A)
-        x = [sum(Ainv[i][j] * b[j] for j in range(6)) for i in range(6)]
-        # degenerate guard: identity step when support is too small
-        ok = jnp.sum(w) >= MIN_SUPPORT
-        x = [jnp.where(ok, xi, 0.0) for xi in x]
-        delta = _se3_exp(x)
+        if cfg.error == "point_to_plane":
+            A, b, _ = p2plane_system(matched, pp, w)
+            A = [[A[i][j] + (1e-6 if i == j else 0.0) for j in range(6)]
+                 for i in range(6)]
+            Ainv = _schur_inv6(A)
+            x = [sum(Ainv[i][j] * b[j] for j in range(6))
+                 for i in range(6)]
+            # degenerate guard: identity step when support is too small
+            ok = jnp.sum(w) >= MIN_SUPPORT
+            x = [jnp.where(ok, xi, 0.0) for xi in x]
+            delta = _se3_exp(x)
+            dr = jnp.sqrt(x[3] ** 2 + x[4] ** 2 + x[5] ** 2)
+        else:
+            delta = p2p_delta(matched, pp, w)
+            xlog = _se3_log(list(delta))
+            dr = jnp.sqrt(xlog[3] ** 2 + xlog[4] ** 2 + xlog[5] ** 2)
         T_new = tuple(_mat4_mul(list(delta), list(T)))
         dt = jnp.sqrt(delta[3] ** 2 + delta[7] ** 2 + delta[11] ** 2)
-        dr = jnp.sqrt(x[3] ** 2 + x[4] ** 2 + x[5] ** 2)
         return T_new, dt, dr
 
     def run_stage(T, rdT, rdm, max_it):
@@ -278,8 +316,29 @@ def _icp_kernel(T0_ref, rdT_ref, rdm_ref, rdcT_ref, rdcm_ref, refT_ref,
     wsum = jnp.sum(w)
     n_valid_reading = jnp.sum(rdm_ref[0, 0:1, :])
     overlap = wsum / jnp.maximum(n_valid_reading, 1.0)
-    A, _, ssr = p2plane_system(matched, pp, w)
-    dof = jnp.maximum(wsum - 6.0, 1.0)
+    if cfg.error == "point_to_plane":
+        A, _, ssr = p2plane_system(matched, pp, w)
+        dof = jnp.maximum(wsum - 6.0, 1.0)
+    else:
+        # A = sum w J^T J with J_i = [I3, -hat(p_i)]; residual 3-dim.
+        q = [matched[i:i + 1, :] for i in range(3)]
+        d = [pp[i] - q[i] for i in range(3)]
+        ssr = jnp.sum(w * (d[0] ** 2 + d[1] ** 2 + d[2] ** 2))
+        Sp = [jnp.sum(w * pp[i]) for i in range(3)]
+        Spp = [[jnp.sum(w * pp[i] * pp[j]) for j in range(3)]
+               for i in range(3)]
+        tr_pp = Spp[0][0] + Spp[1][1] + Spp[2][2]
+        hatS = [[0.0, -Sp[2], Sp[1]],
+                [Sp[2], 0.0, -Sp[0]],
+                [-Sp[1], Sp[0], 0.0]]
+        A = [[0.0] * 6 for _ in range(6)]
+        for i in range(3):
+            A[i][i] = wsum
+            for j in range(3):
+                A[i][3 + j] = -hatS[i][j]
+                A[3 + i][j] = -hatS[j][i]
+                A[3 + i][3 + j] = (tr_pp if i == j else 0.0) - Spp[i][j]
+        dof = jnp.maximum(3.0 * wsum - 6.0, 1.0)
     sigma2 = ssr / dof
     Areg = [[A[i][j] + (1e-9 if i == j else 0.0) for j in range(6)]
             for i in range(6)]
@@ -343,7 +402,9 @@ def fused_icp_register(reading: Cloud, reference: Cloud, T_init: jax.Array,
         NR += pad
 
     rpts = reference.points.astype(jnp.float32)
-    rnrm = reference.descriptors["normals"].astype(jnp.float32)
+    rnrm = reference.descriptors.get("normals")
+    rnrm = (jnp.zeros_like(rpts) if rnrm is None
+            else rnrm.astype(jnp.float32))
     refT = _rows_T(rpts, 8)
     payload = jnp.concatenate(
         [rpts, rnrm, jnp.zeros((B, NR, 2), jnp.float32)], axis=-1)

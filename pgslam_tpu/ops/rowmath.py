@@ -336,3 +336,29 @@ def _stack_rows(rows, total, like):
     return jnp.concatenate(rows, axis=0)
 
 
+
+
+def _det3(A):
+    """Determinant of a 3x3 row/scalar matrix."""
+    return _dotn([(A[0][0], _add(_mul(A[1][1], A[2][2]),
+                                 _neg(_mul(A[1][2], A[2][1])))),
+                  (_neg(A[0][1]), _add(_mul(A[1][0], A[2][2]),
+                                       _neg(_mul(A[1][2], A[2][0])))),
+                  (A[0][2], _add(_mul(A[1][0], A[2][1]),
+                                 _neg(_mul(A[1][1], A[2][0]))))])
+
+
+def _polar3(G, iters: int = 12):
+    """Orthogonal polar factor of a 3x3 matrix by Higham's Newton
+    iteration: X <- (X + X^-T) / 2, scale-initialized. Quadratically
+    convergent for well-conditioned G (the ICP cross-covariance of sane
+    matches); callers must guard the degenerate/reflection cases
+    (det(G) <= 0) themselves."""
+    fro = jnp.sqrt(_dotn([(G[i][j], G[i][j])
+                          for i in range(3) for j in range(3)]) + 1e-30)
+    X = [[G[i][j] / fro for j in range(3)] for i in range(3)]
+    for _ in range(iters):
+        Xi = _inv3(X)
+        X = [[0.5 * (X[i][j] + Xi[j][i]) for j in range(3)]
+             for i in range(3)]
+    return X

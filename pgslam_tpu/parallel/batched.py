@@ -34,7 +34,8 @@ def batched_register(readings: Cloud, references: Cloud,
     use_fused = fused == "on" or (
         fused == "auto" and jax.default_backend() not in ("cpu",)
         and fused_eligible(cfg)
-        and "normals" in references.descriptors)
+        and (cfg.error != "point_to_plane"
+             or "normals" in references.descriptors))
     if use_fused:
         return fused_icp_register(readings, references, T_inits, cfg)
     return jax.vmap(lambda r, m, t: icp_core(r, m, t, cfg))(

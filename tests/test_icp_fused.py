@@ -117,7 +117,29 @@ def test_fused_bound_checker():
 
 
 def test_fused_eligibility_gate():
-    assert not fused_eligible(_cfg(error="point_to_point"))
+    assert fused_eligible(_cfg(error="point_to_point"))
     assert not fused_eligible(_cfg(anderson_m=3))
     assert not fused_eligible(_cfg(knn=2))
     assert not fused_eligible(_cfg(outlier=(O.MedianDist(),)))
+
+
+def test_fused_point_to_point_matches_icp_core():
+    """p2p path: polar-iteration Umeyama vs the XLA SVD minimizer."""
+    cfg = _cfg(error="point_to_point",
+               reference_filters=())        # no normals needed
+    assert fused_eligible(cfg)
+    eng, reading, offset = _pair(cfg)
+    res_x = icp_core(reading, eng.reference, se3.identity(), cfg)
+    res_f = fused_icp_register(
+        stack_clouds([reading]), stack_clouds([eng.reference]),
+        jnp.tile(se3.identity(), (1, 1, 1)), cfg, tile_r=256)
+    dT = np.asarray(se3.log(se3.inverse(res_f.T[0]) @ res_x.T))
+    assert np.linalg.norm(dT) < 5e-5
+    np.testing.assert_allclose(float(res_f.overlap[0]),
+                               float(res_x.overlap), atol=0.02)
+    np.testing.assert_allclose(float(res_f.residual[0]),
+                               float(res_x.residual), rtol=0.05)
+    np.testing.assert_allclose(np.asarray(res_f.cov[0]),
+                               np.asarray(res_x.cov),
+                               atol=1e-8 + 0.05 * np.abs(
+                                   np.asarray(res_x.cov)).max())

@@ -80,11 +80,16 @@ _FILTERS = {
 _OUTLIERS = {
     "TrimmedDistOutlierFilter":
         lambda p: O.TrimmedDist(ratio=float(p.get("ratio", 0.85))),
+    # YAML defaults match upstream libpointmatcher's
+    # VarTrimmedDistOutlierFilter (minRatio 0.05, maxRatio 0.99,
+    # lambda 2.35) so pipelines ported from the reference ecosystem trim
+    # identically; the Python-level class keeps tighter SLAM-tuned
+    # defaults (see MIGRATION.md).
     "VarTrimmedDistOutlierFilter":
         lambda p: O.VarTrimmedDist(
-            min_ratio=float(p.get("minRatio", 0.2)),
+            min_ratio=float(p.get("minRatio", 0.05)),
             max_ratio=float(p.get("maxRatio", 0.99)),
-            lam=float(p.get("lambda", 2.0))),
+            lam=float(p.get("lambda", 2.35))),
     "MaxDistOutlierFilter":
         lambda p: O.MaxDist(max_dist=float(p.get("maxDist", 1.0))),
     "MedianDistOutlierFilter":

@@ -323,8 +323,16 @@ def _adjoint_of_inv(M):
 # --------------------------------------------------------------------------
 
 def _split16(x):
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    """bf16 hi/lo split via mantissa bit-masking. The astype(bf16)/upcast
+    form is UNSAFE anywhere XLA may trace this (interpret mode, wrapper
+    code): under ``--xla_allow_excess_precision=true`` the downcast/upcast
+    pair folds to identity and ``lo`` constant-folds to zero (see
+    ``ops/icp_pallas._bf16_trunc``)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi_f32 = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    hi = hi_f32.astype(jnp.bfloat16)       # exact: already on the bf16 grid
+    lo = (x - hi_f32).astype(jnp.bfloat16)
     return jnp.concatenate([hi, lo], axis=0)
 
 

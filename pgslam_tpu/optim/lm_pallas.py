@@ -38,6 +38,7 @@ Reference role: replaces GTSAM LM (``Optimizer.hpp:68``) wholesale.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,9 +50,14 @@ from .pcg_pallas import build_incidence_bf16
 
 _DEFAULT = jax.lax.Precision.DEFAULT
 
+# Scoped-VMEM request for the kernel. v5e has 128 MiB VMEM/core;
+# PGSLAM_PGO_VMEM_LIMIT overrides for calibration probes.
+VMEM_LIMIT_BYTES = int(os.environ.get("PGSLAM_PGO_VMEM_LIMIT",
+                                      64 * 1024 * 1024))
+
 
 def fits_vmem(n_vertices: int, n_edges: int,
-              budget_bytes: int = 56 * 1024 * 1024) -> bool:
+              budget_bytes: int = VMEM_LIMIT_BYTES - 8 * 1024 * 1024) -> bool:
     """VMEM estimate: S + pose/edge row fields + live 6x6 row blocks.
     S counts DOUBLE: the kernel contracts it along both dims and Mosaic
     materializes one layout per orientation (calibrated against compiler
@@ -381,7 +387,7 @@ def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
         # The default scoped-vmem limit is 16 MiB; v5e has headroom above
         # that, and S + the live row fields need ~20 MiB at V=1k/E=2k.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=jax.default_backend() == "cpu",
     )(jnp.asarray(fixed_id, jnp.int32)[None], S, PT0, vm, ZinvT, covT,
       em, rme, priorT)

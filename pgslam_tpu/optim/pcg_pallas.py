@@ -34,6 +34,7 @@ GTSAM-replacement LM (``Optimizer.hpp:68``); see ``optim/pgo.py``.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,8 +44,12 @@ from jax.experimental.pallas import tpu as pltpu
 _DEFAULT = jax.lax.Precision.DEFAULT  # bf16 operands: Mosaic rejects HIGHEST
 
 
+VMEM_LIMIT_BYTES = int(os.environ.get("PGSLAM_PGO_VMEM_LIMIT",
+                                      64 * 1024 * 1024))
+
+
 def fits_vmem(n_vertices: int, n_edges: int,
-              budget_bytes: int = 56 * 1024 * 1024) -> bool:
+              budget_bytes: int = VMEM_LIMIT_BYTES - 8 * 1024 * 1024) -> bool:
     """VMEM estimate for the fused solve at (V, E). Live set: S + the four
     block tensors + preconditioner + Krylov vectors (x/r/p/z [8,V]) + the
     transient split/edge buffers ([16,2E] + a few [8,E]). S counts double
@@ -60,9 +65,18 @@ def fits_vmem(n_vertices: int, n_edges: int,
 
 
 def _split_rows(x: jax.Array) -> jax.Array:
-    """[8, N] f32 -> [16, N] bf16 rows-stacked hi/lo decomposition."""
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    """[8, N] f32 -> [16, N] bf16 rows-stacked hi/lo decomposition.
+
+    Bit-masked (NOT astype(bf16)/upcast): under
+    ``--xla_allow_excess_precision=true`` XLA folds the downcast/upcast
+    pair to identity and the ``lo`` residual constant-folds to zero when
+    this helper is traced by XLA (interpret mode) — see
+    ``ops/icp_pallas._bf16_trunc``."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi_f32 = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    hi = hi_f32.astype(jnp.bfloat16)       # exact: already on the bf16 grid
+    lo = (x - hi_f32).astype(jnp.bfloat16)
     return jnp.concatenate([hi, lo], axis=0)
 
 
@@ -204,7 +218,7 @@ def pcg_solve_pallas(S: jax.Array,          # [2Ep, Vp] bf16 one-hot
         out_shape=jax.ShapeDtypeStruct((8, Vp), jnp.float32),
         # Default scoped-vmem limit is 16 MiB; v5e has headroom above it.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=jax.default_backend() == "cpu",
     )(scalars, S, Aff, Aft, Atf, Att, Pinv_t, dd, bT)
     return xT[:6, :V].T

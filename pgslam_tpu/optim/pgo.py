@@ -470,8 +470,10 @@ def pose_marginals(poses: jax.Array,        # [V, 4, 4] (optimized) values
     the reference never exposes despite linking it.
 
     ``method="dense"`` inverts the full damped information matrix and
-    extracts the diagonal blocks (exact Gaussian marginals; fine for
-    V up to a few thousand). ``method="block_diag"`` inverts only the
+    extracts the diagonal blocks (exact Gaussian marginals). It
+    materializes a [V, V, 6, 6] block tensor plus the dense 6Vx6V
+    matrix — 144*V^2 bytes each (~150 MB at V=1024) — so keep V under
+    ~1-2k on a small-RAM host. ``method="block_diag"`` inverts only the
     block-diagonal of H — the conditional covariance given all
     neighbors; a cheap optimistic bound useful as a relative confidence
     signal at any scale.

@@ -8,6 +8,7 @@ agent's registration is independent). One dispatch registers B scans.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 
@@ -15,7 +16,17 @@ from ..cloud import Cloud
 from ..ops.icp import ICPConfig, ICPResult, icp_core
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "fused"))
+@functools.partial(jax.jit, static_argnames=("cfg", "use_fused"))
+def _batched_register_impl(readings: Cloud, references: Cloud,
+                           T_inits: jax.Array, cfg: ICPConfig,
+                           use_fused: bool) -> ICPResult:
+    from ..ops.icp_pallas import fused_icp_register
+    if use_fused:
+        return fused_icp_register(readings, references, T_inits, cfg)
+    return jax.vmap(lambda r, m, t: icp_core(r, m, t, cfg))(
+        readings, references, T_inits)
+
+
 def batched_register(readings: Cloud, references: Cloud,
                      T_inits: jax.Array,
                      cfg: ICPConfig = ICPConfig(),
@@ -29,17 +40,23 @@ def batched_register(readings: Cloud, references: Cloud,
     dispatch ONE kernel for the whole batch (grid = agents) instead of
     the vmapped XLA loop — chip-measured ~2.5x at the flagship profile.
     Under vmap every agent otherwise runs the full ``lax.while_loop``
-    (lanes that converge early idle until all do)."""
-    from ..ops.icp_pallas import fused_eligible, fused_icp_register
+    (lanes that converge early idle until all do).
+
+    ``PGSLAM_FUSED_BATCHED`` (env, mirrors ``PGSLAM_FUSED_SINGLE``):
+    "1" forces the kernel, "0" forces the vmapped XLA loop, unset keeps
+    "auto" — the escape hatch for the auto-route's bit-wise numeric
+    change (MIGRATION.md)."""
+    env = os.environ.get("PGSLAM_FUSED_BATCHED", "")
+    if fused == "auto" and env in ("0", "1"):
+        fused = "on" if env == "1" else "off"
+    from ..ops.icp_pallas import fused_eligible
     use_fused = fused == "on" or (
         fused == "auto" and jax.default_backend() not in ("cpu",)
         and fused_eligible(cfg)
         and (cfg.error != "point_to_plane"
              or "normals" in references.descriptors))
-    if use_fused:
-        return fused_icp_register(readings, references, T_inits, cfg)
-    return jax.vmap(lambda r, m, t: icp_core(r, m, t, cfg))(
-        readings, references, T_inits)
+    return _batched_register_impl(readings, references, T_inits, cfg,
+                                  use_fused)
 
 
 def shard_batch(mesh: jax.sharding.Mesh, axis: str = "dp"):

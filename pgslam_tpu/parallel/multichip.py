@@ -137,8 +137,31 @@ def sharded_icp_step(mesh: Mesh, cfg: ICPConfig, merge: str = "all_gather"):
     return jax.jit(step)
 
 
-def make_mesh(n_devices: int, tp: int = 2) -> Mesh:
+def make_mesh(n_devices: int, tp: int = 2, slices: int = 1) -> Mesh:
+    """(dp, tp) device mesh for the sharded registration paths.
+
+    ``slices > 1`` models a multi-slice fleet (slices joined by DCN, chips
+    within a slice by ICI — SURVEY.md §5.8): devices are grouped into
+    ``slices`` contiguous blocks of ``n_devices // slices`` chips (JAX
+    enumerates devices slice-major, so block = slice on real multi-slice
+    topologies). The ``tp`` axis carries the per-ICP-iteration
+    ``all_gather`` — the latency-critical collective — so every tp group
+    must sit INSIDE one slice and ride ICI; this factory enforces that by
+    requiring ``tp`` to divide the per-slice chip count. The ``dp`` axis
+    then spans slice boundaries, which is free during registration (pure
+    data parallelism, no dp collectives) — only the host-side pose-graph
+    merge crosses slices, once per batch step.
+    """
     tp = min(tp, n_devices)
+    if slices < 1 or n_devices % slices:
+        raise ValueError(f"slices={slices} must divide n_devices"
+                         f"={n_devices}")
+    per_slice = n_devices // slices
+    if slices > 1 and per_slice % tp:
+        raise ValueError(
+            f"tp={tp} must divide the per-slice chip count {per_slice}: a "
+            f"tp group crossing a slice boundary would put the "
+            f"per-iteration all_gather on DCN instead of ICI")
     dp = n_devices // tp
     devices = np.empty((dp, tp), dtype=object)
     flat = jax.devices()[:dp * tp]

@@ -18,9 +18,27 @@ import jax.numpy as jnp
 
 RESULTS = []
 
+# Accuracy gates (VERDICT r2 weak #4): each config asserts a tolerance so
+# an accuracy regression can NOT ship silently inside a green round. The
+# run exits non-zero on any breach; the JSON records pass/fail per config.
+GATES = {
+    "1_single_icp_pair_1k": ("transform_err", 1e-4),
+    "2_sequential_odometry_200": ("final_err_m", 0.3),
+    "3_loop_closure_500": ("closure_err_m", 0.01),
+    "4_velodyne_full_slam_64k": ("final_err_m", 0.3),
+    "5_multi_agent_16": ("max_agent_err_m", 0.3),
+}
+
 
 def emit(name, **kv):
     rec = {"config": name, **kv}
+    gate = GATES.get(name)
+    if gate is not None and gate[0] in rec:
+        key, tol = gate
+        rec["gate"] = f"{key} < {tol}"
+        rec["passed"] = bool(rec[key] < tol)
+    elif "error" in rec:
+        rec["passed"] = False
     RESULTS.append(rec)
     print(json.dumps(rec), flush=True)
 
@@ -181,14 +199,31 @@ def config4_velodyne():
     poses = [pose_at(2.0 + i * 1.0) for i in range(10)]
     scans = [render_scan(world, T, rng, 65536, max_range=30.0, noise=0.01)
              for T in poses]
+    # Stage the spins as KITTI .bin files and stream them back through the
+    # native C++ async loader — the deployable disk -> host -> device path
+    # (VERDICT r2 item 7: config 4 consumes .bin via native/scan_loader).
+    import tempfile
+
+    from pgslam_tpu.datasets import save_kitti_bin
+    bin_dir = tempfile.mkdtemp(prefix="velodyne_bin_")
+    for i, s in enumerate(scans):
+        save_kitti_bin(os.path.join(bin_dir, f"{i:06d}.bin"), s)
+    native = True
+    try:
+        from pgslam_tpu.native import ScanLoader
+        loader = iter(ScanLoader(bin_dir, prefetch_depth=2))
+    except ImportError:
+        native = False
+        loader = iter(scans)
     slam = PoseGraphSlam(velodyne_config())
-    slam.add_data(0, "world", poses[0], np.eye(4), scans[0])
-    slam.add_data(1, "world", poses[1], np.eye(4), scans[1])  # warm
-    # Double-buffer the 64k-point transfers behind the registrations.
+    slam.add_data(0, "world", poses[0], np.eye(4), next(loader))
+    slam.add_data(1, "world", poses[1], np.eye(4), next(loader))  # warm
+    # Triple overlap: native disk reads ahead of host staging ahead of
+    # the device registrations.
     from pgslam_tpu.utils.prefetch import prefetch_clouds
     t0 = time.perf_counter()
     n = 0
-    for i, cloud in enumerate(prefetch_clouds(scans[2:], capacity=65536),
+    for i, cloud in enumerate(prefetch_clouds(loader, capacity=65536),
                               start=2):
         slam.add_data(i, "world", poses[i], np.eye(4), cloud)
         n += 1
@@ -197,7 +232,8 @@ def config4_velodyne():
         slam.localizer.T_world_robot[:3, 3] - poses[len(scans) - 1][:3, 3]))
     emit("4_velodyne_full_slam_64k", ms_per_scan=round(dt * 1e3, 1),
          scans_per_sec=round(1 / dt, 2), final_err_m=round(err, 3),
-         keyframes=int(slam.get_graph().n_vertices))
+         keyframes=int(slam.get_graph().n_vertices),
+         native_bin_loader=native)
 
 
 def config5_multi_agent():
@@ -248,6 +284,12 @@ def main():
             emit(fn.__name__, error=str(e)[:200])
     with open("/tmp/bench_configs.json", "w") as fh:
         json.dump(RESULTS, fh, indent=1)
+    failed = [r["config"] for r in RESULTS if not r.get("passed", True)]
+    if failed:
+        print(f"# ACCURACY GATE FAILED: {failed}", file=sys.stderr,
+              flush=True)
+        sys.exit(1)
+    print("# all accuracy gates passed", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

@@ -86,6 +86,7 @@ def _ring_graph(V, rng, bad_loop=False):
     return poses, args, jnp.asarray(rmask)
 
 
+@pytest.mark.slow
 def test_redescending_kernels_shrug_off_bad_loop_edge():
     # A gross outlier (aliased match, 5 m off) with tight covariance:
     # Huber's linear tail still pulls meters against the near-zero
@@ -107,6 +108,7 @@ def test_redescending_kernels_shrug_off_bad_loop_edge():
         assert err_robust < 0.15, (kernel, err_plain, err_robust)
 
 
+@pytest.mark.slow
 def test_huber_matches_plain_on_clean_graph():
     rng = np.random.default_rng(4)
     poses, args, rmask = _ring_graph(48, rng, bad_loop=False)

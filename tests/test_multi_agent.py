@@ -50,6 +50,7 @@ def test_agents_with_first_scans_only():
     assert slam.map_manager.get_fixed_vertex() == 0
 
 
+@pytest.mark.slow
 def test_multi_agent_on_tp_mesh():
     """Fleet SLAM on the (dp, tp) mesh: the FULL registration runs through
     parallel/sharded_icp.py (dp over agents, tp over reference points)
@@ -84,6 +85,7 @@ def test_multi_agent_on_tp_mesh():
     assert g.n_vertices == slam_ref.get_graph().n_vertices
 
 
+@pytest.mark.slow
 def test_batched_reciprocal_loop_closures_dont_crash():
     """Two vertices in one verification batch can each pick the other as
     candidate (searches run before either insert); the second, reverse

@@ -92,6 +92,7 @@ def test_sharded_icp_step_matches_single_device(rng):
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import sys
     sys.path.insert(0, "/root/repo")
@@ -163,6 +164,43 @@ def test_sharded_register_matches_vmapped(rng):
         err = np.asarray(se3.log(se3.inverse(sharded.T[b])
                                  @ se3.exp(jnp.asarray(twists[b]))))
         assert np.linalg.norm(err) < 3e-2, f"agent {b}: {err}"
+
+
+def test_multislice_mesh_layout_and_register(rng):
+    """2-slice x 4-chip fleet shape (SURVEY.md §5.8): tp groups must stay
+    inside one slice (their per-iteration all_gather rides ICI), the dp
+    axis spans slices (no dp collectives during registration), and the
+    full sharded registration runs unchanged on the multi-slice mesh."""
+    mesh = make_mesh(8, tp=2, slices=2)
+    assert dict(mesh.shape) == {"dp": 4, "tp": 2}
+    # With 4 chips per slice, every tp row must be within one slice block.
+    flat = jax.devices()
+    slice_of = {d: i // 4 for i, d in enumerate(flat)}
+    grid = mesh.devices
+    for i in range(4):
+        assert slice_of[grid[i, 0]] == slice_of[grid[i, 1]], \
+            f"tp group {i} crosses a slice boundary"
+    # tp crossing slices must be rejected outright.
+    with pytest.raises(ValueError):
+        make_mesh(8, tp=8, slices=2)
+    with pytest.raises(ValueError):
+        make_mesh(8, tp=2, slices=3)
+
+    # And the production sharded registration runs on this mesh.
+    from pgslam_tpu.parallel.sharded_icp import make_sharded_register
+
+    B, N, Mref = 4, 64, 256
+    cfg = ICPConfig(max_iterations=10,
+                    outlier=(O.TrimmedDist(0.9), O.MaxDist(1.0)))
+    pts = rng.uniform(-3, 3, size=(B, Mref, 3)).astype(np.float32)
+    refs = stack_clouds([make_cloud(pts[b], capacity=Mref)
+                         for b in range(B)])
+    readings = stack_clouds([make_cloud(pts[b, :N] + 0.02, capacity=N)
+                             for b in range(B)])
+    T0 = jnp.tile(jnp.eye(4), (B, 1, 1))
+    res = make_sharded_register(mesh, cfg)(readings, refs, T0)
+    assert res.T.shape == (B, 4, 4)
+    assert np.all(np.isfinite(np.asarray(res.T)))
 
 
 def test_prefetch_clouds_equivalence(rng):

@@ -40,6 +40,7 @@ def _ring_problem(V=40, E=72, seed=1, noise=0.05):
     return args, poses
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("solver", ["pcg_pallas", "lm_pallas"])
 def test_fused_solver_matches_xla(solver):
     args, gt = _ring_problem()
@@ -57,6 +58,7 @@ def test_fused_solver_matches_xla(solver):
     assert float(st_p["final_cost"]) < 1e-4 * float(st_p["initial_cost"])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("robust", ["huber", "cauchy", "gm"])
 def test_lm_pallas_robust_matches_xla(robust):
     args, gt = _ring_problem()
@@ -81,6 +83,24 @@ def test_lm_pallas_robust_matches_xla(robust):
                                float(st_x["final_cost"]), rtol=1e-2)
 
 
+@pytest.mark.slow
+def test_lm_pallas_smoke_small_ring():
+    """Small-ring lm_pallas smoke: anchor invariance, finiteness, cost
+    decrease. Slow-tier like every lm_pallas interpret test — tracing the
+    fused kernel's unrolled row algebra costs ~40 s on this host
+    regardless of problem size, so there is no cheap interpret-mode
+    coverage to be had (the XLA-path PGO tests carry the fast tier)."""
+    args, gt = _ring_problem(V=12, E=16, noise=0.02)
+    cfg = PGOConfig(max_iterations=2, cg_iterations=8, cg_tol=1e-3,
+                    solver="lm_pallas")
+    out, st = optimize_pose_graph(*args, config=cfg)
+    np.testing.assert_allclose(np.asarray(out)[0], np.asarray(args[0][0]),
+                               atol=1e-4)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert float(st["final_cost"]) < float(st["initial_cost"])
+
+
+@pytest.mark.slow
 def test_lm_pallas_respects_fixed_vertex():
     args, gt = _ring_problem()
     cfg = PGOConfig(max_iterations=4, cg_iterations=16, cg_tol=1e-3,
@@ -94,6 +114,7 @@ def test_lm_pallas_respects_fixed_vertex():
     assert err.max() < 0.12
 
 
+@pytest.mark.slow
 def test_lm_pallas_vertex_mask_passthrough():
     args, gt = _ring_problem()
     vmask = np.ones(40, bool)

@@ -41,6 +41,7 @@ import functools
 import os
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -52,24 +53,61 @@ _DEFAULT = jax.lax.Precision.DEFAULT
 
 # Scoped-VMEM request for the kernel. v5e has 128 MiB VMEM/core;
 # PGSLAM_PGO_VMEM_LIMIT overrides for calibration probes.
+# 94 MiB is chip-verified (v5e, 128 MiB VMEM/core): V=2k/E=4k (74.9 MiB
+# scoped) compiles and runs; a 100 MiB request crashes the remote compile
+# helper, so do not raise this without re-probing (scripts/probe_pgo2k.py).
 VMEM_LIMIT_BYTES = int(os.environ.get("PGSLAM_PGO_VMEM_LIMIT",
-                                      64 * 1024 * 1024))
+                                      94 * 1024 * 1024))
 
 
-def fits_vmem(n_vertices: int, n_edges: int,
+def _pad128(n: int) -> int:
+    return max(128, -(-n // 128) * 128)
+
+
+def fits_vmem(n_vertices: int, n_edges: int, n_loop: int | None = None,
               budget_bytes: int = VMEM_LIMIT_BYTES - 8 * 1024 * 1024) -> bool:
     """VMEM estimate: S + pose/edge row fields + live 6x6 row blocks.
     S counts DOUBLE: the kernel contracts it along both dims and Mosaic
     materializes one layout per orientation (calibrated against compiler
     scoped-vmem reports: 20.2 MiB at V=1k/E=2k, 74.9 MiB at V=2k/E=4k).
-    The kernel requests a 64 MiB scoped-vmem limit; the budget leaves
-    headroom under it."""
-    V = -(-n_vertices // 128) * 128
-    E = -(-n_edges // 128) * 128
-    s_bytes = 2 * (2 * E * V * 2)
-    edge_rows = (36 * 3 + 16 * 4 + 60) * E * 4   # info, blocks, transforms
+    The budget leaves headroom under the kernel's VMEM_LIMIT_BYTES
+    request.
+
+    ``n_loop``: with the chain-aware layout (see ``lm_optimize_pallas``)
+    only the ``n_loop`` non-chain edges need the one-hot incidence; the
+    odometry chain moves by lane rolls. S then scales with ``n_loop``
+    instead of ``n_edges`` — real pose graphs (loop closures are a small
+    fraction of edges) fit far larger V."""
+    V = _pad128(n_vertices)
+    if n_loop is None:
+        L = W = _pad128(n_edges)
+    else:
+        L = _pad128(n_loop)
+        W = V + L                                # chain lanes + loop lanes
+    s_bytes = 2 * (2 * L * V * 2)
+    edge_rows = (36 * 3 + 16 * 4 + 60) * W * 4   # info, blocks, transforms
     vert_rows = (36 + 16 * 3 + 8 * 8) * V * 4    # Pinv, poses, Krylov
     return s_bytes + edge_rows + vert_rows <= budget_bytes
+
+
+def host_loop_count(edge_from, edge_to, n_vertices: int) -> int | None:
+    """#edges that can NOT ride the odometry chain's lane-roll path: for
+    every vertex i, the FIRST edge (i, i+1) claims chain lane i; the rest
+    (loop closures, duplicates, reversed/irregular odometry) need the
+    one-hot incidence. Returns None when the ids are traced (inside jit)
+    — chain routing needs static lane counts, so callers fall back to the
+    all-one-hot layout there. Claim rule must match the traced routing in
+    ``lm_optimize_pallas`` (min edge index per chain pair)."""
+    try:
+        ef = np.asarray(edge_from)
+        et = np.asarray(edge_to)
+    except Exception:
+        return None
+    is_pair = (et == ef + 1) & (ef >= 0) & (et < n_vertices)
+    first = {}
+    for e in np.nonzero(is_pair)[0]:
+        first.setdefault(int(ef[e]), int(e))
+    return int(len(ef) - len(first))
 
 
 # Row-algebra helpers (entries are [1, N] arrays or python float
@@ -82,14 +120,19 @@ from ..ops.rowmath import (_add, _adjoint_of_inv, _ad6, _dotn, _eye6_plus,
 
 def _lm_kernel(fixed_ref, S_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref,
                em_ref, rm_ref, priorT_ref, PT_out_ref, stats_ref, *,
-               n_edges, cg_iterations, cg_tol, max_iterations,
+               n_edges, chain, cg_iterations, cg_tol, max_iterations,
                lambda_init, lambda_up, lambda_down, min_step_norm,
                min_cost_decrease, prior_info, robust, robust_delta):
-    E = n_edges
+    # Edge-lane layout: with ``chain`` the first V lanes are chain lanes
+    # (lane i <-> the odometry edge (i, i+1); endpoint movement is a lane
+    # roll) and the following ``n_edges`` lanes are loop lanes moved via
+    # the one-hot incidence S [2*n_edges, V]. Without ``chain`` every lane
+    # is a loop lane (legacy layout, used when edge ids are traced).
+    E = n_edges                                             # loop lanes
     V = PT0_ref.shape[1]
     f32 = jnp.float32
     fixed = fixed_ref[0]
-    em = em_ref[0:1, :]                                     # [1, E]
+    em = em_ref[0:1, :]                                     # [1, W]
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
     is_fixed1 = lane1 == fixed
     rowlike_E = em
@@ -114,8 +157,15 @@ def _lm_kernel(fixed_ref, S_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref,
             _split16(PT), S_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=f32, precision=_DEFAULT)   # [32, 2E]
         full = xs[:16] + xs[16:]
-        Xf = [full[r:r + 1, :E] for r in range(16)]
-        Xt = [full[r:r + 1, E:] for r in range(16)]
+        if chain:
+            PTm1 = jnp.roll(PT, -1, axis=1)   # lane i -> pose i+1
+            Xf = [jnp.concatenate([PT[r:r + 1, :], full[r:r + 1, :E]],
+                                  axis=1) for r in range(16)]
+            Xt = [jnp.concatenate([PTm1[r:r + 1, :], full[r:r + 1, E:]],
+                                  axis=1) for r in range(16)]
+        else:
+            Xf = [full[r:r + 1, :E] for r in range(16)]
+            Xt = [full[r:r + 1, E:] for r in range(16)]
         M = _mat4_mul(_se3_inv(Xf), Xt)
         e = _se3_log(_mat4_mul(Zinv, M))
         return e, M
@@ -169,14 +219,20 @@ def _lm_kernel(fixed_ref, S_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref,
         return jnp.sum(c) + prior_info * jnp.sum(pc)
 
     def scatter_to_vertices(rows_f, rows_t, n_rows):
-        """sum over edges into vertices: rows [*, E] x2 -> [n_rows, V]."""
-        stacked = jnp.concatenate(
-            [_stack_rows(rows_f, n_rows, rowlike_E),
-             _stack_rows(rows_t, n_rows, rowlike_E)], axis=1)  # [n, 2E]
+        """sum over edges into vertices: rows [*, W] x2 -> [n_rows, V]."""
+        f = _stack_rows(rows_f, n_rows, rowlike_E)
+        t = _stack_rows(rows_t, n_rows, rowlike_E)
+        if chain:
+            # chain lanes: from-part lands on vertex i, to-part on i+1.
+            y = f[:, :V] + jnp.roll(t[:, :V], 1, axis=1)
+            stacked = jnp.concatenate([f[:, V:], t[:, V:]], axis=1)
+        else:
+            y = 0.0
+            stacked = jnp.concatenate([f, t], axis=1)          # [n, 2E]
         out = jax.lax.dot_general(
             _split16(stacked), S_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=f32, precision=_DEFAULT)
-        return out[:n_rows] + out[n_rows:]                     # [n, V]
+        return y + out[:n_rows] + out[n_rows:]                 # [n, V]
 
     def lm_body(_, carry):
         PT, lam, cost, done, n_iter = carry
@@ -244,18 +300,29 @@ def _lm_kernel(fixed_ref, S_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref,
                 _split16(p), S_ref[:], (((1,), (1,)), ((), ())),
                 preferred_element_type=f32, precision=_DEFAULT)
             full = xs[:8] + xs[8:]
-            xf = full[:, :E]
-            xt = full[:, E:]
-            yf = jnp.zeros((8, E), f32)
-            yt = jnp.zeros((8, E), f32)
+            if chain:
+                xf = jnp.concatenate([p, full[:, :E]], axis=1)
+                xt = jnp.concatenate([jnp.roll(p, -1, axis=1),
+                                      full[:, E:]], axis=1)
+            else:
+                xf = full[:, :E]
+                xt = full[:, E:]
+            W = xf.shape[1]
+            yf = jnp.zeros((8, W), f32)
+            yt = jnp.zeros((8, W), f32)
             for j in range(6):
                 yf = yf + Aff[j] * xf[j:j + 1, :] + Aft[j] * xt[j:j + 1, :]
                 yt = yt + Atf[j] * xf[j:j + 1, :] + Att[j] * xt[j:j + 1, :]
-            ys = jnp.concatenate([yf, yt], axis=1)
+            if chain:
+                y0 = yf[:, :V] + jnp.roll(yt[:, :V], 1, axis=1)
+                ys = jnp.concatenate([yf[:, V:], yt[:, V:]], axis=1)
+            else:
+                y0 = 0.0
+                ys = jnp.concatenate([yf, yt], axis=1)
             ysc = jax.lax.dot_general(
                 _split16(ys), S_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=f32, precision=_DEFAULT)
-            y = ysc[:8] + ysc[8:]
+            y = y0 + ysc[:8] + ysc[8:]
             y = y + jnp.where(is_fixed8, prior_info * p, 0.0)
             return y + dd * p
 
@@ -336,30 +403,95 @@ def _lm_kernel(fixed_ref, S_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref,
     stats_ref[3] = lam_fin
 
 
+@functools.partial(jax.jit, static_argnames=("config", "n_loop"))
 def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
-                       emask, fixed_id, robust_emask=None, *, config):
+                       emask, fixed_id, robust_emask=None, *, config,
+                       n_loop=None):
     """Single-dispatch LM optimize. Same contract as the LM loop inside
     ``pgo.optimize_pose_graph`` incl. the robust IRLS kernels; returns
-    (poses, stats)."""
+    (poses, stats). Jitted WHOLE (routing + incidence build + kernel +
+    normalize/vmask post-processing) so one optimize() is ONE dispatch —
+    eager wrapper ops each risk the relay's per-dispatch floor.
+
+    ``n_loop`` (static, from :func:`host_loop_count`) enables the
+    chain-aware lane layout: for every vertex i the first edge (i, i+1)
+    rides a chain lane (endpoint movement = lane rolls — no incidence
+    matmul, no VMEM for it) and only the remaining ``n_loop`` edges use
+    the one-hot incidence. The routing below is pure traced XLA — only
+    the LANE COUNTS are static — so a fixed (V, E, n_loop bucket) never
+    recompiles as the graph's edge ids change between calls."""
     V, E = poses.shape[0], edge_from.shape[0]
     Vp = -(-V // 128) * 128
     Ep = -(-E // 128) * 128
-    ef = jnp.clip(edge_from, 0, V - 1)
-    et = jnp.clip(edge_to, 0, V - 1)
-    S = build_incidence_bf16(ef, et, V)
-
-    def padT(x, rows_to, n_to):
-        x = x.reshape(x.shape[0], -1).T.astype(jnp.float32)
-        x = jnp.pad(x, ((0, rows_to - x.shape[0]), (0, n_to - x.shape[1])))
-        return x
-
-    PT0 = padT(poses, 16, Vp)
-    ZinvT = padT(se3.inverse(edge_T), 16, Ep)
-    covT = padT(edge_cov, 40, Ep)
-    em = jnp.pad(emask.astype(jnp.float32), (0, Ep - E))[None, :]
-    rme = jnp.ones((E,), jnp.float32) if robust_emask is None \
+    chain = n_loop is not None
+    ef = jnp.clip(edge_from, 0, V - 1).astype(jnp.int32)
+    et = jnp.clip(edge_to, 0, V - 1).astype(jnp.int32)
+    ZinvE = se3.inverse(edge_T).reshape(E, 16).astype(jnp.float32)
+    covE = edge_cov.reshape(E, 36).astype(jnp.float32)
+    emE = emask.astype(jnp.float32)
+    rmE = jnp.ones((E,), jnp.float32) if robust_emask is None \
         else robust_emask.astype(jnp.float32)
-    rme = jnp.pad(rme, (0, Ep - E))[None, :]
+
+    if chain:
+        Lp = _pad128(n_loop)
+        idx = jnp.arange(E, dtype=jnp.int32)
+        ef0 = edge_from.astype(jnp.int32)
+        et0 = edge_to.astype(jnp.int32)
+        is_pair = (et0 == ef0 + 1) & (ef0 >= 0) & (et0 < V)
+        # First edge per chain pair claims lane ef (emask-independent so
+        # the routing never depends on which edges are currently valid).
+        claim_tbl = jnp.full((V,), E, jnp.int32).at[
+            jnp.where(is_pair, ef, 0)].min(jnp.where(is_pair, idx, E))
+        claimed = is_pair & (claim_tbl[ef] == idx)
+        tgt = jnp.where(claimed, ef, V)              # V = dump slot
+
+        def chain_scatter(data2d):                    # [E, k] -> [Vp, k]
+            k = data2d.shape[1]
+            buf = jnp.zeros((V + 1, k), jnp.float32).at[tgt].set(data2d)
+            return jnp.pad(buf[:V], ((0, Vp - V), (0, 0)))
+
+        cZ = chain_scatter(ZinvE)
+        cC = chain_scatter(covE)
+        cem = chain_scatter(emE[:, None])
+        crm = chain_scatter(rmE[:, None])
+        # Loop lanes: non-claimed edges compacted to the front. n_loop is
+        # an exact count under the same claim rule, so nothing real can
+        # fall off the end; claimed edges inside the window are masked.
+        order = jnp.argsort(claimed, stable=True)
+        k = min(E, Lp)
+
+        def takeL(a2d):                               # [E, k] -> [Lp, k]
+            a = a2d[order][:k]
+            return jnp.pad(a, ((0, Lp - k), (0, 0)))
+
+        not_claimed = (~claimed).astype(jnp.float32)
+        lef = jnp.pad(ef[order][:k], (0, Lp - k))
+        let = jnp.pad(et[order][:k], (0, Lp - k))
+        lem = takeL((emE * not_claimed)[:, None])
+        lrm = takeL(rmE[:, None])
+        S = build_incidence_bf16(lef, let, V)
+        ZinvT = jnp.concatenate([cZ, takeL(ZinvE)], axis=0).T
+        covT36 = jnp.concatenate([cC, takeL(covE)], axis=0).T
+        covT = jnp.pad(covT36, ((0, 4), (0, 0)))
+        em = jnp.concatenate([cem, lem], axis=0).T    # [1, Vp + Lp]
+        rme = jnp.concatenate([crm, lrm], axis=0).T
+        n_lanes = Lp
+    else:
+        S = build_incidence_bf16(ef, et, V)
+
+        def padT(x, rows_to, n_to):
+            x = x.T
+            return jnp.pad(x, ((0, rows_to - x.shape[0]),
+                               (0, n_to - x.shape[1])))
+
+        ZinvT = padT(ZinvE, 16, Ep)
+        covT = padT(covE, 40, Ep)
+        em = jnp.pad(emE, (0, Ep - E))[None, :]
+        rme = jnp.pad(rmE, (0, Ep - E))[None, :]
+        n_lanes = Ep
+
+    PT0 = jnp.pad(poses.reshape(V, 16).astype(jnp.float32).T,
+                  ((0, 0), (0, Vp - V)))
     vm = jnp.broadcast_to(
         jnp.pad(vmask.astype(jnp.float32), (0, Vp - V))[None, :], (8, Vp))
     prior_Tinv = se3.inverse(poses[fixed_id])
@@ -367,7 +499,7 @@ def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
                      ((0, 0), (0, 127)))
 
     kern = functools.partial(
-        _lm_kernel, n_edges=Ep,
+        _lm_kernel, n_edges=n_lanes, chain=chain,
         cg_iterations=config.cg_iterations, cg_tol=config.cg_tol,
         max_iterations=config.max_iterations,
         lambda_init=config.lambda_init, lambda_up=config.lambda_up,
@@ -392,6 +524,8 @@ def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
     )(jnp.asarray(fixed_id, jnp.int32)[None], S, PT0, vm, ZinvT, covT,
       em, rme, priorT)
     final = PT_out[:, :V].T.reshape(V, 4, 4).astype(poses.dtype)
+    final = se3.normalize_rotation(final)
+    final = jnp.where(vmask[:, None, None], final, poses)
     out_stats = {"initial_cost": stats[0], "final_cost": stats[1],
                  "iterations": stats[2].astype(jnp.int32),
                  "lambda": stats[3]}

@@ -44,8 +44,11 @@ from jax.experimental.pallas import tpu as pltpu
 _DEFAULT = jax.lax.Precision.DEFAULT  # bf16 operands: Mosaic rejects HIGHEST
 
 
+# 94 MiB is chip-verified (v5e, 128 MiB VMEM/core): V=2k/E=4k (74.9 MiB
+# scoped) compiles and runs; a 100 MiB request crashes the remote compile
+# helper, so do not raise this without re-probing (scripts/probe_pgo2k.py).
 VMEM_LIMIT_BYTES = int(os.environ.get("PGSLAM_PGO_VMEM_LIMIT",
-                                      64 * 1024 * 1024))
+                                      94 * 1024 * 1024))
 
 
 def fits_vmem(n_vertices: int, n_edges: int,

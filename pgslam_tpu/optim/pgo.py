@@ -161,21 +161,33 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
     E = edge_from.shape[0]
     dtype = poses.dtype
 
+    def _chain_loop_count():
+        """Static loop-lane count for the chain-aware kernel layout (see
+        lm_pallas.host_loop_count); None = all-one-hot legacy layout
+        (traced ids, or too few chain edges to pay for the extra
+        lanes)."""
+        from .lm_pallas import host_loop_count
+        nl = host_loop_count(edge_from, edge_to, V)
+        if nl is not None and nl <= 0.8 * E:
+            return nl
+        return None
+
     def _lm_kernel_eligible():
         from .lm_pallas import fits_vmem as lm_fits
-        return (jax.default_backend() not in ("cpu",)
-                and lm_fits(V, E))
+        if jax.default_backend() in ("cpu",):
+            return False
+        return lm_fits(V, E, _chain_loop_count())
 
     if config.solver == "lm_pallas" or (config.solver == "pcg"
                                         and _lm_kernel_eligible()):
         # Single-dispatch whole-LM kernel (see optim/lm_pallas.py).
         from .lm_pallas import lm_optimize_pallas
-        final, stats = lm_optimize_pallas(
+        # normalize/vmask post-processing happens INSIDE the jitted
+        # wrapper: every eager op out here costs a relay dispatch floor.
+        return lm_optimize_pallas(
             poses, vmask, edge_from, edge_to, edge_T, edge_cov, emask,
-            fixed_id, robust_emask, config=config)
-        final = se3.normalize_rotation(final)
-        final = jnp.where(vmask[:, None, None], final, poses)
-        return final, stats
+            fixed_id, robust_emask, config=config,
+            n_loop=_chain_loop_count())
 
     prior_info = jnp.asarray(1.0 / config.prior_sigma ** 2, dtype)
     prior_Tinv = se3.inverse(poses[fixed_id])

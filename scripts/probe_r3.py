@@ -116,9 +116,10 @@ def probe_batched_pipeline(B=128):
     log(f"== probe 3: deployable batched registration (B={B}) ==")
     rng = np.random.default_rng(0)
     raw = _raw_batch(B)
-    # distinct ground-truth offsets per agent
-    twists = (rng.normal(size=(B, 6)) * [0.3, 0.3, 0.05, 0.01, 0.01, 0.1]
-              ).astype(np.float32)
+    # distinct ground-truth offsets per agent, at odometry-prior error
+    # magnitudes (the initial guess in production comes from odometry)
+    twists = (rng.normal(size=(B, 6)) * [0.15, 0.15, 0.03, 0.005, 0.005,
+                                         0.02]).astype(np.float32)
     offsets = np.asarray(jax.vmap(se3.exp)(jnp.asarray(twists)))
     readings_raw = np.einsum("bij,bnj->bni",
                              np.linalg.inv(offsets)[:, :3, :3], raw) \
@@ -151,41 +152,65 @@ def probe_batched_pipeline(B=128):
 
     @jax.jit
     def prep_batch(pts):
-        pts = pts[:, ::4]
         cloud = Cloud(points=pts, mask=jnp.ones(pts.shape[:2], bool),
                       descriptors={})
         return jax.vmap(lambda c: F.apply_chain(prep_chain, c, key))(cloud)
 
     T0 = jnp.tile(jnp.eye(4, dtype=jnp.float32), (B, 1, 1))
 
-    def pipeline(host_pts):
-        dev = jax.device_put(host_pts)            # h2d inside the loop
-        readings = prep_batch(dev)                # batched prep
+    def pipeline(host_pts, stride):
+        # host stride decimation (a view copy) -> h2d -> device voxel +
+        # compact -> fused registration; everything in the timed loop.
+        dev = jax.device_put(np.ascontiguousarray(host_pts[:, ::stride]))
+        readings = prep_batch(dev)
         return batched_register(readings, refs, T0, cfg_b)
 
-    dt, res = _timeit(pipeline, readings_raw, reps=5)
-    errs = np.asarray(jax.vmap(
-        lambda Tr, Tg: se3.log(se3.inverse(Tr) @ Tg))(
-            res.T, jnp.asarray(offsets)))
-    log(f"  full pipeline (h2d + prep + fused register): "
-        f"{dt*1e3:.1f} ms/batch = {B/dt:.0f} regs/s; max err "
-        f"{np.linalg.norm(errs, axis=1).max():.2e}; iters "
-        f"{np.asarray(res.iterations).min()}-"
-        f"{np.asarray(res.iterations).max()}")
+    for stride in (16,):
+        try:
+            dt, res = _timeit(lambda: pipeline(readings_raw, stride),
+                              reps=5)
+            errs = np.asarray(jax.vmap(
+                lambda Tr, Tg: se3.log(se3.inverse(Tr) @ Tg))(
+                    res.T, jnp.asarray(offsets)))
+            log(f"  pipeline stride{stride} (h2d+prep+register): "
+                f"{dt*1e3:.1f} ms/batch = {B/dt:.0f} regs/s; max err "
+                f"{np.linalg.norm(errs, axis=1).max():.2e}; iters "
+                f"{np.asarray(res.iterations).min()}-"
+                f"{np.asarray(res.iterations).max()}")
+        except Exception as e:
+            log(f"  pipeline stride{stride}: FAILED {str(e)[:200]}")
+
+    # overlapped (double-buffered) pipeline at stride 16: h2d of batch
+    # t+1 in flight while batch t computes.
+    from pgslam_tpu.utils.prefetch import prefetch_batches
+    n_bat = 8
+    host_batches = [np.ascontiguousarray(readings_raw[:, ::16])] * n_bat
+    res = None
+    for dev in prefetch_batches(host_batches, depth=2):
+        res = batched_register(prep_batch(dev), refs, T0, cfg_b)
+    jax.block_until_ready(res.T)
+    t0 = time.perf_counter()
+    for dev in prefetch_batches(host_batches, depth=2):
+        res = batched_register(prep_batch(dev), refs, T0, cfg_b)
+    jax.block_until_ready(res.T)
+    dt = (time.perf_counter() - t0) / n_bat
+    log(f"  overlapped stride16 x{n_bat} batches: {dt*1e3:.1f} ms/batch "
+        f"= {B/dt:.0f} regs/s")
 
     # kernel-only on the same distinct batch
     readings_prepped = jax.block_until_ready(prep_batch(
-        jax.device_put(readings_raw)))
+        jax.device_put(np.ascontiguousarray(readings_raw[:, ::16]))))
     dt_k, _ = _timeit(lambda: batched_register(
         readings_prepped, refs, T0, cfg_b), reps=5)
     log(f"  kernel-only (distinct scans): {dt_k*1e3:.1f} ms/batch = "
         f"{B/dt_k:.0f} regs/s")
 
-    # stage costs
-    dt_h, dev = _timeit(jax.device_put, readings_raw, reps=5)
+    # stage costs at stride 16
+    dec = np.ascontiguousarray(readings_raw[:, ::16])
+    dt_h, dev = _timeit(jax.device_put, dec, reps=5)
     dt_p, _ = _timeit(prep_batch, dev, reps=5)
-    log(f"  stages: h2d {dt_h*1e3:.1f} ms, prep {dt_p*1e3:.1f} ms, "
-        f"register {dt_k*1e3:.1f} ms")
+    log(f"  stages (stride16): h2d {dt_h*1e3:.1f} ms, prep "
+        f"{dt_p*1e3:.1f} ms, register {dt_k*1e3:.1f} ms")
 
 
 def probe_single_stream():

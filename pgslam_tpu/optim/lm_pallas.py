@@ -438,40 +438,92 @@ def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
         ef0 = edge_from.astype(jnp.int32)
         et0 = edge_to.astype(jnp.int32)
         is_pair = (et0 == ef0 + 1) & (ef0 >= 0) & (et0 < V)
-        # First edge per chain pair claims lane ef (emask-independent so
-        # the routing never depends on which edges are currently valid).
-        claim_tbl = jnp.full((V,), E, jnp.int32).at[
-            jnp.where(is_pair, ef, 0)].min(jnp.where(is_pair, idx, E))
-        claimed = is_pair & (claim_tbl[ef] == idx)
-        tgt = jnp.where(claimed, ef, V)              # V = dump slot
+        use_matmul_routing = V * E <= (1 << 24)
+        if use_matmul_routing:
+            # Scatter-free routing: XLA lowers scatter/argsort/row-gather
+            # to serialized loops on TPU — the original routing prologue
+            # alone cost 2.7 ms at V=1k/E=2k (chip-measured r3, ~half the
+            # whole optimize). Everything below is lane reductions over
+            # the pair-incidence mask M[v,e] = (ef[e]==v & is_pair[e])
+            # plus exact one-hot matmuls (Precision.HIGHEST keeps the
+            # f32 payloads un-rounded; each output row receives at most
+            # one contribution). Gated on V*E so the [V, E] mask stays a
+            # few-MB transient; larger graphs take the scatter path
+            # where the one-off routing cost amortizes anyway.
+            HI = jax.lax.Precision.HIGHEST
+            iota_v = jnp.arange(V, dtype=jnp.int32)
+            M = (ef[None, :] == iota_v[:, None]) & is_pair[None, :]
+            # First edge per chain pair claims lane ef (emask-independent
+            # so routing never depends on currently-valid edges).
+            claim_tbl = jnp.min(jnp.where(M, idx[None, :], E), axis=1)
+            # claim_tbl[ef] as a one-hot matvec (ids < 2^24: exact f32).
+            Mf = M.astype(jnp.float32)
+            claim_at_e = jax.lax.dot(
+                Mf.T, claim_tbl.astype(jnp.float32)[:, None],
+                precision=HI)[:, 0]
+            claimed = is_pair & (claim_at_e.astype(jnp.int32) == idx)
+            Cf = jnp.where(claimed[None, :], Mf, 0.0)
+            D = jnp.concatenate([ZinvE, covE, emE[:, None], rmE[:, None]],
+                                axis=1)               # [E, 54]
+            chain_rows = jnp.pad(
+                jax.lax.dot(Cf, D, precision=HI),
+                ((0, Vp - V), (0, 0)))                # [Vp, 54]
+            cZ, cC = chain_rows[:, :16], chain_rows[:, 16:52]
+            cem, crm = chain_rows[:, 52:53], chain_rows[:, 53:54]
+            # Loop lanes: non-claimed edges compacted to the front in
+            # original order (matches the stable-argsort layout) via a
+            # position one-hot P[l,e] = (rank of e among non-claimed)==l.
+            nc = ~claimed
+            posn = jnp.cumsum(nc.astype(jnp.int32)) - 1
+            iota_l = jnp.arange(Lp, dtype=jnp.int32)
+            P = ((posn[None, :] == iota_l[:, None]) & nc[None, :]
+                 ).astype(jnp.float32)                # [Lp, E]
+            Dl = jnp.concatenate(
+                [D, ef.astype(jnp.float32)[:, None],
+                 et.astype(jnp.float32)[:, None]], axis=1)   # [E, 56]
+            loop_rows = jax.lax.dot(P, Dl, precision=HI)     # [Lp, 56]
+            lZ, lC = loop_rows[:, :16], loop_rows[:, 16:52]
+            lem, lrm = loop_rows[:, 52:53], loop_rows[:, 53:54]
+            lef = jnp.round(loop_rows[:, 54]).astype(jnp.int32)
+            let = jnp.round(loop_rows[:, 55]).astype(jnp.int32)
+        else:
+            # Scatter-based routing (large graphs: the [V, E] mask above
+            # would dominate memory; the serialized-scatter cost is a
+            # smaller fraction of these larger optimizes).
+            claim_tbl = jnp.full((V,), E, jnp.int32).at[
+                jnp.where(is_pair, ef, 0)].min(jnp.where(is_pair, idx, E))
+            claimed = is_pair & (claim_tbl[ef] == idx)
+            tgt = jnp.where(claimed, ef, V)          # V = dump slot
 
-        def chain_scatter(data2d):                    # [E, k] -> [Vp, k]
-            k = data2d.shape[1]
-            buf = jnp.zeros((V + 1, k), jnp.float32).at[tgt].set(data2d)
-            return jnp.pad(buf[:V], ((0, Vp - V), (0, 0)))
+            def chain_scatter(data2d):                # [E, k] -> [Vp, k]
+                k = data2d.shape[1]
+                buf = jnp.zeros((V + 1, k), jnp.float32).at[tgt].set(data2d)
+                return jnp.pad(buf[:V], ((0, Vp - V), (0, 0)))
 
-        cZ = chain_scatter(ZinvE)
-        cC = chain_scatter(covE)
-        cem = chain_scatter(emE[:, None])
-        crm = chain_scatter(rmE[:, None])
-        # Loop lanes: non-claimed edges compacted to the front. n_loop is
-        # an exact count under the same claim rule, so nothing real can
-        # fall off the end; claimed edges inside the window are masked.
-        order = jnp.argsort(claimed, stable=True)
-        k = min(E, Lp)
+            cZ = chain_scatter(ZinvE)
+            cC = chain_scatter(covE)
+            cem = chain_scatter(emE[:, None])
+            crm = chain_scatter(rmE[:, None])
+            # Loop lanes: non-claimed edges compacted to the front.
+            # n_loop is an exact count under the same claim rule, so
+            # nothing real can fall off the end; claimed edges inside
+            # the window are masked.
+            order = jnp.argsort(claimed, stable=True)
+            k = min(E, Lp)
 
-        def takeL(a2d):                               # [E, k] -> [Lp, k]
-            a = a2d[order][:k]
-            return jnp.pad(a, ((0, Lp - k), (0, 0)))
+            def takeL(a2d):                           # [E, k] -> [Lp, k]
+                a = a2d[order][:k]
+                return jnp.pad(a, ((0, Lp - k), (0, 0)))
 
-        not_claimed = (~claimed).astype(jnp.float32)
-        lef = jnp.pad(ef[order][:k], (0, Lp - k))
-        let = jnp.pad(et[order][:k], (0, Lp - k))
-        lem = takeL((emE * not_claimed)[:, None])
-        lrm = takeL(rmE[:, None])
+            not_claimed = (~claimed).astype(jnp.float32)
+            lef = jnp.pad(ef[order][:k], (0, Lp - k))
+            let = jnp.pad(et[order][:k], (0, Lp - k))
+            lem = takeL((emE * not_claimed)[:, None])
+            lrm = takeL(rmE[:, None])
+            lZ, lC = takeL(ZinvE), takeL(covE)
         S = build_incidence_bf16(lef, let, V)
-        ZinvT = jnp.concatenate([cZ, takeL(ZinvE)], axis=0).T
-        covT36 = jnp.concatenate([cC, takeL(covE)], axis=0).T
+        ZinvT = jnp.concatenate([cZ, lZ], axis=0).T
+        covT36 = jnp.concatenate([cC, lC], axis=0).T
         covT = jnp.pad(covT36, ((0, 4), (0, 0)))
         em = jnp.concatenate([cem, lem], axis=0).T    # [1, Vp + Lp]
         rme = jnp.concatenate([crm, lrm], axis=0).T
@@ -524,7 +576,7 @@ def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
     )(jnp.asarray(fixed_id, jnp.int32)[None], S, PT0, vm, ZinvT, covT,
       em, rme, priorT)
     final = PT_out[:, :V].T.reshape(V, 4, 4).astype(poses.dtype)
-    final = se3.normalize_rotation(final)
+    final = se3.normalize_rotation_fast(final)
     final = jnp.where(vmask[:, None, None], final, poses)
     out_stats = {"initial_cost": stats[0], "final_cost": stats[1],
                  "iterations": stats[2].astype(jnp.int32),

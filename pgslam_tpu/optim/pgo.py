@@ -459,7 +459,7 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
         lm_cond, lm_body,
         (poses, jnp.asarray(config.lambda_init, dtype), jnp.int32(0),
          jnp.bool_(False), init_cost))
-    final = se3.normalize_rotation(final)
+    final = se3.normalize_rotation_fast(final)
     final = jnp.where(vmask[:, None, None], final, poses)
     stats = {"initial_cost": init_cost, "final_cost": final_cost,
              "iterations": n_iter, "lambda": lam}

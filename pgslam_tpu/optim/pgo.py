@@ -24,9 +24,11 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import se3
 
@@ -136,7 +138,20 @@ def _jr_inv(e: jax.Array) -> jax.Array:
     return I + 0.5 * a + (1.0 / 12.0) * (a @ a)
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+def _host_readable(a) -> bool:
+    """True when reading ``a`` into numpy costs no accelerator sync:
+    numpy inputs, or concrete jax arrays whose storage is host memory
+    (CPU backend). Tracers and accelerator-resident arrays -> False."""
+    if isinstance(a, np.ndarray):
+        return True
+    if isinstance(a, jax.core.Tracer):
+        return False
+    try:
+        return all(d.platform == "cpu" for d in a.devices())
+    except Exception:
+        return False
+
+
 def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
                         vmask: jax.Array,        # [V] valid vertices
                         edge_from: jax.Array,    # [E] int32
@@ -150,44 +165,81 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
                         # production systems robustify loop closures only —
                         # odometry is trusted, so its quadratic cost must
                         # not saturate
-                        config: PGOConfig = PGOConfig()):
+                        config: PGOConfig = PGOConfig(),
+                        n_loop="auto"):
     """Run LM on the pose graph; returns (optimized_poses, stats dict).
 
     Padded entries (vmask/emask False) contribute nothing and their poses
     pass through unchanged. Shapes are static: pad V/E to bucket sizes to
     avoid recompilation as the graph grows.
+
+    This is an EAGER dispatcher over two jitted paths (each a single
+    dispatch): the whole-LM Pallas kernel and the XLA LM loop. It must be
+    eager because the kernel's chain-aware lane layout needs a STATIC
+    loop-edge count read from concrete edge ids (``host_loop_count``) —
+    under a surrounding ``jax.jit`` the ids are tracers, the count
+    degrades to None, and the kernel falls back to the all-one-hot
+    incidence layout (which only fits VMEM up to ~2k poses). Calling
+    this inside jit still works and still fuses — it just loses the
+    chain layout, exactly as before.
+
+    ``n_loop``: "auto" detects the count from the ids when that is FREE
+    (numpy inputs, or any input on the CPU backend). Ids living on an
+    accelerator are NOT pulled back — a d2h sync per optimize would cost
+    more than the layout saves (measured: the relay round-trip doubled
+    the 1k optimize) — so device-side callers that want the chain layout
+    pass the int computed from their host copies (the Optimizer does;
+    see ``prepare_for_optimization``). None forces the legacy
+    all-one-hot layout.
     """
     V = poses.shape[0]
     E = edge_from.shape[0]
-    dtype = poses.dtype
 
-    def _chain_loop_count():
-        """Static loop-lane count for the chain-aware kernel layout (see
-        lm_pallas.host_loop_count); None = all-one-hot legacy layout
-        (traced ids, or too few chain edges to pay for the extra
-        lanes)."""
-        from .lm_pallas import host_loop_count
-        nl = host_loop_count(edge_from, edge_to, V)
-        if nl is not None and nl <= 0.8 * E:
-            return nl
-        return None
+    from .lm_pallas import fits_vmem as lm_fits
+    from .lm_pallas import host_loop_count, lm_optimize_pallas
+    if n_loop == "auto":
+        n_loop = None
+        if _host_readable(edge_from) and _host_readable(edge_to):
+            n_loop = host_loop_count(edge_from, edge_to, V)
+    if n_loop is not None and n_loop > 0.8 * E:
+        n_loop = None  # too few chain edges to pay for the extra lanes
+    # Layout policy (chip A/B, probe_pgo_sparse r3): the all-one-hot
+    # layout is FASTER when its incidence fits VMEM (1k sparse: legacy
+    # 5.8 ms vs chain 6.5 — lane rolls don't beat one-hot MXU matmuls);
+    # the chain layout's win is CAPACITY (4k sparse: 8.2 ms, 8k: 10.7 ms
+    # where the one-hot S alone is 140-560 MiB and cannot compile). So:
+    # legacy whenever it fits, chain as the scale extension.
+    # PGSLAM_PGO_FORCE_CHAIN=1 keeps a passed/detected count unconditional
+    # (layout A/B probes).
+    if (n_loop is not None and lm_fits(V, E, None)
+            and os.environ.get("PGSLAM_PGO_FORCE_CHAIN", "") != "1"):
+        n_loop = None
 
-    def _lm_kernel_eligible():
-        from .lm_pallas import fits_vmem as lm_fits
-        if jax.default_backend() in ("cpu",):
-            return False
-        return lm_fits(V, E, _chain_loop_count())
-
+    lm_kernel_eligible = (jax.default_backend() not in ("cpu",)
+                          and lm_fits(V, E, n_loop))
     if config.solver == "lm_pallas" or (config.solver == "pcg"
-                                        and _lm_kernel_eligible()):
-        # Single-dispatch whole-LM kernel (see optim/lm_pallas.py).
-        from .lm_pallas import lm_optimize_pallas
-        # normalize/vmask post-processing happens INSIDE the jitted
-        # wrapper: every eager op out here costs a relay dispatch floor.
+                                        and lm_kernel_eligible):
+        # Single-dispatch whole-LM kernel (see optim/lm_pallas.py):
+        # routing + incidence build + kernel + normalize/vmask
+        # post-processing are all jitted together.
         return lm_optimize_pallas(
             poses, vmask, edge_from, edge_to, edge_T, edge_cov, emask,
-            fixed_id, robust_emask, config=config,
-            n_loop=_chain_loop_count())
+            fixed_id, robust_emask, config=config, n_loop=n_loop)
+    return _optimize_xla(poses, vmask, edge_from, edge_to, edge_T,
+                         edge_cov, emask, fixed_id, robust_emask,
+                         config=config)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _optimize_xla(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
+                  emask, fixed_id, robust_emask=None, *,
+                  config: PGOConfig = PGOConfig()):
+    """The XLA LM loop (one dispatch): incidence/scatter assembly,
+    block-Jacobi PCG / dense Cholesky / fused-PCG solve, retraction and
+    accept/reject. See ``optimize_pose_graph`` for the contract."""
+    V = poses.shape[0]
+    E = edge_from.shape[0]
+    dtype = poses.dtype
 
     prior_info = jnp.asarray(1.0 / config.prior_sigma ** 2, dtype)
     prior_Tinv = se3.inverse(poses[fixed_id])

@@ -80,12 +80,12 @@ class Optimizer:
     def process_data(self) -> None:
         log.info("[Optimizer] Building factor graph with %d new loop "
                  "closing factors", len(self.data_buffer))
-        poses, vmask, ef, et, eT, ec, emask, fixed, rmask = \
+        poses, vmask, ef, et, eT, ec, emask, fixed, rmask, n_loop = \
             self.prepare_for_optimization()
         log.info("[Optimizer] Optimizing using the factor graph")
         new_poses, stats = optimize_pose_graph(
             poses, vmask, ef, et, eT, ec, emask, fixed,
-            robust_emask=rmask, config=self.config.pgo)
+            robust_emask=rmask, config=self.config.pgo, n_loop=n_loop)
         self.last_stats = {k: float(np.asarray(v)) for k, v in stats.items()}
         log.info("[Optimizer] Updating graph poses and adding loop closing "
                  "edges (cost %.3e -> %.3e in %d iters)",
@@ -137,9 +137,14 @@ class Optimizer:
             rm[:ne] = g.edge_type[:ne] == LOOP_CONSTRAINT
             rm[ne:ne + n_pending] = True
             rmask = jnp.asarray(rm)
+        # Chain-aware lane count for the fused-LM kernel, computed here
+        # on the HOST arrays (free) — computing it from the device copies
+        # inside optimize_pose_graph would cost a d2h sync per optimize.
+        from .optim.lm_pallas import host_loop_count
+        n_loop = host_loop_count(ef, et, V)
         return (jnp.asarray(poses), jnp.asarray(vmask), jnp.asarray(ef),
                 jnp.asarray(et), jnp.asarray(eT), jnp.asarray(ec),
-                jnp.asarray(emask), fixed, rmask)
+                jnp.asarray(emask), fixed, rmask, n_loop)
 
     # -- writeback (Optimizer.hpp:135-157) ---------------------------------
 

@@ -368,9 +368,28 @@ class ICPEngine:
     def __call__(self, reading: Cloud, T_init: jax.Array) -> ICPResult:
         if self._reference is None:
             raise RuntimeError("ICPEngine: set_map() must be called first")
+        if self._index is None:
+            # One device dispatch for reading-prep + registration. On the
+            # relay-attached chip each dispatch pays a ~1.5-2.5 ms floor,
+            # so the split prepare_reading/icp_core pair costs one extra
+            # floor per scan — single-stream latency is dispatch-bound
+            # (BENCH_NOTES "Known costs"). Numerically identical: the
+            # same chain + core are traced inline under one jit.
+            return _prep_and_register(reading, self._reference, T_init,
+                                      self.config)
         reading = self.prepare_reading(reading)
         return icp_core(reading, self._reference, T_init, self.config,
                         self._index)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _prep_and_register(reading: Cloud, reference: Cloud, T_init: jax.Array,
+                       cfg: ICPConfig) -> ICPResult:
+    """Fused reading-filter chain + registration (single dispatch)."""
+    if cfg.reading_filters:
+        reading = F.apply_chain(cfg.reading_filters, reading,
+                                jax.random.PRNGKey(0))
+    return icp_core(reading, reference, T_init, cfg, None)
 
 
 def icp(reading: Cloud, reference: Cloud, T_init: jax.Array,

@@ -71,7 +71,8 @@ def make_cloud(points, mask=None, descriptors=None, capacity: Optional[int] = No
     ``capacity`` pads/truncates to a fixed size. Host-side helper (uses
     numpy); do not call under jit.
     """
-    pts = np.asarray(points, dtype=np.float32)
+    np_dt = np.dtype(jnp.dtype(dtype))   # keep fp64 inputs fp64 end-to-end
+    pts = np.asarray(points, dtype=np_dt)
     if pts.ndim != 2 or pts.shape[1] != 3:
         raise ValueError(f"points must be [N, 3], got {pts.shape}")
     n = pts.shape[0]
@@ -86,12 +87,12 @@ def make_cloud(points, mask=None, descriptors=None, capacity: Optional[int] = No
         raise ValueError(f"{n} points exceed capacity {capacity}")
     pad = capacity - n
     if pad:
-        pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)], axis=0)
+        pts = np.concatenate([pts, np.zeros((pad, 3), np_dt)], axis=0)
         m = np.concatenate([m, np.zeros((pad,), bool)], axis=0)
         descriptors = {
             k: np.concatenate(
-                [np.asarray(v, np.float32),
-                 np.zeros((pad,) + np.asarray(v).shape[1:], np.float32)], axis=0)
+                [np.asarray(v, np_dt),
+                 np.zeros((pad,) + np.asarray(v).shape[1:], np_dt)], axis=0)
             for k, v in descriptors.items()
         }
     return Cloud(points=jnp.asarray(pts, dtype=dtype),

@@ -116,9 +116,13 @@ def knn_brute_force(
         else:
             neg, arg = jax.lax.top_k(-d2, k)
             tile_min, tile_arg = -neg, arg + base
+        # argmin/top_k return int64 under jax_enable_x64; pin the carry
+        # dtype so the fp64 instantiation path scans cleanly.
+        tile_arg = tile_arg.astype(jnp.int32)
         return _merge_topk(best_d, best_i, tile_min, tile_arg, k), None
 
-    init = (jnp.full((nq, k), INF), jnp.zeros((nq, k), jnp.int32))
+    init = (jnp.full((nq, k), INF, dtype=query.dtype),
+            jnp.zeros((nq, k), jnp.int32))
     bases = jnp.arange(n_tiles, dtype=jnp.int32) * tile_ref
     (best_d, best_i), _ = jax.lax.scan(body, init, (ref_tiles, mask_tiles, bases))
     # Clamp ids of all-invalid rows to 0 to keep gathers in-bounds.

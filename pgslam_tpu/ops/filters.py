@@ -81,9 +81,14 @@ class VoxelGrid:
     surviving point is the one with the smallest index. ``hash_size`` should
     be a few times the expected occupied-voxel count; hash collisions only
     make the filter slightly more aggressive, never incorrect.
+
+    ``method``: "scatter" (hash-table race), "sort" (lexsort dedup with
+    identical keep-mask — no scatter op), or "auto" (sort on TPU where
+    XLA scatters serialize, scatter elsewhere).
     """
     voxel_size: float = 0.2
     hash_size: int = 1 << 16
+    method: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -242,10 +247,46 @@ def _voxel_grid(cfg: VoxelGrid, cloud: Cloud) -> Cloud:
     idx = jnp.arange(n, dtype=jnp.int32)
     # Invalid points race with index n (never wins).
     contender = jnp.where(cloud.mask, idx, n)
-    table = jnp.full((cfg.hash_size,), n, jnp.int32)
-    table = table.at[h].min(contender)
-    keep = table[h] == idx
+    if _voxel_method(cfg) == "sort":
+        keep = _first_in_bucket_sort(h, contender, n)
+    else:
+        table = jnp.full((cfg.hash_size,), n, jnp.int32)
+        table = table.at[h].min(contender)
+        keep = table[h] == idx
     return cloud.replace(mask=cloud.mask & keep)
+
+
+def _voxel_method(cfg: VoxelGrid) -> str:
+    """Scatter-min vs sort-dedup backend selection.
+
+    Chip A/B (r3, scripts/probe_noprep + probe_voxel_single): the sort
+    formulation is NOT faster in the fused batched-prep context
+    (59.96 vs 59.5 ms/batch — the prep overhead there is not the
+    scatter) and its XLA graph compiles pathologically slowly over this
+    relay (>580 s, twice). "auto" therefore resolves to the scatter race
+    everywhere; "sort" remains available for scatter-hostile backends
+    (bit-identical keep mask, regression-tested in
+    test_cloud_ops.py::test_voxel_grid_sort_matches_scatter)."""
+    method = getattr(cfg, "method", "auto")
+    return "scatter" if method == "auto" else method
+
+
+def _first_in_bucket_sort(h: jax.Array, contender: jax.Array,
+                          n: int) -> jax.Array:
+    """keep[i] = (i is the smallest valid index in its hash bucket) —
+    bit-identical to the scatter-min race, computed with sorts and
+    gathers only. Lexsort (bucket-major, contender-minor) puts each
+    bucket's winning contender first in its run; a neighbour-compare
+    marks run heads; the inverse permutation (itself obtained by sorting
+    the permutation — not by a scatter, which would reintroduce the
+    serialization this path exists to avoid) maps the marks back."""
+    order = jnp.lexsort((contender, h))
+    hs = jnp.take(h, order)
+    cs = jnp.take(contender, order)
+    head = jnp.concatenate([jnp.ones((1,), bool), hs[1:] != hs[:-1]])
+    keep_sorted = head & (cs < n)
+    inv = jnp.argsort(order)
+    return jnp.take(keep_sorted, inv)
 
 
 def compute_normals(cloud: Cloud, *, knn: int = 8, orient: bool = True,

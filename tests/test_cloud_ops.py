@@ -127,6 +127,29 @@ def test_voxel_grid_subsamples(rng):
     assert int(out2.count()) >= 80
 
 
+def test_voxel_grid_sort_matches_scatter(rng):
+    # The sort-dedup backend (TPU default — XLA scatters serialize there)
+    # must produce the bit-identical keep mask to the scatter-min race,
+    # including invalid-point handling and hash collisions.
+    import jax.numpy as jnp
+    for n, hs in [(512, 1 << 8), (4096, 1 << 15)]:
+        pts = rng.normal(size=(n, 3)).astype(np.float32) * 10
+        mask = rng.random(n) > 0.1
+        c = make_cloud(pts, mask=mask, capacity=n)
+        a = F.apply_chain((F.VoxelGrid(0.4, hs, method="scatter"),), c)
+        b = F.apply_chain((F.VoxelGrid(0.4, hs, method="sort"),), c)
+        assert bool(jnp.all(a.mask == b.mask))
+        # vmapped (the batched-prep context on the headline path)
+        import jax
+        cb = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x, x]) if hasattr(x, "shape") else x, c)
+        av = jax.vmap(lambda cc: F.apply_chain(
+            (F.VoxelGrid(0.4, hs, method="scatter"),), cc))(cb)
+        bv = jax.vmap(lambda cc: F.apply_chain(
+            (F.VoxelGrid(0.4, hs, method="sort"),), cc))(cb)
+        assert bool(jnp.all(av.mask == bv.mask))
+
+
 def test_observation_direction_and_normals(rng):
     # Points on the z=0 plane observed from above -> normals ~ +z.
     xy = rng.uniform(-1, 1, size=(128, 2)).astype(np.float32)

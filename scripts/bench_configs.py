@@ -9,6 +9,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# tests/ on the path for the shared small_config fixture (configs 2 & 5
+# both import it; keep this module-level so single-config runs work too)
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
@@ -273,8 +277,12 @@ def config5_multi_agent():
 
 def main():
     print(f"# backend: {jax.devices()}", file=sys.stderr, flush=True)
-    for fn in (config1_single_pair, config2_corridor, config3_loop_500,
-               config4_velodyne, config5_multi_agent):
+    configs = (config1_single_pair, config2_corridor, config3_loop_500,
+               config4_velodyne, config5_multi_agent)
+    if len(sys.argv) > 1:   # e.g. "5" or "2,5" — rerun selected configs
+        want = {int(x) for x in sys.argv[1].split(",")}
+        configs = tuple(f for i, f in enumerate(configs, 1) if i in want)
+    for fn in configs:
         try:
             t0 = time.perf_counter()
             fn()

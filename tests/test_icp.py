@@ -88,6 +88,36 @@ def test_icp_engine_persistent_map(rng):
     assert np.linalg.norm(np.asarray(se3.log(se3.inverse(r2.T) @ T_true))) < 1e-3
 
 
+def test_engine_fused_prep_matches_split_path(rng):
+    # ICPEngine.__call__ fuses the reading-filter chain + registration
+    # into one dispatch when no host-side grid index exists
+    # (_prep_and_register). It must be numerically identical to the
+    # explicit prepare_reading -> icp_core split (same chain + core,
+    # traced inline under one jit).
+    from pgslam_tpu.ops import filters as F
+    from pgslam_tpu.ops.icp import icp_core
+    pts = box_cloud(rng, 800)
+    ref = make_cloud(pts, capacity=1024)
+    cfg = ICPConfig(max_iterations=20,
+                    reading_filters=(F.VoxelGrid(0.15, 1 << 12),
+                                     F.Compact(512)),
+                    outlier=(O.TrimmedDist(0.95),))
+    engine = ICPEngine(cfg)
+    engine.set_map(ref)
+    T_true = se3.exp(jnp.asarray(TRUE_TWIST * 0.5))
+    reading = make_cloud(
+        np.asarray(se3.apply(se3.inverse(T_true), jnp.asarray(pts))),
+        capacity=1024)
+    fused = engine(reading, se3.identity())
+    split = icp_core(engine.prepare_reading(reading), engine._reference,
+                     se3.identity(), cfg, None)
+    np.testing.assert_allclose(np.asarray(fused.T), np.asarray(split.T),
+                               atol=1e-6)
+    assert int(fused.iterations) == int(split.iterations)
+    err = np.asarray(se3.log(se3.inverse(fused.T) @ T_true))
+    assert np.linalg.norm(err) < 5e-3
+
+
 def test_max_iter_reached_flag(rng):
     cfg = ICPConfig(max_iterations=1, trans_eps=1e-12, rot_eps=1e-12)
     result, _ = _recover(cfg, rng)

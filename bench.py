@@ -252,10 +252,14 @@ def bench_icp_64k():
         jax.block_until_ready(bres.T)
         bres = fused_step(jax.device_put(make_host_batch()), refs, Ts)
         jax.block_until_ready(bres.T)
-        if fused_step._cache_size() > 2:
-            log(f"WARNING: fused_step retraced "
-                f"({fused_step._cache_size()} cache entries) — the dummy "
-                f"warmup no longer matches the real call signature")
+        try:   # diagnostic only — _cache_size is private jax API; never
+            # let its absence zero the headline via the outer except
+            if fused_step._cache_size() > 2:
+                log(f"WARNING: fused_step retraced "
+                    f"({fused_step._cache_size()} cache entries) — the "
+                    f"dummy warmup no longer matches the real signature")
+        except AttributeError:
+            pass
 
         # Timed loop: h2d transfer + the fused dequant+prep+register
         # dispatch for every batch run inside the window; the prefetcher

@@ -83,8 +83,10 @@ class VoxelGrid:
     make the filter slightly more aggressive, never incorrect.
 
     ``method``: "scatter" (hash-table race), "sort" (lexsort dedup with
-    identical keep-mask — no scatter op), or "auto" (sort on TPU where
-    XLA scatters serialize, scatter elsewhere).
+    identical keep-mask — no scatter op), or "auto". "auto" resolves to
+    "scatter" on every backend: chip A/B found the sort form no faster
+    in context and pathologically slow to compile over this relay (see
+    ``_voxel_method``); "sort" remains for scatter-hostile backends.
     """
     voxel_size: float = 0.2
     hash_size: int = 1 << 16

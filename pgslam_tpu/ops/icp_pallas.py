@@ -101,7 +101,7 @@ def _split3(x):
     return hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16), lo
 
 
-def _bisect_kth(d2_row, valid_row, k_keep, rounds: int = 6,
+def _bisect_kth(d2_row, valid_row, k_keep, rounds: int = 10,
                 probes: int = 8):
     """Smallest threshold t with count(valid & d2 <= t) >= k_keep.
     Equivalent keep-set to the sort-based kth-smallest threshold.
@@ -110,14 +110,21 @@ def _bisect_kth(d2_row, valid_row, k_keep, rounds: int = 6,
     tests ``probes`` equally-spaced thresholds of the current bracket in
     ONE ``[probes, NQ]`` vectorized compare+count (a full-sublane VPU
     tile), then keeps the sub-bracket containing the k-th value. The
-    bracket shrinks ``probes``-fold per round — 8^6 ≈ 2.6e5 relative
-    resolution, which splits even the near-tie clusters of noise-free
-    synthetic data at convergence the same way the sort does. The serial
-    48-halving bisection this replaces was ~20% of the whole fused-ICP
-    kernel: 48 sequential rounds of 1/8-sublane-utilization ``[1, NQ]``
-    ops (chip A/B in ``scripts/probe_bisect.py``: 45.2 -> 35.6 ms/batch
-    at B=128 going 48 -> 12 rounds; 6 multi-probe rounds carry the same
-    total bit-resolution as 18 halvings at 1/8 the serial depth)."""
+    bracket shrinks ``probes``-fold per round. The serial 48-halving
+    bisection this replaces was ~20% of the whole fused-ICP kernel: 48
+    sequential rounds of 1/8-sublane-utilization ``[1, NQ]`` ops (chip
+    A/B in ``scripts/probe_bisect.py``: 45.2 -> 34.5 ms/batch at B=128
+    going 48 serial halvings -> 6 multi-probe rounds).
+
+    ``rounds=10`` (8^10 ≈ 2^30 relative) rather than the break-even 6:
+    the bracket starts at max(valid d2) + 1, and with far-but-valid
+    matches before MaxDist weighting that start can be ~1e2-1e4 m^2
+    while the converged inlier band sits at ~1e-6-1e-4 m^2 — at 8^6 the
+    ABSOLUTE threshold slop ((max+1)/8^rounds) could exceed the kth
+    distance itself and keep extra outliers on the fused path only. At
+    2^30 the slop is <=1e-5 m^2 even from a 1e4 m^2 bracket, below the
+    convergence band; the 4 extra rounds cost ~2% of the kernel (the
+    same resolution serially would cost 30 rounds)."""
     finite = jnp.where(valid_row, d2_row, 0.0)
     hi0 = jnp.max(finite) + 1.0
     lo0 = jnp.zeros_like(hi0)

@@ -97,7 +97,15 @@ def host_loop_count(edge_from, edge_to, n_vertices: int) -> int | None:
     one-hot incidence. Returns None when the ids are traced (inside jit)
     — chain routing needs static lane counts, so callers fall back to the
     all-one-hot layout there. Claim rule must match the traced routing in
-    ``lm_optimize_pallas`` (min edge index per chain pair)."""
+    ``lm_optimize_pallas`` (min edge index per chain pair).
+
+    Deliberately emask-BLIND: the traced routing compacts every
+    non-claimed edge slot (including masked padding, which also fails
+    ``is_pair``) into the loop lanes, so the static count must bound
+    that same population or real loop edges ranked after interleaved
+    invalid slots would fall off the lane window. Padding slots cost at
+    most one extra 128-lane block (they carry em=0 and contribute
+    nothing); correctness over that sliver of VMEM."""
     try:
         ef = np.asarray(edge_from)
         et = np.asarray(edge_to)
@@ -403,7 +411,6 @@ def _lm_kernel(fixed_ref, S_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref,
     stats_ref[3] = lam_fin
 
 
-@functools.partial(jax.jit, static_argnames=("config", "n_loop"))
 def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
                        emask, fixed_id, robust_emask=None, *, config,
                        n_loop=None):
@@ -417,9 +424,27 @@ def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
     chain-aware lane layout: for every vertex i the first edge (i, i+1)
     rides a chain lane (endpoint movement = lane rolls — no incidence
     matmul, no VMEM for it) and only the remaining ``n_loop`` edges use
-    the one-hot incidence. The routing below is pure traced XLA — only
-    the LANE COUNTS are static — so a fixed (V, E, n_loop bucket) never
-    recompiles as the graph's edge ids change between calls."""
+    the one-hot incidence. Only its 128-lane bucket matters to the
+    traced routing (``Lp = _pad128(n_loop)``), so the value is bucketed
+    HERE, before it becomes the jit cache key — a growing graph changes
+    the raw count on almost every keyframe (n_loop = E - #claimed), and
+    keying on the raw count would recompile the whole Mosaic kernel
+    (seconds-to-minutes over the relay) per keyframe instead of once
+    per 128 new chain claims. A fixed (V, E, n_loop bucket) never
+    recompiles as edge ids change between calls."""
+    if n_loop is not None:
+        # max(.,1): a pure-chain graph (0 loop edges) still gets one
+        # 128-lane block so the loop-lane arrays are never zero-sized.
+        n_loop = _pad128(max(int(n_loop), 1))
+    return _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T,
+                            edge_cov, emask, fixed_id, robust_emask,
+                            config=config, n_loop=n_loop)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n_loop"))
+def _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
+                     emask, fixed_id, robust_emask=None, *, config,
+                     n_loop=None):
     V, E = poses.shape[0], edge_from.shape[0]
     Vp = -(-V // 128) * 128
     Ep = -(-E // 128) * 128

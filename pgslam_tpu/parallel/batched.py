@@ -43,18 +43,27 @@ def batched_register(readings: Cloud, references: Cloud,
     (lanes that converge early idle until all do).
 
     ``PGSLAM_FUSED_BATCHED`` (env, mirrors ``PGSLAM_FUSED_SINGLE``):
-    "1" forces the kernel, "0" forces the vmapped XLA loop, unset keeps
-    "auto" — the escape hatch for the auto-route's bit-wise numeric
-    change (MIGRATION.md)."""
+    "1" opts the kernel in (for eligible configs — see below), "0"
+    forces the vmapped XLA loop, unset keeps "auto" — the escape hatch
+    for the auto-route's bit-wise numeric change (MIGRATION.md).
+
+    Eligibility is NEVER bypassed: the kernel only implements the
+    TrimmedDist/MaxDist outlier filters and needs precomputed reference
+    normals for point-to-plane, so ``fused="on"`` (or the env "1") on an
+    ineligible config would silently drop filters / register against
+    zero normals. Both opt-ins are ANDed with ``fused_eligible`` and the
+    normals check, exactly like the single-stream gate
+    (``localizer.py``)."""
     env = os.environ.get("PGSLAM_FUSED_BATCHED", "")
     if fused == "auto" and env in ("0", "1"):
         fused = "on" if env == "1" else "off"
     from ..ops.icp_pallas import fused_eligible
-    use_fused = fused == "on" or (
-        fused == "auto" and jax.default_backend() not in ("cpu",)
-        and fused_eligible(cfg)
-        and (cfg.error != "point_to_plane"
-             or "normals" in references.descriptors))
+    eligible = (fused_eligible(cfg)
+                and (cfg.error != "point_to_plane"
+                     or "normals" in references.descriptors))
+    use_fused = eligible and (
+        fused == "on"
+        or (fused == "auto" and jax.default_backend() not in ("cpu",)))
     return _batched_register_impl(readings, references, T_inits, cfg,
                                   use_fused)
 

@@ -219,3 +219,30 @@ def test_prefetch_clouds_equivalence(rng):
         np.testing.assert_array_equal(np.asarray(d.mask), np.asarray(f.mask))
     # depth larger than the sequence
     assert len(list(prefetch_clouds(scans[:1], capacity=256, depth=4))) == 1
+
+
+def test_fused_opt_in_never_bypasses_eligibility(rng, monkeypatch):
+    # fused="on" / PGSLAM_FUSED_BATCHED=1 are opt-ins for ELIGIBLE
+    # configs only: the fused kernel implements just TrimmedDist/MaxDist
+    # and needs reference normals for p2plane, so forcing it on an
+    # ineligible config silently drops filters (r3 review finding).
+    # MedianDist is not fused-eligible; the forced route must still
+    # produce the XLA path's exact result.
+    B, N = 2, 128
+    cfg = ICPConfig(max_iterations=10,
+                    outlier=(O.MedianDist(factor=3.0),))
+    pts = rng.uniform(-3, 3, size=(N, 3)).astype(np.float32)
+    pts[:, 2] = np.sign(pts[:, 2])
+    ref = make_cloud(pts, capacity=N)
+    T = se3.exp(jnp.asarray(rng.normal(size=6).astype(np.float32) * 0.03))
+    reading = make_cloud(
+        np.asarray(se3.apply(se3.inverse(T), jnp.asarray(pts))), capacity=N)
+    readings = stack_clouds([reading] * B)
+    refs = stack_clouds([ref] * B)
+    T0 = jnp.tile(jnp.eye(4), (B, 1, 1))
+    base = batched_register(readings, refs, T0, cfg, fused="off")
+    forced = batched_register(readings, refs, T0, cfg, fused="on")
+    monkeypatch.setenv("PGSLAM_FUSED_BATCHED", "1")
+    via_env = batched_register(readings, refs, T0, cfg)
+    np.testing.assert_array_equal(np.asarray(base.T), np.asarray(forced.T))
+    np.testing.assert_array_equal(np.asarray(base.T), np.asarray(via_env.T))

@@ -215,3 +215,30 @@ def test_chain_layout_matches_legacy(monkeypatch):
     np.testing.assert_allclose(np.asarray(out_chain), np.asarray(out_leg),
                                atol=2e-3)
     assert int(st_a["iterations"]) == int(st_l["iterations"])
+
+
+def test_n_loop_static_key_is_bucketed(monkeypatch):
+    # The jit cache key must be the 128-lane bucket, not the raw loop
+    # count: a growing graph changes the raw count on nearly every
+    # keyframe and keying on it recompiled the Mosaic kernel per
+    # optimize (r3 review finding). Capture what reaches the jitted
+    # inner for a sweep of raw counts.
+    from pgslam_tpu.optim import lm_pallas
+
+    seen = []
+
+    def fake_jit(*args, n_loop=None, **kw):
+        seen.append(n_loop)
+        return "poses", {"final_cost": 0.0}
+
+    monkeypatch.setattr(lm_pallas, "_lm_optimize_jit", fake_jit)
+    dummy = jnp.zeros(())
+    for raw in (0, 1, 5, 127, 128, 129, 300):
+        lm_pallas.lm_optimize_pallas(
+            dummy, dummy, dummy, dummy, dummy, dummy, dummy, dummy,
+            config=PGOConfig(), n_loop=raw)
+    assert seen == [128, 128, 128, 128, 128, 256, 384]
+    lm_pallas.lm_optimize_pallas(
+        dummy, dummy, dummy, dummy, dummy, dummy, dummy, dummy,
+        config=PGOConfig(), n_loop=None)
+    assert seen[-1] is None   # legacy all-one-hot layout untouched

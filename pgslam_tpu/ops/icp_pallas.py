@@ -11,16 +11,22 @@ covariance introspection. The batch axis is the Pallas grid.
 
 Key design points:
 
-* **No per-iteration reading transform.** Since ``p'.r = (Rp + t).r =
-  p.(R^T r) + t.r``, the packed bf16 hi/lo reading operand (see
-  ``knn_pallas._pack_operands``) is built ONCE outside the kernel, and
-  each iteration rotates the *reference tile* by R^T (12 FMAs) instead.
+* **The whole match score rides the MXU.** The reference operands carry
+  baked-in ``2r`` rows plus 3-term-split ``-|r|^2`` rows paired with a
+  constant-one query row, so ``score = 2 p'.r - |r|^2`` needs NO
+  elementwise epilogue; per tile the VPU does one max-reduce and one
+  compare. (The query operand is the transformed reading, rebuilt each
+  iteration — see ``match`` for why query-side rounding is the right
+  side.)
 * **No gathers.** The matched reference point+normal are accumulated
-  during the tile fold as ``values16 @ one_hot(argmax)`` MXU products —
-  the running best match carries its payload with it.
-* **Exact trimmed-distance threshold by bisection** on the squared
-  distances (Mosaic has no sort): ~32 masked-count passes converge to
-  the same keep-set as the XLA sort-based quantile.
+  during the tile fold as ``values16 @ multi_hot(score == max)`` MXU
+  products — the running best match carries its payload with it, and a
+  ones row in ``values16`` counts score ties so they average instead of
+  needing an argmax index.
+* **Exact trimmed-distance threshold by multi-probe bracket shrink** on
+  the squared distances (Mosaic has no sort): vectorized masked-count
+  probe rounds converge to the same keep-set as the XLA sort-based
+  quantile.
 * The 6x6 normal-equation solve, SE(3) exp, and covariance run on
   scalars via the row-math helpers shared with the LM kernel
   (``ops/rowmath.py``).
@@ -55,7 +61,12 @@ from .icp import ICPConfig, ICPResult
 from . import outlier as O
 
 _DEFAULT = jax.lax.Precision.DEFAULT
-NEG_BIG = -3.4e38
+# Valid-score floor for the `hit` test. Invalid reference points carry a
+# baked-in -|r|^2 sentinel of -3e38 in the score operand, so their MXU
+# scores land near -3e38 — strictly below this floor — while any valid
+# score (~ -1e9..1e9 even at km coordinates) is strictly above it.
+NEG_BIG = -1.0e38
+INVALID_RSQ = 3.0e38  # |r|^2 sentinel for masked reference points
 MIN_SUPPORT = 6.0     # minimizer degenerate guard (ops/minimizer.py)
 
 
@@ -151,7 +162,7 @@ def _bisect_kth(d2_row, valid_row, k_keep, rounds: int = 10,
 
 
 def _icp_kernel(T0_ref, rdT_ref, rdm_ref, rdcT_ref, rdcm_ref, refT_ref,
-                ref32_ref, vals16_ref, rsq_ref, T_out_ref,
+                ref32_ref, vals16_ref, T_out_ref,
                 stats_ref, dbg_ref=None, *, cfg: ICPConfig, tile_r: int,
                 n_coarse_iters: int):
     f32 = jnp.float32
@@ -173,6 +184,20 @@ def _icp_kernel(T0_ref, rdT_ref, rdm_ref, rdcT_ref, rdcm_ref, refT_ref,
         fixed per-reference score bias (~1e-3 m^2 at 100 m coordinates)
         that systematically skews the match field and stalls convergence
         ~2e-3 short — chip-measured.
+
+        The whole argmax-safe score ``2 p'.r - |r|^2`` comes straight off
+        the MXU: the reference operands carry baked-in ``2r`` rows plus
+        split ``-|r|^2`` rows paired with a constant-one query row (the
+        row padding was free), so the epilogue per tile is ONE lane
+        max-reduce plus ONE compare. The previous epilogue (elementwise
+        score assembly, iota, masked-min argmax, one-hot rebuild — ~5
+        extra full [NQ, tile_r] VPU passes) was the matcher ceiling once
+        the packed matmul got cheap. Ties (equal f32 scores, e.g. exact
+        duplicate reference points) are resolved by AVERAGING the tied
+        payloads via a multi-hot matmul and a ones-row tie count —
+        icp_core picks the first index instead; for duplicates the two
+        agree exactly, for distinct equidistant points the averaged
+        payload is an equally valid NN target (equivalence-tested).
         """
         NQ = rdT.shape[2]
         # p' = R p + t in rows layout
@@ -180,17 +205,18 @@ def _icp_kernel(T0_ref, rdT_ref, rdm_ref, rdcT_ref, rdcm_ref, refT_ref,
         rd = [rdT[0, i][None, :] for i in range(3)]
         pp = [Rm[i][0] * rd[0] + Rm[i][1] * rd[1] + Rm[i][2] * rd[2]
               + T[4 * i + 3] for i in range(3)]
-        z5 = jnp.zeros((5, NQ), f32)
+        one = jnp.ones((1, NQ), f32)   # pairs the baked -|r|^2 rows
+        z4 = jnp.zeros((4, NQ), f32)
         if cfg.pallas_precision == "highest":
-            q = jnp.concatenate(pp + [z5], axis=0).T        # [NQ, 8] f32
+            q = jnp.concatenate(pp + [one, z4], axis=0).T   # [NQ, 8] f32
         else:
             # hi/lo parts as exactly-representable f32 rows (bit-masked —
             # see _bf16_trunc); transpose in f32 (bf16 transpose does not
             # lower), cast after — exact.
             ph = [_bf16_trunc(r) for r in pp]
             plo = [pp[i] - ph[i] for i in range(3)]
-            blk_h = jnp.concatenate(ph + [z5], axis=0)      # [8, NQ]
-            blk_l = jnp.concatenate(plo + [z5], axis=0)
+            blk_h = jnp.concatenate(ph + [one, z4], axis=0)     # [8, NQ]
+            blk_l = jnp.concatenate(plo + [one, z4], axis=0)
             q = jnp.concatenate([blk_h, blk_l, blk_h, blk_l],
                                 axis=0).T.astype(jnp.bfloat16)  # [NQ, 32]
         best = jnp.full((NQ, 1), NEG_BIG, f32)
@@ -198,26 +224,28 @@ def _icp_kernel(T0_ref, rdT_ref, rdm_ref, rdcT_ref, rdcm_ref, refT_ref,
         for j in range(n_tiles):
             sl = slice(j * tile_r, (j + 1) * tile_r)
             if cfg.pallas_precision == "highest":
-                cross = jax.lax.dot_general(
+                score = jax.lax.dot_general(
                     q, refT_ref[0, :, sl], (((1,), (0,)), ((), ())),
                     preferred_element_type=f32,
                     precision=jax.lax.Precision.HIGHEST)
             else:
-                cross = jax.lax.dot_general(
+                score = jax.lax.dot_general(
                     q, ref32_ref[0, :, sl], (((1,), (0,)), ((), ())),
                     preferred_element_type=f32, precision=_DEFAULT)
-            # score = -(|p'-r|^2) + |p'|^2 = 2 p'.r - |r|^2  (argmax-safe)
-            score = 2.0 * cross - rsq_ref[0, 0:1, sl]
-            score = jnp.maximum(score, NEG_BIG)
-            tile_best = jnp.max(score, axis=1, keepdims=True)   # [NQ, 1]
-            cols = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
-            arg = jnp.min(jnp.where(score >= tile_best, cols, tile_r),
-                          axis=1, keepdims=True)
-            onehot = (cols == arg).astype(jnp.bfloat16)
+            # Clamp only the [NQ, 1] reduction, not the full score tile:
+            # all-invalid tiles reduce to ~-3e38 and must fold as
+            # NEG_BIG so cross-tile gaps stay finite (no inf - inf).
+            tile_best = jnp.maximum(
+                jnp.max(score, axis=1, keepdims=True), NEG_BIG)  # [NQ, 1]
+            # Multi-hot over ties; all-invalid queries match nothing
+            # (every score < NEG_BIG) and the cnt guard below keeps the
+            # division finite — `hit` masks the garbage payload anyway.
+            mhot = (score >= tile_best).astype(jnp.bfloat16)
             tv = jax.lax.dot_general(
-                vals16_ref[0, :, sl], onehot, (((1,), (1,)), ((), ())),
+                vals16_ref[0, :, sl], mhot, (((1,), (1,)), ((), ())),
                 preferred_element_type=f32, precision=_DEFAULT)  # [32, NQ]
-            tile_matched = tv[:8] + tv[8:16] + tv[16:24]  # rows 24-31 zero
+            cnt = jnp.maximum(tv[24:25], 1.0)   # ones-row tie count
+            tile_matched = (tv[:8] + tv[8:16] + tv[16:24]) / cnt
             if j == 0:
                 best, matched = tile_best, tile_matched
             else:
@@ -433,25 +461,41 @@ def fused_icp_register(reading: Cloud, reference: Cloud, T_init: jax.Array,
     rnrm = reference.descriptors.get("normals")
     rnrm = (jnp.zeros_like(rpts) if rnrm is None
             else rnrm.astype(jnp.float32))
-    refT = _rows_T(rpts, 8)
     payload = jnp.concatenate(
         [rpts, rnrm, jnp.zeros((B, NR, 2), jnp.float32)], axis=-1)
     ph, pm, plo = _split3(payload)
-    vals16 = jnp.concatenate([jnp.swapaxes(ph, 1, 2),
-                              jnp.swapaxes(pm, 1, 2),
-                              jnp.swapaxes(plo, 1, 2)], axis=1)  # [B,24,NR]
-    # bf16 sublane quantum is 16: pad the row dim so the in-kernel block
-    # is tile-aligned (24-row bf16 blocks load corrupted tails on chip).
-    vals16 = jnp.pad(vals16, ((0, 0), (0, 8), (0, 0)))           # [B,32,NR]
-    rsq = jnp.sum(rpts * rpts, axis=-1)
-    rsq = jnp.where(reference.mask, rsq, jnp.inf)[:, None, :]   # [B,1,NR]
+    # Rows 0-23: the 3-term payload splits. Row 24: ONES — contracted
+    # against the multi-hot match mask it yields the tie count the
+    # kernel divides by. Rows 25-31: padding (bf16 sublane quantum is
+    # 16: 24-row bf16 blocks load corrupted tails on chip).
+    vals16 = jnp.concatenate(
+        [jnp.swapaxes(ph, 1, 2), jnp.swapaxes(pm, 1, 2),
+         jnp.swapaxes(plo, 1, 2),
+         jnp.ones((B, 1, NR), jnp.bfloat16),
+         jnp.zeros((B, 7, NR), jnp.bfloat16)], axis=1)           # [B,32,NR]
 
-    # Reference operand for the packed bf16 cross-term: row blocks
-    # [rh, rh, rl, rl] (pairing the in-kernel [ph, pl, ph, pl] query).
-    rh, rl = _split_hi_lo(rpts)
-    blk = lambda x: jnp.pad(jnp.swapaxes(x, 1, 2), ((0, 0), (0, 5), (0, 0)))
-    ref32 = jnp.concatenate([blk(rh), blk(rh), blk(rl), blk(rl)],
-                            axis=1)                              # [B,32,NR]
+    # The argmax-safe score 2 p'.r - |r|^2 comes entirely off the MXU:
+    # both reference operands carry 2r rows and NEGATED |r|^2 rows that
+    # pair with a constant-one query row. Masked reference points get
+    # the INVALID_RSQ sentinel (finite — an inf would turn the hi/lo
+    # split into NaNs that poison the max-reduce), putting their scores
+    # ~-3e38, below every valid score AND below the NEG_BIG hit floor.
+    rsq = jnp.sum(rpts * rpts, axis=-1)
+    nrsq = -jnp.where(reference.mask, rsq, INVALID_RSQ)[..., None]
+    refT = _rows_T(jnp.concatenate([2.0 * rpts, nrsq], axis=-1), 8)
+
+    # Packed bf16 operand: row blocks pairing the in-kernel query
+    # [ph+1, pl+1, ph+1, pl+1] so all four hi/lo cross products and the
+    # 3-term -|r|^2 split are accumulated in one f32-accumulate matmul.
+    r2h, r2l = _split_hi_lo(2.0 * rpts)
+    nrh, nrm, nrl = _split3(nrsq)
+    zr1 = jnp.zeros_like(nrh)
+    blk = lambda r, s: jnp.pad(
+        jnp.swapaxes(jnp.concatenate([r, s], axis=-1), 1, 2),
+        ((0, 0), (0, 4), (0, 0)))
+    ref32 = jnp.concatenate(
+        [blk(r2h, nrh), blk(r2h, nrm), blk(r2l, nrl), blk(r2l, zr1)],
+        axis=1)                                                  # [B,32,NR]
 
     rd = reading.points.astype(jnp.float32)
     rdT = _rows_T(rd, 8)
@@ -486,7 +530,7 @@ def fused_icp_register(reading: Cloud, reference: Cloud, T_init: jax.Array,
             vspec(rdT.shape[1:]), vspec(rdm.shape[1:]),
             vspec(rdcT.shape[1:]), vspec(rdcm.shape[1:]),
             vspec(refT.shape[1:]), vspec(ref32.shape[1:]),
-            vspec(vals16.shape[1:]), vspec(rsq.shape[1:]),
+            vspec(vals16.shape[1:]),
         ],
         out_specs=[vspec((8, 128)), vspec((8, 128))]
         + ([vspec((16, NQ))] if debug_stats else []),
@@ -497,7 +541,7 @@ def fused_icp_register(reading: Cloud, reference: Cloud, T_init: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
-    )(T0, rdT, rdm, rdcT, rdcm, refT, ref32, vals16, rsq)
+    )(T0, rdT, rdm, rdcT, rdcm, refT, ref32, vals16)
     T_out, stats = outs[0], outs[1]
     dbg = outs[2] if debug_stats else None
 

@@ -27,6 +27,11 @@ Key design points:
   the squared distances (Mosaic has no sort): vectorized masked-count
   probe rounds converge to the same keep-set as the XLA sort-based
   quantile.
+* **Moment assembly rides the MXU too**: every per-iteration weighted
+  moment (the 28 point-to-plane normal-equation entries, the Umeyama
+  means/cross-covariance) is an entry of one small weighted Gram matrix
+  ``(w M) @ M^T`` computed by a single [8, NQ] x [NQ, 8] contraction
+  (``gram8``) instead of dozens of full-row VPU reductions.
 * The 6x6 normal-equation solve, SE(3) exp, and covariance run on
   scalars via the row-math helpers shared with the LM kernel
   (``ops/rowmath.py``).
@@ -271,8 +276,40 @@ def _icp_kernel(T0_ref, rdT_ref, rdm_ref, rdcT_ref, rdcm_ref, refT_ref,
                 w = w * jnp.where(d2 <= f.max_dist * f.max_dist, 1.0, 0.0)
         return w
 
+    def gram8(rows, w):
+        """All pairwise weighted moments of up to 8 rows in ONE MXU
+        contraction: returns ``g`` with ``g(i, j) = sum_k w_k
+        rows[i]_k rows[j]_k``.
+
+        Replaces the per-iteration pile of separate ``jnp.sum`` VPU
+        reductions over [1, NQ] (28 for the point-to-plane normal
+        equations alone) with a single [8, NQ] x [NQ, 8] f32 matmul;
+        the 8x8 output makes the HIGHEST-precision 6-pass cost
+        negligible. Scalars are read back lazily with iota-selected
+        masked sums over one vreg (Mosaic has no scalar loads from
+        vector tiles). Rows must be garbage-finite where w == 0: the
+        weight zeroes the lhs operand, exactly like the summed form.
+        """
+        pad = [jnp.zeros_like(rows[0])] * (8 - len(rows))
+        M = jnp.concatenate(list(rows) + pad, axis=0)       # [8, NQ]
+        G = jax.lax.dot_general(
+            M * w, M.T, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST)            # [8, 8]
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+
+        def g(i, j):
+            return jnp.sum(jnp.where(lane8 == j, G[i:i + 1], 0.0))
+
+        return g
+
     def p2plane_system(matched, pp, w):
-        """A = sum w J J^T, b = -sum w r J, ssr; J = [n; p' x n]."""
+        """A = sum w J J^T, b = -sum w r J, ssr; J = [n; p' x n].
+
+        All 28 moments (21 unique A entries, 6 of b, ssr) are entries
+        of the weighted Gram matrix of [J0..J5, r] — one MXU
+        contraction via :func:`gram8`.
+        """
         n = [matched[3 + i:4 + i, :] for i in range(3)]
         q = [matched[i:i + 1, :] for i in range(3)]
         r = (n[0] * (pp[0] - q[0]) + n[1] * (pp[1] - q[1])
@@ -280,13 +317,14 @@ def _icp_kernel(T0_ref, rdT_ref, rdm_ref, rdcT_ref, rdcm_ref, refT_ref,
         J = n + [pp[1] * n[2] - pp[2] * n[1],
                  pp[2] * n[0] - pp[0] * n[2],
                  pp[0] * n[1] - pp[1] * n[0]]
-        A = [[jnp.sum(w * J[i] * J[j]) if j >= i else None
+        g = gram8(J + [r], w)
+        A = [[g(i, j) if j >= i else None
               for j in range(6)] for i in range(6)]
         for i in range(6):
             for j in range(i):
                 A[i][j] = A[j][i]
-        b = [-jnp.sum(w * r * J[i]) for i in range(6)]
-        ssr = jnp.sum(w * r * r)
+        b = [-g(i, 6) for i in range(6)]
+        ssr = g(6, 6)
         return A, b, ssr
 
     def p2p_delta(matched, pp, w):
@@ -296,14 +334,23 @@ def _icp_kernel(T0_ref, rdT_ref, rdm_ref, rdcT_ref, rdcm_ref, refT_ref,
         covariance (det <= 0, which sane ICP matches never produce)
         falls back to the identity step, like the XLA degenerate
         guard."""
-        wsum = jnp.maximum(jnp.sum(w), 1e-12)
+        # Two Gram contractions instead of 16 [1, NQ] reductions: means
+        # first, then the cross-covariance of the CENTERED rows —
+        # centering before the product keeps the current cancellation-
+        # free numerics at large coordinates (raw-moment centering
+        # would subtract O(|p|^2 wsum) quantities).
         q = [matched[i:i + 1, :] for i in range(3)]
-        mup = [jnp.sum(w * pp[i]) / wsum for i in range(3)]
-        muq = [jnp.sum(w * q[i]) / wsum for i in range(3)]
-        G = [[jnp.sum(w * (q[i] - muq[i]) * (pp[j] - mup[j]))
-              for j in range(3)] for i in range(3)]
+        one = jnp.ones_like(pp[0])
+        g1 = gram8(pp + q + [one], w)
+        wsum_raw = g1(6, 6)
+        wsum = jnp.maximum(wsum_raw, 1e-12)
+        mup = [g1(i, 6) / wsum for i in range(3)]
+        muq = [g1(3 + i, 6) / wsum for i in range(3)]
+        g2 = gram8([pp[i] - mup[i] for i in range(3)]
+                   + [q[i] - muq[i] for i in range(3)], w)
+        G = [[g2(3 + i, j) for j in range(3)] for i in range(3)]
         R = _polar3(G)
-        ok = jnp.logical_and(jnp.sum(w) >= MIN_SUPPORT,
+        ok = jnp.logical_and(wsum_raw >= MIN_SUPPORT,
                              _det3(G) > 1e-12)
         R = [[jnp.where(ok, R[i][j], 1.0 if i == j else 0.0)
               for j in range(3)] for i in range(3)]
@@ -377,11 +424,14 @@ def _icp_kernel(T0_ref, rdT_ref, rdm_ref, rdcT_ref, rdcm_ref, refT_ref,
         dof = jnp.maximum(wsum - 6.0, 1.0)
     else:
         # A = sum w J^T J with J_i = [I3, -hat(p_i)]; residual 3-dim.
+        # One Gram contraction: residual rows give ssr (small-magnitude,
+        # no cancellation), pp rows the first/second raw moments.
         q = [matched[i:i + 1, :] for i in range(3)]
         d = [pp[i] - q[i] for i in range(3)]
-        ssr = jnp.sum(w * (d[0] ** 2 + d[1] ** 2 + d[2] ** 2))
-        Sp = [jnp.sum(w * pp[i]) for i in range(3)]
-        Spp = [[jnp.sum(w * pp[i] * pp[j]) for j in range(3)]
+        gI = gram8(d + pp + [jnp.ones_like(d[0])], w)
+        ssr = gI(0, 0) + gI(1, 1) + gI(2, 2)
+        Sp = [gI(3 + i, 6) for i in range(3)]
+        Spp = [[gI(3 + i, 3 + j) for j in range(3)]
                for i in range(3)]
         tr_pp = Spp[0][0] + Spp[1][1] + Spp[2][2]
         hatS = [[0.0, -Sp[2], Sp[1]],

@@ -113,6 +113,33 @@ def test_fused_degenerate_reading_is_safe():
 
 
 @pytest.mark.slow
+def test_fused_duplicate_reference_ties_and_dead_tile():
+    """Exact duplicate reference points exercise the multi-hot tie
+    AVERAGING in the MXU matcher (icp_core picks the first index; for
+    true duplicates the payloads are identical, so the two agree), and
+    the oversize capacity leaves the last reference tile fully masked,
+    exercising the INVALID_RSQ sentinel / NEG_BIG hit-floor path on an
+    all-invalid tile."""
+    cfg = _cfg()
+    rng, pts = _scene(n=420)
+    pts = np.concatenate([pts, pts[:80]], axis=0)     # 500 pts, 80 dups
+    eng = ICPEngine(cfg)
+    eng.set_map(make_cloud(pts, capacity=768))        # tile 2 all-masked
+    offset = se3.exp(jnp.asarray([0.2, -0.1, 0.05, 0.02, -0.03, 0.04],
+                                 jnp.float32))
+    moved = np.array(se3.apply(se3.inverse(offset), jnp.asarray(pts)))
+    moved += rng.normal(size=moved.shape).astype(np.float32) * 0.01
+    reading = make_cloud(moved, capacity=768)
+    res_x = icp_core(reading, eng.reference, se3.identity(), cfg)
+    res_f = fused_icp_register(
+        stack_clouds([reading]), stack_clouds([eng.reference]),
+        jnp.tile(se3.identity(), (1, 1, 1)), cfg, tile_r=256)
+    dT = np.asarray(se3.log(se3.inverse(res_f.T[0]) @ res_x.T))
+    assert np.linalg.norm(dT) < 1e-5
+    assert np.isfinite(np.asarray(res_f.cov)).all()
+
+
+@pytest.mark.slow
 def test_fused_bound_checker():
     cfg = _cfg(max_correction_trans=0.01)  # reject the 0.2 m correction
     eng, reading, offset = _pair(cfg)

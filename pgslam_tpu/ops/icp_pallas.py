@@ -198,11 +198,14 @@ def _icp_kernel(T0_ref, rdT_ref, rdm_ref, rdcT_ref, rdcm_ref, refT_ref,
         score assembly, iota, masked-min argmax, one-hot rebuild — ~5
         extra full [NQ, tile_r] VPU passes) was the matcher ceiling once
         the packed matmul got cheap. Ties (equal f32 scores, e.g. exact
-        duplicate reference points) are resolved by AVERAGING the tied
-        payloads via a multi-hot matmul and a ones-row tie count —
-        icp_core picks the first index instead; for duplicates the two
-        agree exactly, for distinct equidistant points the averaged
-        payload is an equally valid NN target (equivalence-tested).
+        duplicate reference points) WITHIN one reference tile are
+        resolved by AVERAGING the tied payloads via a multi-hot matmul
+        and a ones-row tie count; ties that span tile boundaries keep
+        the earliest tile's payload (the cross-tile fold is a strict
+        `gap > 0`), i.e. lowest-index behavior like icp_core. For
+        duplicates the two conventions agree exactly; for distinct
+        equidistant points the averaged payload is an equally valid NN
+        target (equivalence-tested).
         """
         NQ = rdT.shape[2]
         # p' = R p + t in rows layout
@@ -306,8 +309,9 @@ def _icp_kernel(T0_ref, rdT_ref, rdm_ref, rdcT_ref, rdcm_ref, refT_ref,
     def p2plane_system(matched, pp, w):
         """A = sum w J J^T, b = -sum w r J, ssr; J = [n; p' x n].
 
-        All 28 moments (21 unique A entries, 6 of b, ssr) are entries
-        of the weighted Gram matrix of [J0..J5, r] — one MXU
+        All 29 moments (21 unique A entries, 6 of b, ssr, wsum — the
+        ones row rides the otherwise-padded 8th slot) are entries of
+        the weighted Gram matrix of [J0..J5, r, 1] — one MXU
         contraction via :func:`gram8`.
         """
         n = [matched[3 + i:4 + i, :] for i in range(3)]
@@ -317,7 +321,7 @@ def _icp_kernel(T0_ref, rdT_ref, rdm_ref, rdcT_ref, rdcm_ref, refT_ref,
         J = n + [pp[1] * n[2] - pp[2] * n[1],
                  pp[2] * n[0] - pp[0] * n[2],
                  pp[0] * n[1] - pp[1] * n[0]]
-        g = gram8(J + [r], w)
+        g = gram8(J + [r, jnp.ones_like(r)], w)
         A = [[g(i, j) if j >= i else None
               for j in range(6)] for i in range(6)]
         for i in range(6):
@@ -325,7 +329,7 @@ def _icp_kernel(T0_ref, rdT_ref, rdm_ref, rdcT_ref, rdcm_ref, refT_ref,
                 A[i][j] = A[j][i]
         b = [-g(i, 6) for i in range(6)]
         ssr = g(6, 6)
-        return A, b, ssr
+        return A, b, ssr, g(7, 7)
 
     def p2p_delta(matched, pp, w):
         """Weighted Kabsch/Umeyama via the 3x3 polar factor of the
@@ -369,14 +373,14 @@ def _icp_kernel(T0_ref, rdT_ref, rdm_ref, rdcT_ref, rdcm_ref, refT_ref,
         matched, d2, hit, pp = match(rdT, rdm, T)
         w = weights_of(d2, hit)
         if cfg.error == "point_to_plane":
-            A, b, _ = p2plane_system(matched, pp, w)
+            A, b, _, wsum = p2plane_system(matched, pp, w)
             A = [[A[i][j] + (1e-6 if i == j else 0.0) for j in range(6)]
                  for i in range(6)]
             Ainv = _schur_inv6(A)
             x = [sum(Ainv[i][j] * b[j] for j in range(6))
                  for i in range(6)]
             # degenerate guard: identity step when support is too small
-            ok = jnp.sum(w) >= MIN_SUPPORT
+            ok = wsum >= MIN_SUPPORT
             x = [jnp.where(ok, xi, 0.0) for xi in x]
             delta = _se3_exp(x)
             dr = jnp.sqrt(x[3] ** 2 + x[4] ** 2 + x[5] ** 2)
@@ -416,11 +420,9 @@ def _icp_kernel(T0_ref, rdT_ref, rdm_ref, rdcT_ref, rdcm_ref, refT_ref,
     # Final introspection at the solution (mirrors icp_core's last pass).
     matched, d2, hit, pp = match(rdT_ref, rdm_ref, T)
     w = weights_of(d2, hit)
-    wsum = jnp.sum(w)
     n_valid_reading = jnp.sum(rdm_ref[0, 0:1, :])
-    overlap = wsum / jnp.maximum(n_valid_reading, 1.0)
     if cfg.error == "point_to_plane":
-        A, _, ssr = p2plane_system(matched, pp, w)
+        A, _, ssr, wsum = p2plane_system(matched, pp, w)
         dof = jnp.maximum(wsum - 6.0, 1.0)
     else:
         # A = sum w J^T J with J_i = [I3, -hat(p_i)]; residual 3-dim.
@@ -430,6 +432,7 @@ def _icp_kernel(T0_ref, rdT_ref, rdm_ref, rdcT_ref, rdcm_ref, refT_ref,
         d = [pp[i] - q[i] for i in range(3)]
         gI = gram8(d + pp + [jnp.ones_like(d[0])], w)
         ssr = gI(0, 0) + gI(1, 1) + gI(2, 2)
+        wsum = gI(6, 6)
         Sp = [gI(3 + i, 6) for i in range(3)]
         Spp = [[gI(3 + i, 3 + j) for j in range(3)]
                for i in range(3)]
@@ -445,6 +448,7 @@ def _icp_kernel(T0_ref, rdT_ref, rdm_ref, rdcT_ref, rdcm_ref, refT_ref,
                 A[3 + i][j] = -hatS[j][i]
                 A[3 + i][3 + j] = (tr_pp if i == j else 0.0) - Spp[i][j]
         dof = jnp.maximum(3.0 * wsum - 6.0, 1.0)
+    overlap = wsum / jnp.maximum(n_valid_reading, 1.0)
     sigma2 = ssr / dof
     Areg = [[A[i][j] + (1e-9 if i == j else 0.0) for j in range(6)]
             for i in range(6)]
@@ -472,7 +476,7 @@ def _icp_kernel(T0_ref, rdT_ref, rdm_ref, rdcT_ref, rdcm_ref, refT_ref,
                               + (1e-12 if i == j else 0.0))
     # Diagnostic lanes 40..52: gradient b, the would-be next step, and
     # the weight sum at the solution (chip-vs-XLA numerics comparison).
-    _, b_fin, _ = p2plane_system(matched, pp, w)
+    _, b_fin, _, _ = p2plane_system(matched, pp, w)
     Areg2 = [[A[i][j] + (1e-6 if i == j else 0.0) for j in range(6)]
              for i in range(6)]
     Ainv2 = _schur_inv6(Areg2)

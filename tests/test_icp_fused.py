@@ -119,12 +119,14 @@ def test_fused_duplicate_reference_ties_and_dead_tile():
     true duplicates the payloads are identical, so the two agree), and
     the oversize capacity leaves the last reference tile fully masked,
     exercising the INVALID_RSQ sentinel / NEG_BIG hit-floor path on an
-    all-invalid tile."""
+    all-invalid tile. tile_r=512 keeps both copies of each duplicate in
+    tile 0 — in-tile ties are the only ones the kernel averages (the
+    cross-tile fold keeps the earliest tile, same as icp_core)."""
     cfg = _cfg()
     rng, pts = _scene(n=420)
     pts = np.concatenate([pts, pts[:80]], axis=0)     # 500 pts, 80 dups
     eng = ICPEngine(cfg)
-    eng.set_map(make_cloud(pts, capacity=768))        # tile 2 all-masked
+    eng.set_map(make_cloud(pts, capacity=1024))       # tile 1 all-masked
     offset = se3.exp(jnp.asarray([0.2, -0.1, 0.05, 0.02, -0.03, 0.04],
                                  jnp.float32))
     moved = np.array(se3.apply(se3.inverse(offset), jnp.asarray(pts)))
@@ -133,7 +135,7 @@ def test_fused_duplicate_reference_ties_and_dead_tile():
     res_x = icp_core(reading, eng.reference, se3.identity(), cfg)
     res_f = fused_icp_register(
         stack_clouds([reading]), stack_clouds([eng.reference]),
-        jnp.tile(se3.identity(), (1, 1, 1)), cfg, tile_r=256)
+        jnp.tile(se3.identity(), (1, 1, 1)), cfg, tile_r=512)
     dT = np.asarray(se3.log(se3.inverse(res_f.T[0]) @ res_x.T))
     assert np.linalg.norm(dT) < 1e-5
     assert np.isfinite(np.asarray(res_f.cov)).all()

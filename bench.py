@@ -156,14 +156,19 @@ def bench_icp_64k():
         QSCALE = 1000.0  # 1 mm fixed-point grid, range +-32.7 m
 
         @jax.jit
-        def fused_step(pts_i16, refs_, Ts_):
+        def fused_step(pts_i16, refs_, fref_, Ts_):
             pts_dev = pts_i16.astype(jnp.float32) * (1.0 / QSCALE)
             cloud = Cloud(points=pts_dev,
                           mask=jnp.ones(pts_dev.shape[:2], bool),
                           descriptors={})
             readings = jax.vmap(
                 lambda c: F.apply_chain(prep_chain, c, pkey))(cloud)
-            return batched_register(readings, refs_, Ts_, cfg_b)
+            # fref_ carries the reference operands prebuilt at map-prep
+            # time (setMap semantics) so the per-call graph does not
+            # rebuild three [B, 32, 8192] operands per batch; refs_
+            # stays an arg for the XLA-fallback route + eligibility.
+            return batched_register(readings, refs_, Ts_, cfg_b,
+                                    prepped_ref=fref_)
 
         @jax.jit
         def pose_errs(T_rec, T_gold):
@@ -178,15 +183,17 @@ def bench_icp_64k():
         # keeps the entry even if this attempt is cut off by the
         # supervisor's cap.
         t0 = time.perf_counter()
+        from pgslam_tpu.ops.icp_pallas import prepare_fused_reference
         eng_b = ICPEngine(cfg_b)
         dummy_ref = stack_clouds([eng_b.prepare_reference(
             make_cloud(pts, capacity=65536))] * B)
+        dummy_fref = prepare_fused_reference(dummy_ref)
         dummy_i16 = np.zeros((B, 2048, 3), np.int16)
         Ts = jnp.tile(T0, (B, 1, 1))
-        dres = fused_step(dummy_i16, dummy_ref, Ts)
+        dres = fused_step(dummy_i16, dummy_ref, dummy_fref, Ts)
         jax.block_until_ready(dres.T)
         jax.block_until_ready(pose_errs(dres.T, Ts))
-        del dummy_ref, dres
+        del dummy_ref, dummy_fref, dres
         log(f"fused pipeline compile: {time.perf_counter()-t0:.1f} s")
 
         def agent_pose(b):
@@ -217,9 +224,11 @@ def bench_icp_64k():
         t0 = time.perf_counter()
         refs = stack_clouds([eng_b.prepare_reference(
             make_cloud(map_raw[b], capacity=65536)) for b in range(B)])
+        fref = prepare_fused_reference(refs)
         jax.block_until_ready(refs.points)
-        log(f"batched reference prep (one-time, {B} distinct maps): "
-            f"{time.perf_counter()-t0:.1f} s")
+        jax.block_until_ready(fref.refT)
+        log(f"batched reference prep (one-time, {B} distinct maps, "
+            f"incl. fused kernel operands): {time.perf_counter()-t0:.1f} s")
 
         # Sensor-native fixed point: LiDAR packets carry fixed-point
         # range words, so the stream arrives quantized — model that by
@@ -248,9 +257,10 @@ def bench_icp_64k():
         # and jit cache keys on this stack include arg provenance beyond
         # avals (the retrace trap above) — so warm the numpy-arg and the
         # device-arg signatures explicitly.
-        bres = fused_step(make_host_batch(), refs, Ts)
+        bres = fused_step(make_host_batch(), refs, fref, Ts)
         jax.block_until_ready(bres.T)
-        bres = fused_step(jax.device_put(make_host_batch()), refs, Ts)
+        bres = fused_step(jax.device_put(make_host_batch()), refs,
+                          fref, Ts)
         jax.block_until_ready(bres.T)
         try:   # diagnostic only — _cache_size is private jax API; never
             # let its absence zero the headline via the outer except
@@ -284,7 +294,7 @@ def bench_icp_64k():
             res = None
             t0 = time.perf_counter()
             for dev in prefetch_batches(iter(packets), depth=1):
-                res = fused_step(dev, refs, Ts)
+                res = fused_step(dev, refs, fref, Ts)
             jax.block_until_ready(res.T)
             return (time.perf_counter() - t0) / n_bat, res
 
@@ -308,11 +318,11 @@ def bench_icp_64k():
         # distinct scans, prep + h2d excluded) for comparison
         host_i16 = make_host_batch()
         pts_dev = jax.device_put(host_i16)
-        kres = fused_step(pts_dev, refs, Ts)
+        kres = fused_step(pts_dev, refs, fref, Ts)
         jax.block_until_ready(kres.T)
         t0 = time.perf_counter()
         for _ in range(5):
-            kres = fused_step(pts_dev, refs, Ts)
+            kres = fused_step(pts_dev, refs, fref, Ts)
         jax.block_until_ready(kres.T)
         kdt = (time.perf_counter() - t0) / 5
         log(f"batched x{B} device-resident (same scans, h2d excluded): "
@@ -329,18 +339,19 @@ def bench_icp_64k():
         # stays on the conservative full-prep pipeline above.
         try:
             @jax.jit
-            def lean_step(pts_i16, refs_, Ts_):
+            def lean_step(pts_i16, refs_, fref_, Ts_):
                 pts_f = pts_i16.astype(jnp.float32) * (1.0 / QSCALE)
                 cloud = Cloud(points=pts_f,
                               mask=jnp.ones(pts_f.shape[:2], bool),
                               descriptors={})
-                return batched_register(cloud, refs_, Ts_, cfg_b)
+                return batched_register(cloud, refs_, Ts_, cfg_b,
+                                        prepped_ref=fref_)
 
             lean_i16 = np.clip(np.round(readings_raw[:, ::64] * QSCALE),
                                -32767, 32767).astype(np.int16)
-            lres = lean_step(lean_i16, refs, Ts)
+            lres = lean_step(lean_i16, refs, fref, Ts)
             jax.block_until_ready(lres.T)
-            lres = lean_step(jax.device_put(lean_i16), refs, Ts)
+            lres = lean_step(jax.device_put(lean_i16), refs, fref, Ts)
             jax.block_until_ready(lres.T)
             lean_packets = [np.ascontiguousarray(lean_i16)
                             for _ in range(n_bat)]
@@ -349,7 +360,7 @@ def bench_icp_64k():
                 res = None
                 t0 = time.perf_counter()
                 for dev in prefetch_batches(iter(lean_packets), depth=1):
-                    res = lean_step(dev, refs, Ts)
+                    res = lean_step(dev, refs, fref, Ts)
                 jax.block_until_ready(res.T)
                 return (time.perf_counter() - t0) / n_bat, res
 

@@ -52,6 +52,7 @@ Reference role: the full ``ICPSequence::operator()`` iterate loop
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -492,16 +493,31 @@ def _rows_T(x, rows):
     return jnp.pad(xt, ((0, 0), (0, rows - xt.shape[1]), (0, 0)))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "tile_r", "debug_stats"))
-def fused_icp_register(reading: Cloud, reference: Cloud, T_init: jax.Array,
-                       cfg: ICPConfig, tile_r: int = 1024,
-                       debug_stats: bool = False) -> ICPResult:
-    """Batched fused registration. ``reading``/``reference`` are stacked
-    clouds ([B, N, 3] + [B, N] masks, reference with ``normals``);
-    ``T_init`` is [B, 4, 4]. Returns a batched :class:`ICPResult`."""
-    B, NQ = reading.points.shape[:2]
-    NR = reference.points.shape[1]
+class FusedRef(NamedTuple):
+    """Precomputed reference operands for the fused ICP kernel.
+
+    Building these (hi/lo splits, transposes to rows layout, sentinel
+    bake-in — three [B, 32, NR]-scale operands) is the expensive
+    reference-side work of :func:`fused_icp_register`. References are
+    persistent across registrations in every production path
+    (``ICPSequence::setMap`` semantics, `PoseGraphSlam.h:33-35` roles),
+    so callers with a long-lived map should build a ``FusedRef`` ONCE
+    via :func:`prepare_fused_reference` and register against it with
+    :func:`fused_icp_register_prepped` — otherwise the operand build is
+    retraced into every call's graph and re-executed per batch.
+    """
+    refT: jax.Array     # [B, 8, NR] f32: rows 0-2 = 2r, row 3 = -|r|^2
+    ref32: jax.Array    # [B, 32, NR] bf16 packed hi/lo score operand
+    vals16: jax.Array   # [B, 32, NR] bf16 payload splits + ones row
+
+
+@functools.partial(jax.jit, static_argnames=("tile_r",))
+def prepare_fused_reference(reference: Cloud,
+                            tile_r: int = 1024) -> FusedRef:
+    """One-time build of the fused kernel's reference operands (pads NR
+    to a ``tile_r`` multiple; masked/padded points carry the INVALID_RSQ
+    score sentinel)."""
+    B, NR = reference.points.shape[:2]
     if NR % tile_r:
         pad = (-NR) % tile_r
         reference = Cloud(
@@ -550,6 +566,37 @@ def fused_icp_register(reading: Cloud, reference: Cloud, T_init: jax.Array,
     ref32 = jnp.concatenate(
         [blk(r2h, nrh), blk(r2h, nrm), blk(r2l, nrl), blk(r2l, zr1)],
         axis=1)                                                  # [B,32,NR]
+    return FusedRef(refT=refT, ref32=ref32, vals16=vals16)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "tile_r", "debug_stats"))
+def fused_icp_register(reading: Cloud, reference: Cloud, T_init: jax.Array,
+                       cfg: ICPConfig, tile_r: int = 1024,
+                       debug_stats: bool = False) -> ICPResult:
+    """Batched fused registration. ``reading``/``reference`` are stacked
+    clouds ([B, N, 3] + [B, N] masks, reference with ``normals``);
+    ``T_init`` is [B, 4, 4]. Returns a batched :class:`ICPResult`.
+
+    Builds the reference operands inline on every call — correct for
+    one-shot use, wasteful for a persistent map; see :class:`FusedRef`.
+    """
+    fref = prepare_fused_reference(reference, tile_r)
+    return fused_icp_register_prepped(reading, fref, T_init, cfg,
+                                      tile_r, debug_stats)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "tile_r", "debug_stats"))
+def fused_icp_register_prepped(reading: Cloud, fref: FusedRef,
+                               T_init: jax.Array, cfg: ICPConfig,
+                               tile_r: int = 1024,
+                               debug_stats: bool = False) -> ICPResult:
+    """Batched fused registration against precomputed reference
+    operands (:func:`prepare_fused_reference`)."""
+    B, NQ = reading.points.shape[:2]
+    refT, ref32, vals16 = fref
+    NR = refT.shape[2]
 
     rd = reading.points.astype(jnp.float32)
     rdT = _rows_T(rd, 8)

@@ -30,7 +30,8 @@ def _batched_register_impl(readings: Cloud, references: Cloud,
 def batched_register(readings: Cloud, references: Cloud,
                      T_inits: jax.Array,
                      cfg: ICPConfig = ICPConfig(),
-                     fused: str = "auto") -> ICPResult:
+                     fused: str = "auto",
+                     prepped_ref=None) -> ICPResult:
     """Register a batch: readings/references carry a leading agent axis
     ``[B, N, ...]``; ``T_inits`` is ``[B, 4, 4]``. Returns a batched
     :class:`ICPResult`.
@@ -53,7 +54,14 @@ def batched_register(readings: Cloud, references: Cloud,
     ineligible config would silently drop filters / register against
     zero normals. Both opt-ins are ANDed with ``fused_eligible`` and the
     normals check, exactly like the single-stream gate
-    (``localizer.py``)."""
+    (``localizer.py``).
+
+    ``prepped_ref``: a :class:`ops.icp_pallas.FusedRef` built once from
+    ``references`` via ``prepare_fused_reference`` (setMap semantics).
+    When the fused route is taken it skips the per-call reference
+    operand build (three [B, 32, NR]-scale constructions); ignored on
+    the XLA fallback route, which registers against ``references``
+    directly. The caller must keep it in sync with ``references``."""
     env = os.environ.get("PGSLAM_FUSED_BATCHED", "")
     if fused == "auto" and env in ("0", "1"):
         fused = "on" if env == "1" else "off"
@@ -64,6 +72,10 @@ def batched_register(readings: Cloud, references: Cloud,
     use_fused = eligible and (
         fused == "on"
         or (fused == "auto" and jax.default_backend() not in ("cpu",)))
+    if use_fused and prepped_ref is not None:
+        from ..ops.icp_pallas import fused_icp_register_prepped
+        return fused_icp_register_prepped(readings, prepped_ref, T_inits,
+                                          cfg)
     return _batched_register_impl(readings, references, T_inits, cfg,
                                   use_fused)
 

@@ -142,6 +142,36 @@ def test_fused_duplicate_reference_ties_and_dead_tile():
 
 
 @pytest.mark.slow
+def test_prepped_reference_path_matches():
+    """prepare_fused_reference + fused_icp_register_prepped (the setMap-
+    style cached-operand path, also reachable via batched_register's
+    prepped_ref) is bit-identical to the build-inline wrapper."""
+    from pgslam_tpu.ops.icp_pallas import (fused_icp_register_prepped,
+                                           prepare_fused_reference)
+    from pgslam_tpu.parallel.batched import batched_register
+
+    cfg = _cfg(coarse_div=0)
+    eng, reading, offset = _pair(cfg)
+    readings = stack_clouds([reading])
+    refs = stack_clouds([eng.reference])
+    T0 = jnp.tile(se3.identity(), (1, 1, 1))
+    base = fused_icp_register(readings, refs, T0, cfg, tile_r=256)
+    fref = prepare_fused_reference(refs, tile_r=256)
+    prepped = fused_icp_register_prepped(readings, fref, T0, cfg,
+                                         tile_r=256)
+    np.testing.assert_array_equal(np.asarray(base.T),
+                                  np.asarray(prepped.T))
+    np.testing.assert_array_equal(np.asarray(base.cov),
+                                  np.asarray(prepped.cov))
+    # the batched_register wiring (default tile_r)
+    fref1k = prepare_fused_reference(refs)
+    via_api = batched_register(readings, refs, T0, cfg, fused="on",
+                               prepped_ref=fref1k)
+    dT = np.asarray(se3.log(se3.inverse(via_api.T[0]) @ base.T[0]))
+    assert np.linalg.norm(dT) < 1e-5
+
+
+@pytest.mark.slow
 def test_fused_bound_checker():
     cfg = _cfg(max_correction_trans=0.01)  # reject the 0.2 m correction
     eng, reading, offset = _pair(cfg)

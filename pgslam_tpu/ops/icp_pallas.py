@@ -61,8 +61,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import se3
 from ..cloud import Cloud
-from .rowmath import _det3, _mat4_mul, _polar3, _schur_inv6, _se3_exp, \
-    _se3_log
+from .rowmath import _det3, _inv3, _mat4_mul, _polar3, _schur_inv6, \
+    _se3_exp, _se3_inv, _se3_log
 from .icp import ICPConfig, ICPResult
 from . import outlier as O
 
@@ -81,7 +81,9 @@ def fused_eligible(cfg: ICPConfig) -> bool:
     return (cfg.error in ("point_to_plane", "point_to_point")
             and cfg.matcher in ("pallas", "brute")
             and cfg.knn == 1
-            and not (cfg.anderson_m and cfg.anderson_m > 1)
+            # Anderson acceleration runs in-kernel for windows up to 4
+            # (the (m-1)x(m-1) AA system solves in closed form).
+            and (not cfg.anderson_m or cfg.anderson_m <= 4)
             and all(isinstance(f, (O.TrimmedDist, O.MaxDist))
                     for f in cfg.outlier))
 
@@ -412,11 +414,85 @@ def _icp_kernel(T0_ref, rdT_ref, rdm_ref, rdcT_ref, rdcm_ref, refT_ref,
         return jax.lax.while_loop(
             cond, body, (T, jnp.int32(0), jnp.bool_(False), big, big))
 
+    def solve_small(A, rhs, n):
+        """Closed-form solve of the (n <= 3) regularized AA system."""
+        if n == 1:
+            return [rhs[0] / A[0][0]]
+        if n == 2:
+            rdet = 1.0 / (A[0][0] * A[1][1] - A[0][1] * A[1][0])
+            return [(A[1][1] * rhs[0] - A[0][1] * rhs[1]) * rdet,
+                    (A[0][0] * rhs[1] - A[1][0] * rhs[0]) * rdet]
+        Ai = _inv3(A)
+        return [sum(Ai[i][j] * rhs[j] for j in range(3)) for i in range(3)]
+
+    def run_stage_aa(T, rdT, rdm, max_it):
+        """Anderson-accelerated stage (cfg.anderson_m in 2..4): type-II
+        AA on the window of se3-log twists relative to the stage entry,
+        mirroring ops/icp.py ``body_aa`` exactly (same history roll,
+        regularization, runaway safeguard, and window warmup) on the
+        kernel's scalar row-math. The small (m-1)x(m-1) system solves in
+        closed form."""
+        m = cfg.anderson_m
+        T0s = list(T)
+        Tinv0 = _se3_inv(T0s)
+        big = tuple(jnp.float32(jnp.inf) for _ in range(L))
+        zeros_hist = tuple(jnp.float32(0.0) for _ in range(m * 6))
+
+        def cond(c):
+            return jnp.logical_and(c[1] < max_it, ~c[2])
+
+        def body(c):
+            T, it, _, dts, drs, X, GX = c
+            T_plain, _, _ = step(T, rdT, rdm)
+            x_k = _se3_log(_mat4_mul(list(T), Tinv0))
+            g_k = _se3_log(_mat4_mul(list(T_plain), Tinv0))
+            X = tuple(x_k) + X[:-6]
+            GX = tuple(g_k) + GX[:-6]
+            Fr = [[GX[i * 6 + d] - X[i * 6 + d] for d in range(6)]
+                  for i in range(m)]
+            dF = [[Fr[0][d] - Fr[i][d] for d in range(6)]
+                  for i in range(1, m)]
+            dG = [[GX[d] - GX[i * 6 + d] for d in range(6)]
+                  for i in range(1, m)]
+            n = m - 1
+            A = [[sum(dF[i][d] * dF[j][d] for d in range(6))
+                  + (1e-10 if i == j else 0.0) for j in range(n)]
+                 for i in range(n)]
+            rhs = [sum(dF[i][d] * Fr[0][d] for d in range(6))
+                   for i in range(n)]
+            gamma = solve_small(A, rhs, n)
+            x_acc = [g_k[d] - sum(gamma[i] * dG[i][d] for i in range(n))
+                     for d in range(6)]
+            plain_sz = jnp.sqrt(sum((g_k[d] - x_k[d]) ** 2
+                                    for d in range(6)))
+            acc_sz = jnp.sqrt(sum((x_acc[d] - g_k[d]) ** 2
+                                  for d in range(6)))
+            ok = jnp.logical_and(acc_sz <= 2.0 * plain_sz + 1e-9,
+                                 it + 1 >= m)
+            x_next = [jnp.where(ok, x_acc[d], g_k[d]) for d in range(6)]
+            T_new = tuple(_mat4_mul(_se3_exp(x_next), T0s))
+            dTm = _mat4_mul(list(T_new), _se3_inv(list(T)))
+            dt = jnp.sqrt(dTm[3] ** 2 + dTm[7] ** 2 + dTm[11] ** 2)
+            dlog = _se3_log(dTm)
+            dr = jnp.sqrt(dlog[3] ** 2 + dlog[4] ** 2 + dlog[5] ** 2)
+            dts = (dt,) + dts[:-1]
+            drs = (dr,) + drs[:-1]
+            conv = jnp.logical_and(sum(dts) / L < cfg.trans_eps,
+                                   sum(drs) / L < cfg.rot_eps)
+            return (T_new, it + 1, conv, dts, drs, X, GX)
+
+        out = jax.lax.while_loop(
+            cond, body, (T, jnp.int32(0), jnp.bool_(False), big, big,
+                         zeros_hist, zeros_hist))
+        return out[:5]
+
+    stage = (run_stage_aa if (cfg.anderson_m and cfg.anderson_m > 1)
+             else run_stage)
     T = T0
     if n_coarse_iters > 0:
-        T, _, _, _, _ = run_stage(T, rdcT_ref, rdcm_ref, n_coarse_iters)
-    T, iters, conv, _, _ = run_stage(T, rdT_ref, rdm_ref,
-                                     cfg.max_iterations)
+        T, _, _, _, _ = stage(T, rdcT_ref, rdcm_ref, n_coarse_iters)
+    T, iters, conv, _, _ = stage(T, rdT_ref, rdm_ref,
+                                 cfg.max_iterations)
 
     # Final introspection at the solution (mirrors icp_core's last pass).
     matched, d2, hit, pp = match(rdT_ref, rdm_ref, T)

@@ -141,6 +141,26 @@ def test_fused_duplicate_reference_ties_and_dead_tile():
     assert np.isfinite(np.asarray(res_f.cov)).all()
 
 
+@pytest.mark.parametrize("aa", [2, 3])
+@pytest.mark.slow
+def test_fused_anderson_matches_icp_core(aa):
+    """In-kernel Anderson acceleration (type-II AA on the se3-log twist
+    window) vs the XLA loop's body_aa — same history roll, safeguard,
+    and closed-form small solve."""
+    cfg = _cfg(anderson_m=aa)
+    assert fused_eligible(cfg)
+    eng, reading, offset = _pair(cfg)
+    res_x = icp_core(reading, eng.reference, se3.identity(), cfg)
+    res_f = fused_icp_register(
+        stack_clouds([reading]), stack_clouds([eng.reference]),
+        jnp.tile(se3.identity(), (1, 1, 1)), cfg, tile_r=256)
+    dT = np.asarray(se3.log(se3.inverse(res_f.T[0]) @ res_x.T))
+    assert np.linalg.norm(dT) < 1e-4  # AA extrapolation amplifies the
+    # kernel-vs-XLA match-field noise slightly vs the plain-loop 1e-5
+    assert abs(int(res_f.iterations[0]) - int(res_x.iterations)) <= 1
+    assert bool(res_f.converged[0]) == bool(res_x.converged)
+
+
 @pytest.mark.slow
 def test_prepped_reference_path_matches():
     """prepare_fused_reference + fused_icp_register_prepped (the setMap-
@@ -184,7 +204,8 @@ def test_fused_bound_checker():
 
 def test_fused_eligibility_gate():
     assert fused_eligible(_cfg(error="point_to_point"))
-    assert not fused_eligible(_cfg(anderson_m=3))
+    assert fused_eligible(_cfg(anderson_m=3))   # in-kernel AA, m <= 4
+    assert not fused_eligible(_cfg(anderson_m=5))
     assert not fused_eligible(_cfg(knn=2))
     assert not fused_eligible(_cfg(outlier=(O.MedianDist(),)))
 

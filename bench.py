@@ -155,20 +155,26 @@ def bench_icp_64k():
         pkey = jax.random.PRNGKey(0)
         QSCALE = 1000.0  # 1 mm fixed-point grid, range +-32.7 m
 
-        @jax.jit
-        def fused_step(pts_i16, refs_, fref_, Ts_):
-            pts_dev = pts_i16.astype(jnp.float32) * (1.0 / QSCALE)
-            cloud = Cloud(points=pts_dev,
-                          mask=jnp.ones(pts_dev.shape[:2], bool),
-                          descriptors={})
-            readings = jax.vmap(
-                lambda c: F.apply_chain(prep_chain, c, pkey))(cloud)
-            # fref_ carries the reference operands prebuilt at map-prep
-            # time (setMap semantics) so the per-call graph does not
-            # rebuild three [B, 32, 8192] operands per batch; refs_
-            # stays an arg for the XLA-fallback route + eligibility.
-            return batched_register(readings, refs_, Ts_, cfg_b,
-                                    prepped_ref=fref_)
+        def make_step(route):
+            @jax.jit
+            def step_(pts_i16, refs_, fref_, Ts_):
+                pts_dev = pts_i16.astype(jnp.float32) * (1.0 / QSCALE)
+                cloud = Cloud(points=pts_dev,
+                              mask=jnp.ones(pts_dev.shape[:2], bool),
+                              descriptors={})
+                readings = jax.vmap(
+                    lambda c: F.apply_chain(prep_chain, c, pkey))(cloud)
+                # fref_ carries the reference operands prebuilt at
+                # map-prep time (setMap semantics) so the per-call graph
+                # does not rebuild three [B, 32, 8192] operands per
+                # batch; refs_ stays an arg for the XLA-fallback route +
+                # eligibility.
+                return batched_register(readings, refs_, Ts_, cfg_b,
+                                        fused=route,
+                                        prepped_ref=fref_)
+            return step_
+
+        fused_step = make_step("auto")
 
         @jax.jit
         def pose_errs(T_rec, T_gold):
@@ -190,8 +196,19 @@ def bench_icp_64k():
         dummy_fref = prepare_fused_reference(dummy_ref)
         dummy_i16 = np.zeros((B, 2048, 3), np.int16)
         Ts = jnp.tile(T0, (B, 1, 1))
-        dres = fused_step(dummy_i16, dummy_ref, dummy_fref, Ts)
-        jax.block_until_ready(dres.T)
+        try:
+            dres = fused_step(dummy_i16, dummy_ref, dummy_fref, Ts)
+            jax.block_until_ready(dres.T)
+        except Exception as e:
+            # Fail-soft: if the fused kernel's compile/execute dies on
+            # this chip/toolchain, reroute the WHOLE batched bench onto
+            # the vmapped XLA loop — a slower pipeline number beats a
+            # zeroed headline.
+            log(f"fused route failed ({type(e).__name__}: {e}); "
+                f"falling back to the vmapped XLA loop")
+            fused_step = make_step("off")
+            dres = fused_step(dummy_i16, dummy_ref, dummy_fref, Ts)
+            jax.block_until_ready(dres.T)
         jax.block_until_ready(pose_errs(dres.T, Ts))
         del dummy_ref, dummy_fref, dres
         log(f"fused pipeline compile: {time.perf_counter()-t0:.1f} s")

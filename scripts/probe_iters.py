@@ -7,7 +7,10 @@ throughput lever. Accuracy-vs-iterations is a property of the math
 (trim ratio, noise, world geometry), not the matcher backend, so this
 runs the XLA brute-force path on CPU with a reduced agent count.
 
-Usage: python scripts/probe_iters.py [B]
+Usage: python scripts/probe_iters.py [B] [profile]
+  profile: "batched" (default; 1k/8k working set, stride-32 packets,
+  bench cfg_b) or "single" (2k/8k working set on the full 64k reading,
+  the single-stream bench config, currently max_iterations=10).
 """
 import os
 import sys
@@ -30,6 +33,7 @@ def main():
     from pgslam_tpu.parallel.batched import batched_register
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    profile = sys.argv[2] if len(sys.argv) > 2 else "batched"
     rng = np.random.default_rng(0)
     world = corridor_world(rng, n_points=300000, length=120.0, width=8.0,
                            height=5.0)
@@ -69,10 +73,15 @@ def main():
     refs = stack_clouds([eng.prepare_reference(
         make_cloud(map_raw[b], capacity=65536)) for b in range(B)])
 
-    prep_chain = (F.VoxelGrid(voxel_size=0.4, hash_size=1 << 15),
-                  F.Compact(1024))
+    if profile == "single":
+        prep_chain = (F.VoxelGrid(voxel_size=0.4, hash_size=1 << 17),
+                      F.Compact(2048))
+        sensor = readings_raw          # full 64k reading, no decimation
+    else:
+        prep_chain = (F.VoxelGrid(voxel_size=0.4, hash_size=1 << 15),
+                      F.Compact(1024))
+        sensor = readings_raw[:, ::32]  # bench's stride-32 packets, f32
     pkey = jax.random.PRNGKey(0)
-    sensor = readings_raw[:, ::32]  # bench's stride-32 packets, f32
     cloud = Cloud(points=jnp.asarray(sensor),
                   mask=jnp.ones(sensor.shape[:2], bool), descriptors={})
     readings = jax.vmap(lambda c: F.apply_chain(prep_chain, c, pkey))(cloud)

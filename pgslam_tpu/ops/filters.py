@@ -347,15 +347,33 @@ def apply_chain_jit(chain: Chain, cloud: Cloud, key: jax.Array) -> Cloud:
 def compact(cloud: Cloud, capacity: Optional[int] = None) -> Cloud:
     """Push valid points to the front and optionally shrink capacity.
 
-    Stable (preserves input order among valid points). Jit-friendly:
+    Stable (preserves input order among valid points); rows beyond the
+    surviving count are zero-filled with mask False. Jit-friendly:
     output capacity is static.
+
+    Implemented as a cumsum-rank scatter rather than stable-argsort +
+    row-gather: on TPU the bitonic sort and the gather are both slow
+    forms of this data movement (and large sort graphs compile
+    pathologically slowly over the relay — see VoxelGrid's "sort"
+    method note), while the scatter form is one cumsum plus one
+    drop-mode scatter. This sits on the per-scan hot path (reading prep
+    of every registration).
     """
-    order = jnp.argsort(~cloud.mask, stable=True)
-    take = lambda a: jnp.take(a, order, axis=0)
-    out = Cloud(points=take(cloud.points), mask=take(cloud.mask),
-                descriptors={k: take(v) for k, v in cloud.descriptors.items()})
-    if capacity is not None and capacity < out.capacity:
-        out = Cloud(points=out.points[:capacity], mask=out.mask[:capacity],
-                    descriptors={k: v[:capacity]
-                                 for k, v in out.descriptors.items()})
-    return out
+    cap = (cloud.capacity if capacity is None
+           else min(capacity, cloud.capacity))
+    rank = jnp.cumsum(cloud.mask.astype(jnp.int32)) - 1
+    # Valid rows scatter to their rank; invalid rows (dest=cap) and
+    # rank-overflow rows (rank >= cap: more survivors than capacity —
+    # extra valid points are dropped, per the Compact contract) fall
+    # out via mode="drop".
+    dest = jnp.where(cloud.mask, rank, cap)
+
+    def put(a):
+        out = jnp.zeros((cap,) + a.shape[1:], a.dtype)
+        return out.at[dest].set(a, mode="drop")
+
+    n_valid = jnp.minimum(jnp.sum(cloud.mask.astype(jnp.int32)), cap)
+    mask_out = jnp.arange(cap, dtype=jnp.int32) < n_valid
+    return Cloud(points=put(cloud.points), mask=mask_out,
+                 descriptors={k: put(v)
+                              for k, v in cloud.descriptors.items()})

@@ -30,9 +30,17 @@ from jax.experimental.pallas import tpu as pltpu
 from .knn import Matches
 
 NEG_BIG = -3.4e38  # sentinel for masked entries (works with max-reduce)
+# Packed (baked-score) modes: masked references carry a finite -|r|^2
+# sentinel of -3e38 inside the score operand, so their MXU scores land
+# strictly below this hit floor while every valid score (~|2 q.r|,
+# <= ~1e9 even at km coordinates) lands strictly above it. Finite, not
+# inf: an inf would turn the bf16 hi/lo split into NaNs.
+INVALID_RSQ = 3.0e38
+HIT_FLOOR_BAKED = -1.0e38
 
 
-def _kernel(q_ref, rT_ref, rsq_ref, bestd_ref, besti_ref, *, precision, k):
+def _kernel(q_ref, rT_ref, rsq_ref, bestd_ref, besti_ref, *, precision, k,
+            baked):
     """One (i, j) grid step: fold reference tile j into query tile i's
     running top-k. Scores are NEGATED distances so masked entries can use a
     single big negative sentinel with max-reduction.
@@ -41,7 +49,13 @@ def _kernel(q_ref, rT_ref, rsq_ref, bestd_ref, besti_ref, *, precision, k):
     (mask-out-the-argmax-column between rounds), each folded into the
     running ``[TQ, k]`` buffers by replace-the-current-min. k is static
     and small (<= 8), so the extra VPU passes stay a minor epilogue next
-    to the MXU cross-term."""
+    to the MXU cross-term.
+
+    ``baked``: the packed bf16 modes carry ``2r`` and split ``-|r|^2``
+    rows in the reference operand (paired with ones columns in the
+    query), so the whole argmax-safe score comes off the MXU — no score
+    assembly or sentinel clamp on the VPU (masked references carry the
+    finite INVALID_RSQ bake-in instead of the +inf rsq row)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -54,9 +68,12 @@ def _kernel(q_ref, rT_ref, rsq_ref, bestd_ref, besti_ref, *, precision, k):
     # (bf16 operand modes pre-pack any hi/lo split into the contraction
     # dim — see ``_pack_operands`` — so this is always ONE MXU pass with
     # f32 accumulation unless precision="highest".)
-    # score = -(|r|^2 - 2 q.r); rsq row is +inf-masked -> sentinel below.
-    score = 2.0 * cross - rsq_ref[:]
-    score = jnp.maximum(score, NEG_BIG)                       # kill -inf/nan
+    if baked:
+        score = cross  # = 2 q.r - |r|^2, finite by construction
+    else:
+        # score = -(|r|^2 - 2 q.r); rsq row is +inf-masked -> sentinel.
+        score = 2.0 * cross - rsq_ref[:]
+        score = jnp.maximum(score, NEG_BIG)                   # kill -inf/nan
     tr = score.shape[1]
     cols = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
     bestd = bestd_ref[:]                                      # [TQ, k]
@@ -94,30 +111,59 @@ def _bf16_split(x: jax.Array):
     return hi_f32.astype(jnp.bfloat16), (x - hi_f32).astype(jnp.bfloat16)
 
 
-def _pack_operands(qf: jax.Array, rf: jax.Array, precision: str):
+def _split3(x: jax.Array):
+    """Three-term bf16 decomposition (~2^-22 relative) via mantissa
+    bit-masking (see ``_bf16_split`` for why never astype round-trips)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000),
+                                      jnp.float32)
+    r1 = x - hi
+    bits1 = jax.lax.bitcast_convert_type(r1, jnp.uint32)
+    mid = jax.lax.bitcast_convert_type(bits1 & jnp.uint32(0xFFFF0000),
+                                       jnp.float32)
+    return (hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+            (r1 - mid).astype(jnp.bfloat16))
+
+
+def _pack_operands(qf: jax.Array, rf: jax.Array, nrsq: jax.Array,
+                   precision: str):
     """Lay out the [*, 3] coordinate operands for the in-kernel matmul.
 
-    Returns (q [NQp, K], rT [K, NRp], dot_precision) with K padded to the
-    f32/bf16 sublane quantum (8/16). See ``nn_pallas`` for the scheme.
+    Returns (q [NQp, K], rT [K, NRp], dot_precision, baked) with K padded
+    to the f32/bf16 sublane quantum (8/16). See ``nn_pallas`` for the
+    scheme. The packed bf16 modes are "baked": the reference operand
+    carries ``2r`` plus the 3-term split of ``nrsq = -|r|^2`` (masked
+    entries -INVALID_RSQ), paired with ones columns in the query, so the
+    kernel's matmul result IS the argmax-safe score ``2 q.r - |r|^2``
+    with no VPU epilogue (the score-assembly and sentinel-clamp passes
+    over [TQ, TR] were the measured matcher ceiling, BENCH_NOTES).
     """
     if precision == "highest":
         q = jnp.pad(qf, ((0, 0), (0, 5)))                      # [NQp, 8]
         rT = jnp.pad(rf, ((0, 0), (0, 5))).T                   # [8, NRp]
-        return q, rT, jax.lax.Precision.HIGHEST
+        return q, rT, jax.lax.Precision.HIGHEST, False
+    nh, nm, nl = (t[:, None] for t in _split3(nrsq))           # [NRp, 1]
+    one = jnp.ones((qf.shape[0], 1), jnp.bfloat16)
+    z1q = jnp.zeros((qf.shape[0], 1), jnp.bfloat16)
+    z1r = jnp.zeros_like(nh)
     if precision == "high":
         qh, ql = _bf16_split(qf)
-        rh, rl = _bf16_split(rf)
-        q = jnp.concatenate([qh, ql, qh, ql], axis=1)          # [NQp, 12]
-        r = jnp.concatenate([rh, rh, rl, rl], axis=1)
-        q = jnp.pad(q, ((0, 0), (0, 4)))                       # [NQp, 16]
-        rT = jnp.pad(r, ((0, 0), (0, 4))).T                    # [16, NRp]
+        r2h, r2l = _bf16_split(2.0 * rf)
+        q = jnp.concatenate([qh, ql, qh, ql, one, one, one, z1q],
+                            axis=1)                            # [NQp, 16]
+        r = jnp.concatenate([r2h, r2h, r2l, r2l, nh, nm, nl, z1r],
+                            axis=1)
         # Explicit DEFAULT: the package's global jax_default_matmul_precision
         # is "highest", which Mosaic rejects for bf16 operands.
-        return q, rT, jax.lax.Precision.DEFAULT
+        return q, r.T, jax.lax.Precision.DEFAULT, True
     if precision == "default":
-        q = jnp.pad(qf.astype(jnp.bfloat16), ((0, 0), (0, 13)))
-        rT = jnp.pad(rf.astype(jnp.bfloat16), ((0, 0), (0, 13))).T
-        return q, rT, jax.lax.Precision.DEFAULT
+        q = jnp.concatenate([qf.astype(jnp.bfloat16), one, one, one],
+                            axis=1)
+        r = jnp.concatenate([(2.0 * rf).astype(jnp.bfloat16), nh, nm, nl],
+                            axis=1)
+        q = jnp.pad(q, ((0, 0), (0, 10)))                      # [NQp, 16]
+        rT = jnp.pad(r, ((0, 0), (0, 10))).T                   # [16, NRp]
+        return q, rT, jax.lax.Precision.DEFAULT, True
     raise ValueError(f"unknown pallas matcher precision: {precision!r}")
 
 
@@ -159,9 +205,11 @@ def nn_pallas(query: jax.Array,            # [NQ, 3]
     qf = jnp.pad(query.astype(jnp.float32), ((0, pq), (0, 0)))  # [NQp, 3]
     rf = jnp.pad(reference.astype(jnp.float32), ((0, pr), (0, 0)))
     rsq = jnp.sum(rf * rf, axis=1)                              # exact, f32
-    q, rT, dot_precision = _pack_operands(qf, rf, precision)
     rmask = jnp.pad(reference_mask, (0, pr), constant_values=False)
-    # Masked reference -> +inf rsq -> score sentinel in-kernel.
+    nrsq = -jnp.where(rmask, rsq, INVALID_RSQ)                  # [NRp]
+    q, rT, dot_precision, baked = _pack_operands(qf, rf, nrsq, precision)
+    # Masked reference -> +inf rsq -> score sentinel in-kernel (the
+    # non-baked path only; baked modes carry -INVALID_RSQ in rT).
     rsq = jnp.where(rmask, rsq, jnp.inf)[None, :]               # [1, NRp]
 
     kdim = q.shape[1]
@@ -170,7 +218,8 @@ def nn_pallas(query: jax.Array,            # [NQ, 3]
     # Interpreter mode keeps the kernel testable on the CPU backend.
     interpret = jax.default_backend() == "cpu"
     bestd, besti = pl.pallas_call(
-        functools.partial(_kernel, precision=dot_precision, k=k),
+        functools.partial(_kernel, precision=dot_precision, k=k,
+                          baked=baked),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_q, kdim), lambda i, j: (i, 0),
@@ -208,7 +257,8 @@ def nn_pallas(query: jax.Array,            # [NQ, 3]
         diff = query.astype(jnp.float32)[:, None, :] - \
             sel.reshape(nq, k, 3)
         d2 = jnp.sum(diff * diff, axis=-1)                      # [NQ, k]
-    hit = (bestd > NEG_BIG) & query_mask[:, None]
+    hit = (bestd > (HIT_FLOOR_BAKED if baked else NEG_BIG)) \
+        & query_mask[:, None]
     d2 = jnp.where(hit, d2, jnp.inf)
     besti = jnp.where(hit, besti, 0)
     if k > 1:

@@ -44,6 +44,29 @@ def test_pallas_all_refs_masked(rng):
     assert (np.asarray(p.ids) == 0).all()
 
 
+def test_pallas_baked_modes_masking(rng):
+    """The packed bf16 modes bake a finite -INVALID_RSQ score sentinel
+    for masked references (no +inf rsq row, no clamp): masked/exhausted
+    behavior must match the highest mode's, and partial masks must
+    never match a masked reference."""
+    import pytest
+    q = rng.uniform(0, 5, (64, 3)).astype(np.float32)
+    r = rng.uniform(0, 5, (128, 3)).astype(np.float32)
+    rm = np.ones(128, bool)
+    rm[40:] = False
+    for prec in ("high", "default"):
+        p = nn_pallas(jnp.asarray(q), jnp.ones(64, bool), jnp.asarray(r),
+                      jnp.zeros(128, bool), tile_q=64, tile_r=128,
+                      precision=prec)
+        assert not np.isfinite(np.asarray(p.dists2)).any()
+        assert (np.asarray(p.ids) == 0).all()
+        p = nn_pallas(jnp.asarray(q), jnp.ones(64, bool), jnp.asarray(r),
+                      jnp.asarray(rm), tile_q=64, tile_r=128,
+                      precision=prec)
+        assert (np.asarray(p.ids)[:, 0] < 40).all()
+        assert np.isfinite(np.asarray(p.dists2)).all()
+
+
 def test_pallas_nonaligned_sizes(rng):
     # Sizes that don't divide the tiles exercise the padding path.
     q = rng.uniform(0, 5, (130, 3)).astype(np.float32)

@@ -24,6 +24,12 @@ import numpy as np
 
 BASELINE_REGS_PER_SEC = 5.0
 
+# Set when the batched bench had to reroute off the fused kernel onto
+# the vmapped XLA loop (compile/execute failure); surfaces in the JSON
+# so a broken kernel reads as a flagged fallback, not an unexplained
+# throughput dip.
+FUSED_FALLBACK = False
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
@@ -206,6 +212,8 @@ def bench_icp_64k():
             # zeroed headline.
             log(f"fused route failed ({type(e).__name__}: {e}); "
                 f"falling back to the vmapped XLA loop")
+            global FUSED_FALLBACK
+            FUSED_FALLBACK = True
             fused_step = make_step("off")
             dres = fused_step(dummy_i16, dummy_ref, dummy_fref, Ts)
             jax.block_until_ready(dres.T)
@@ -496,12 +504,15 @@ def child_main():
     rate = max(single_rate, batched_rate)
     log(f"single-stream {single_rate:.1f} regs/s, "
         f"batched throughput {batched_rate:.1f} regs/s")
-    print(json.dumps({
+    payload = {
         "metric": METRIC,
         "value": round(rate, 2),
         "unit": "registrations/sec",
         "vs_baseline": round(rate / BASELINE_REGS_PER_SEC, 2),
-    }), flush=True)
+    }
+    if FUSED_FALLBACK:
+        payload["fused_fallback"] = True
+    print(json.dumps(payload), flush=True)
 
 
 def main(total_budget_s: float = 560.0):

@@ -40,7 +40,7 @@ HIT_FLOOR_BAKED = -1.0e38
 
 
 def _kernel(q_ref, rT_ref, rsq_ref, bestd_ref, besti_ref, *, precision, k,
-            baked):
+            baked=False):
     """One (i, j) grid step: fold reference tile j into query tile i's
     running top-k. Scores are NEGATED distances so masked entries can use a
     single big negative sentinel with max-reduction.
@@ -54,8 +54,9 @@ def _kernel(q_ref, rT_ref, rsq_ref, bestd_ref, besti_ref, *, precision, k,
     ``baked``: the packed bf16 modes carry ``2r`` and split ``-|r|^2``
     rows in the reference operand (paired with ones columns in the
     query), so the whole argmax-safe score comes off the MXU — no score
-    assembly or sentinel clamp on the VPU (masked references carry the
-    finite INVALID_RSQ bake-in instead of the +inf rsq row)."""
+    assembly or sentinel clamp on the VPU, and no rsq operand at all
+    (masked references carry the finite INVALID_RSQ bake-in instead of
+    the +inf rsq row; ``rsq_ref`` is None in baked calls)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -186,19 +187,23 @@ def nn_pallas(query: jax.Array,            # [NQ, 3]
     chip's compiler rejects for the 3-pass HIGH enum anyway) we pack the
     error-compensation terms into the otherwise-wasted K slots:
 
-    * "highest" — f32 operands, bit-exact 6-pass decomposition.
+    * "highest" — f32 operands, bit-exact 6-pass decomposition; the
+      score ``2 q.r - |r|^2`` assembles on the VPU from the exact rsq
+      row (matches the brute XLA argmin bit-for-bit).
     * "high"    — each f32 coordinate split as bf16 hi + bf16 lo; the
-      contraction dim carries ``[q_hi,q_lo,q_hi,q_lo] . [r_hi,r_hi,r_lo,
-      r_lo]`` (12 of 16 slots), so ONE bf16 MXU pass with f32
-      accumulation reproduces all four partial products — ~f32-accurate
-      at 6x the "highest" matmul throughput.
-    * "default" — bf16-rounded coordinates, one pass (cheapest; NN ids
-      can drift on near-ties at long range).
+      contraction dim carries ``[q_hi,q_lo,q_hi,q_lo] . [2r_hi,2r_hi,
+      2r_lo,2r_lo]`` (12 slots) PLUS three ones columns against the
+      3-term bf16 split of ``-|r|^2`` (15 of 16 slots), so ONE bf16 MXU
+      pass with f32 accumulation emits the argmax-safe score directly —
+      no VPU epilogue over [TQ, TR]. ~f32-accurate (the |r|^2 split is
+      ~2^-22 relative) at 6x the "highest" matmul throughput.
+    * "default" — bf16-rounded coordinates + the same baked score rows,
+      one pass (cheapest; NN ids can drift on near-ties at long range).
 
-    The argmin is over exact |r|^2 minus the approximated cross term, so
-    lower precision can only flip near-ties between almost-equidistant
+    Lower precision can only flip near-ties between almost-equidistant
     neighbors — harmless to ICP, which trims and averages thousands of
-    correspondences."""
+    correspondences; the REPORTED distances are exact either way (baked
+    modes re-derive them from the winning ids below)."""
     nq, nr = query.shape[0], reference.shape[0]
     pq = (-nq) % tile_q
     pr = (-nr) % tile_r
@@ -208,27 +213,36 @@ def nn_pallas(query: jax.Array,            # [NQ, 3]
     rmask = jnp.pad(reference_mask, (0, pr), constant_values=False)
     nrsq = -jnp.where(rmask, rsq, INVALID_RSQ)                  # [NRp]
     q, rT, dot_precision, baked = _pack_operands(qf, rf, nrsq, precision)
-    # Masked reference -> +inf rsq -> score sentinel in-kernel (the
-    # non-baked path only; baked modes carry -INVALID_RSQ in rT).
-    rsq = jnp.where(rmask, rsq, jnp.inf)[None, :]               # [1, NRp]
 
     kdim = q.shape[1]
     nqp, nrp = q.shape[0], rT.shape[1]
     grid = (nqp // tile_q, nrp // tile_r)
+    in_specs = [
+        pl.BlockSpec((tile_q, kdim), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((kdim, tile_r), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    if baked:
+        # The score sentinel is baked into rT — no rsq operand, no dead
+        # per-tile DMA of a [1, tile_r] block.
+        kern = (lambda q_ref, rT_ref, bd_ref, bi_ref:
+                _kernel(q_ref, rT_ref, None, bd_ref, bi_ref,
+                        precision=dot_precision, k=k, baked=True))
+        inputs = (q, rT)
+    else:
+        # Masked reference -> +inf rsq -> score sentinel in-kernel.
+        rsq_row = jnp.where(rmask, rsq, jnp.inf)[None, :]       # [1, NRp]
+        kern = functools.partial(_kernel, precision=dot_precision, k=k)
+        in_specs.append(pl.BlockSpec((1, tile_r), lambda i, j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        inputs = (q, rT, rsq_row)
     # Interpreter mode keeps the kernel testable on the CPU backend.
     interpret = jax.default_backend() == "cpu"
     bestd, besti = pl.pallas_call(
-        functools.partial(_kernel, precision=dot_precision, k=k,
-                          baked=baked),
+        kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_q, kdim), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kdim, tile_r), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_r), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((tile_q, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -240,7 +254,7 @@ def nn_pallas(query: jax.Array,            # [NQ, 3]
             jax.ShapeDtypeStruct((nqp, k), jnp.int32),
         ],
         interpret=interpret,
-    )(q, rT, rsq)
+    )(*inputs)
 
     bestd = bestd[:nq]
     besti = besti[:nq]

@@ -141,8 +141,8 @@ def test_fused_duplicate_reference_ties_and_dead_tile():
     assert np.isfinite(np.asarray(res_f.cov)).all()
 
 
-@pytest.mark.parametrize("aa", [2, 3])
-@pytest.mark.slow
+@pytest.mark.parametrize("aa", [2, 3, 4])  # aa=4 exercises the 3x3
+@pytest.mark.slow                          # adjugate solve_small branch
 def test_fused_anderson_matches_icp_core(aa):
     """In-kernel Anderson acceleration (type-II AA on the se3-log twist
     window) vs the XLA loop's body_aa — same history roll, safeguard,
@@ -157,7 +157,12 @@ def test_fused_anderson_matches_icp_core(aa):
     dT = np.asarray(se3.log(se3.inverse(res_f.T[0]) @ res_x.T))
     assert np.linalg.norm(dT) < 1e-4  # AA extrapolation amplifies the
     # kernel-vs-XLA match-field noise slightly vs the plain-loop 1e-5
-    assert abs(int(res_f.iterations[0]) - int(res_x.iterations)) <= 1
+    # At m=4 the 3x3 AA system is near-singular on shrinking residuals
+    # (differences of differences of ~eps twists), so the adjugate vs
+    # LU solve diverge in extrapolation detail and the convergence
+    # ITERATION drifts a little more; the pose above stays pinned.
+    assert abs(int(res_f.iterations[0]) - int(res_x.iterations)) <= \
+        (2 if aa == 4 else 1)
     assert bool(res_f.converged[0]) == bool(res_x.converged)
 
 

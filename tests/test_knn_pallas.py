@@ -49,7 +49,6 @@ def test_pallas_baked_modes_masking(rng):
     for masked references (no +inf rsq row, no clamp): masked/exhausted
     behavior must match the highest mode's, and partial masks must
     never match a masked reference."""
-    import pytest
     q = rng.uniform(0, 5, (64, 3)).astype(np.float32)
     r = rng.uniform(0, 5, (128, 3)).astype(np.float32)
     rm = np.ones(128, bool)

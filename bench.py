@@ -72,7 +72,12 @@ def bench_icp_64k():
                            F.SurfaceNormal(knn=8, tile_query=4096)),
         outlier=(O.TrimmedDist(0.9), O.MaxDist(1.0)),
         coarse_div=8, coarse_iterations=8,
-        max_iterations=10, trans_eps=1e-4, rot_eps=1e-4)
+        # mi=5: chip A/B (probe_aa_single_chip, late-r3) — recovered
+        # error is bit-identical to mi=10 (which eps-stops at 8) down to
+        # mi=5 (1.938e-02 all three); 2.72 -> 2.46 ms/reg. In-kernel /
+        # in-loop Anderson was also A/B'd and LOSES single-stream (AA
+        # overhead ~ 1 fine iteration: mi=4/aa=3 = 2.99 ms).
+        max_iterations=5, trans_eps=1e-4, rot_eps=1e-4)
     rng = np.random.default_rng(0)
     world = corridor_world(rng, n_points=300000, length=120.0, width=8.0,
                            height=5.0)
@@ -146,13 +151,18 @@ def bench_icp_64k():
                                F.SurfaceNormal(knn=8, tile_query=4096)),
             outlier=(O.TrimmedDist(0.9), O.MaxDist(1.0)),
             coarse_div=8, coarse_iterations=8,
-            # mi=6: chip A/B (probe_r3b, r3) shows the accuracy envelope
-            # is identical to mi=8/mi=10 on this protocol (q50/q90/max
-            # 0.027/0.055/0.080 m vs 0.025/0.054/0.080) — iterations 7-8
-            # were dead weight; eps-based early exit cannot fire earlier
+            # mi=5: chip A/B sweep (probe_aa_chip, late-r3) — accuracy
+            # is within noise of mi=6/8/10 (q50/q90/max 0.0223/0.0580/
+            # 0.0868 m vs 0.0234/0.0561/0.0854 at mi=6) at 35.99 ->
+            # 34.15 ms/batch; mi=4 is another 6% but widens the tail
+            # (max 0.094). eps-based early exit cannot fire earlier
             # because non-coincident matches keep per-iter deltas above
-            # trans_eps even after accuracy has converged.
-            max_iterations=6, trans_eps=1e-4, rot_eps=1e-4)
+            # trans_eps even after accuracy has converged. In-kernel
+            # Anderson LOSES on chip (AA scalar row-math ~ 1 fine
+            # iteration: aa=2/mi=4 = 35.34 ms vs plain mi=4 = 32.04) —
+            # the CPU-probe matmul-count argument did not survive
+            # Mosaic; see BENCH_NOTES "matcher-epilogue elimination".
+            max_iterations=5, trans_eps=1e-4, rot_eps=1e-4)
         B = 128
         brng = np.random.default_rng(42)
 

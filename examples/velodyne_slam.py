@@ -26,15 +26,24 @@ from pgslam_tpu.utils import StageTimer
 
 
 def velodyne_config() -> SlamConfig:
+    # The chip-proven single-stream profile (bench.py, BENCH_NOTES
+    # late-r3): packed hi/lo bf16 matcher + coarse-to-fine at a 2k/8k
+    # voxel working set + mi=5. The original profile here (HIGHEST
+    # f32 matmuls, no c2f, mi=12, 4k/16k) measured 73.7 ms/scan
+    # engine-only on chip; this one registers the same renders at
+    # 2.5 ms with the same few-cm recovered accuracy
+    # (scripts/probe_config4_stages.py A/B).
     icp = ICPConfig(
         error="point_to_plane", matcher="pallas",
+        pallas_precision="high",
         reading_filters=(F.VoxelGrid(voxel_size=0.4, hash_size=1 << 17),
-                         F.Compact(4096)),
+                         F.Compact(2048)),
         reference_filters=(F.VoxelGrid(voxel_size=0.2, hash_size=1 << 18),
-                           F.Compact(16384),
+                           F.Compact(8192),
                            F.SurfaceNormal(knn=8, tile_query=4096)),
         outlier=(O.TrimmedDist(0.9), O.MaxDist(1.0)),
-        max_iterations=12, trans_eps=1e-3, rot_eps=1e-3,
+        coarse_div=8, coarse_iterations=8,
+        max_iterations=5, trans_eps=1e-4, rot_eps=1e-4,
         max_correction_trans=3.0, max_correction_rot=0.5)
     return SlamConfig(
         localizer=LocalizerConfig(icp=icp, keyframe_cloud_capacity=65536,

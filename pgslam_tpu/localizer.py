@@ -64,9 +64,32 @@ def _probe_overlap_impl(points, masks, descs, T_refkf_kf, slot_valid,
                                  cfg)
 
 
-_probe_overlap = functools.partial(
-    jax.jit, static_argnames=("desc_keys", "ref_chain", "cfg"))(
-        _probe_overlap_impl)
+# (The single-composition probe goes through the split/cached
+# _probe_build + ops.icp.compute_overlap pair below; _probe_overlap_impl
+# remains the shared body for the multi-agent batched probe.)
+
+
+@functools.partial(jax.jit, static_argnames=("desc_keys", "ref_chain"))
+def _probe_build(points, masks, descs, T_refkf_kf, slot_valid,
+                 T_world_ref, desc_keys, ref_chain) -> Cloud:
+    """Candidate-map half of the overlap probe: build the composition
+    cloud, move it to the world frame, apply the reference filter chain.
+
+    Split from the per-scan overlap evaluation so the result can be
+    cached keyed on (composition, member update_times): the probe fires
+    nearly every scan in keyframe-dense runs and this half — stacking
+    three keyframe clouds, the build kernel, VoxelGrid + normals — was
+    ~all of its chip-measured 145 ms/scan (probe_config4_stages, warm);
+    it only changes when the composition or a member pose does."""
+    from .localmap import _build_cloud_impl
+
+    pts, mask, out_desc = _build_cloud_impl(
+        points, masks, descs, T_refkf_kf, slot_valid, desc_keys)
+    cloud = Cloud(points=pts, mask=mask, descriptors=out_desc)
+    world = transform_cloud(jnp.asarray(T_world_ref), cloud)
+    if ref_chain:
+        world = F.apply_chain(ref_chain, world, jax.random.PRNGKey(0))
+    return world
 
 
 @functools.partial(jax.jit, static_argnames=("desc_keys", "ref_chain",
@@ -105,10 +128,9 @@ def _prepare_input_batched(chain, capacity: int, clouds: Cloud,
     )(clouds, T_robot_sensors, keys)
 
 
-@functools.partial(jax.jit, static_argnames=("chain", "capacity", "cfg"))
-def _prepare_and_register(chain, capacity: int, cfg, raw: Cloud,
-                          T_robot_sensor, key, reference: Cloud, T0,
-                          index):
+def _prepare_and_register_impl(chain, capacity: int, cfg, raw: Cloud,
+                               T_robot_sensor, key, reference: Cloud, T0,
+                               index):
     """Input pipeline + reading filters + the FULL ICP loop as ONE device
     dispatch. On relay-attached chips each dispatch costs ~45 ms of fixed
     overhead, so the single-agent hot path (`process_data`) fuses
@@ -137,7 +159,42 @@ def _prepare_and_register(chain, capacity: int, cfg, raw: Cloud,
         result = jax.tree_util.tree_map(lambda x: x[0], res)
     else:
         result = icp_core(reading, reference, T0, cfg, index)
-    return cloud, result
+    return cloud, reading, result
+
+
+_prepare_and_register = functools.partial(
+    jax.jit, static_argnames=("chain", "capacity", "cfg"))(
+        _prepare_and_register_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("chain", "capacity", "cfg"))
+def _prepare_register_probe(chain, capacity: int, cfg, raw: Cloud,
+                            T_robot_sensor, key, reference: Cloud, T0,
+                            index, probe_map: Cloud, T_world_refkf):
+    """:func:`_prepare_and_register` plus the neighbor-composition
+    overlap probe, all in ONE dispatch — so the single-threaded scan
+    path pays exactly one device sync.
+
+    A blocking readback on the relay-attached chip costs ~25 ms wall
+    even when the computed value is sub-ms (chip-measured,
+    scripts/probe_overlap_call.py: compute_overlap pipelined 0.95 ms,
+    synced 25 ms); the old sequence (sync result -> pick neighbor ->
+    dispatch probe -> sync probe) paid that twice per scan. Here the
+    probe evaluates IN-GRAPH at the post-ICP pose
+    ``T_world_refkf @ result.T`` against the cached candidate map
+    (:meth:`Localizer._cached_probe_map`); the caller selects the
+    candidate composition from the odometry-PREDICTED pose instead of
+    the post-ICP one — a cm-level difference on a meters-scale
+    nearest-keyframe choice (same batching trade the MT variant and the
+    multi-agent prober already make)."""
+    from .ops.icp import _compute_overlap_impl
+
+    cloud, reading, result = _prepare_and_register_impl(
+        chain, capacity, cfg, raw, T_robot_sensor, key, reference, T0,
+        index)
+    T_world_robot = T_world_refkf @ result.T
+    ov = _compute_overlap_impl(reading, probe_map, T_world_robot, cfg)
+    return cloud, reading, result, ov
 
 
 def _orthonormalize(T: np.ndarray) -> np.ndarray:
@@ -195,6 +252,14 @@ class Localizer:
         # LocalizerMT.hpp:122-134) so a fleet orchestrator can batch them.
         self.defer_graph_resync = False
         self._needs_resync = False
+        # Overlap-probe candidate-map cache: {composition items ->
+        # (member update_times, built+filtered world cloud)}. See
+        # :func:`_probe_build` / :meth:`_cached_probe_map`.
+        self._probe_cache: dict = {}
+        # The current scan's prepared reading (set by process_data /
+        # prepare_scan) — reused by the inline overlap probe instead of
+        # re-running the reading filters.
+        self._last_reading: Optional[Cloud] = None
 
     # -- configuration setters (Localizer.h:33-37 parity) ------------------
 
@@ -259,14 +324,43 @@ class Localizer:
                                      np.float64))
             @ np.asarray(input_T_world_robot, np.float64)).astype(np.float32)
         input_T_refkf_robot = self.T_refkf_robot @ input_dT_robot
-        cloud, result = _prepare_and_register(
-            self.config.input_filters, self.config.keyframe_cloud_capacity,
-            self.icp_engine.config, input_cloud,
-            jnp.asarray(input_T_robot_sensor, jnp.float32), key,
-            self.icp_engine.reference, jnp.asarray(input_T_refkf_robot),
-            self.icp_engine._index)
+
+        # Speculative neighbor-probe selection from the odometry-
+        # predicted pose, so the probe can ride the registration
+        # dispatch and the scan pays ONE device sync (see
+        # _prepare_register_probe's docstring for the measured cost of
+        # extra syncs and the semantics note).
+        T_world_refkf = np.asarray(
+            self.local_map.reference_keyframe().optimized_T_world_kf,
+            np.float32)
+        T_pred = T_world_refkf @ input_T_refkf_robot
+        probe_comp = self.neighbor_probe_request(T_world_robot=T_pred)
+        probe_map = (self._cached_probe_map(probe_comp)
+                     if probe_comp is not None else None)
+
+        args = (self.config.input_filters,
+                self.config.keyframe_cloud_capacity,
+                self.icp_engine.config, input_cloud,
+                jnp.asarray(input_T_robot_sensor, jnp.float32), key,
+                self.icp_engine.reference, jnp.asarray(input_T_refkf_robot),
+                self.icp_engine._index)
+        if probe_map is not None:
+            cloud, reading, result, ov = _prepare_register_probe(
+                *args, probe_map, jnp.asarray(T_world_refkf))
+        else:
+            cloud, reading, result = _prepare_and_register(*args)
+            ov = None
         self.input_cloud = cloud
-        self.finish_scan(result, input_T_world_robot)
+        self._last_reading = reading
+        # The scan's single sync: result bundle + probe overlap together.
+        result, ov = jax.device_get((result, ov))
+        result = self.begin_finish(result)
+        self.decide_composition(
+            result, neighbor_probe=(probe_comp,
+                                    None if ov is None else float(ov)))
+        self.apply_composition(build=True)
+        self.last_input_T_world_robot = np.asarray(input_T_world_robot,
+                                                   np.float32)
 
     def prepare_scan(self, input_T_world_robot, input_T_robot_sensor,
                      input_cloud: Cloud, key=None, prepared: Cloud = None):
@@ -310,6 +404,7 @@ class Localizer:
             @ np.asarray(input_T_world_robot, np.float64)).astype(np.float32)
         input_T_refkf_robot = self.T_refkf_robot @ input_dT_robot
         reading = self.icp_engine.prepare_reading(cloud)
+        self._last_reading = reading
         return reading, input_T_refkf_robot
 
     def finish_scan(self, result: ICPResult, input_T_world_robot) -> None:
@@ -353,12 +448,16 @@ class Localizer:
         self.decide_composition(result)
         self.apply_composition(build=True)
 
-    def neighbor_probe_request(self):
+    def neighbor_probe_request(self, T_world_robot=None):
         """Phase 1 of is_better_composition: the neighbor composition that
         needs an overlap probe, or None (no neighbors / same composition —
         in which case is_better is False without any device work,
-        Localizer.hpp:365-367)."""
-        comp, found = self.find_neighbor_local_map_composition()
+        Localizer.hpp:365-367). ``T_world_robot`` overrides the robot
+        pose used for the closest-vertex ranking (the ST hot path passes
+        the odometry-predicted pose so the probe can ride the
+        registration dispatch)."""
+        comp, found = self.find_neighbor_local_map_composition(
+            T_world_robot=T_world_robot)
         if not found or self.local_map.has_same_composition(comp):
             return None
         return comp
@@ -377,8 +476,9 @@ class Localizer:
 
         if neighbor_probe is None:
             comp = self.neighbor_probe_request()
-            probe_ov = (self.compute_overlap_with(comp)
-                        if comp is not None else None)
+            probe_ov = (self.compute_overlap_with(
+                comp, reading=self._last_reading)
+                if comp is not None else None)
         else:
             comp, probe_ov = neighbor_probe
         # is_better_composition semantics (Localizer.hpp:363-372).
@@ -443,11 +543,23 @@ class Localizer:
         self.icp_engine.set_map(self.local_map.cloud())
 
     def update_refkf_robot_pose(self) -> None:
-        """``Localizer.hpp:264-267``."""
-        T_ref = jnp.asarray(
-            self.local_map.reference_keyframe().optimized_T_world_kf)
-        self.T_refkf_robot = _orthonormalize(np.asarray(
-            se3.inverse(T_ref) @ jnp.asarray(self.T_world_robot)))
+        """``Localizer.hpp:264-267``. Pure host numpy: this is a 4x4
+        rigid inverse + compose, and the eager-device version it replaces
+        (jnp ``se3.inverse`` + matmul + d2h sync) chip-measured 247 ms
+        per composition change on the relay — op-by-op eager dispatch is
+        the cost, not the math (probe_config4_stages). fp64 compose, like
+        every other re-anchoring site (see _orthonormalize's docstring on
+        scale-error squaring)."""
+        T_ref = np.asarray(
+            self.local_map.reference_keyframe().optimized_T_world_kf,
+            np.float64)
+        R = T_ref[:3, :3]
+        Tinv = np.eye(4, dtype=np.float64)
+        Tinv[:3, :3] = R.T
+        Tinv[:3, 3] = -R.T @ T_ref[:3, 3]
+        self.T_refkf_robot = _orthonormalize(
+            (Tinv @ np.asarray(self.T_world_robot, np.float64)
+             ).astype(np.float32))
 
     def update_world_robot_pose(self) -> None:
         """``Localizer.hpp:270-273``."""
@@ -492,23 +604,54 @@ class Localizer:
                      overlap, self.config.overlap_threshold)
         return overlap >= self.config.overlap_threshold
 
-    def compute_overlap_with(self, comp: Composition) -> float:
+    def compute_overlap_with(self, comp: Composition,
+                             reading: Optional[Cloud] = None) -> float:
         """Partial-ICP overlap probe against an arbitrary composition
         (``Localizer.hpp:282-348``): build the candidate map in the world
-        frame, apply reference/reading filter chains, match + weigh only —
-        all fused into a single device dispatch."""
-        from .localmap import stack_composition
+        frame, apply the reference filter chain, match + weigh the
+        current reading against it.
+
+        The candidate-map half is cached across scans keyed on the
+        composition + its members' graph update times (it only changes
+        when a member pose moves), and ``reading`` lets the caller pass
+        the scan's already-prepared reading (``process_data`` computes it
+        inside the registration dispatch). Chip-measured this takes the
+        per-scan probe from ~145 ms (full rebuild + refilter + reading
+        prep every scan) to one small match dispatch."""
+        from .ops.icp import compute_overlap
         cfg = self.config.icp
-        ref_chain = cfg.reference_filters
-        points, masks, descs, Ts, slot_valid, desc_keys, T_world_ref = \
-            stack_composition(self.mm.get_graph(), comp.as_list(),
-                              comp.capacity)
-        reading = self.icp_engine.prepare_reading(self.input_cloud)
-        ov = _probe_overlap(points, masks, descs, Ts, slot_valid,
-                            T_world_ref, reading,
-                            jnp.asarray(self.T_world_robot), desc_keys,
-                            ref_chain, cfg)
+        world = self._cached_probe_map(comp)
+        if reading is None:
+            reading = self.icp_engine.prepare_reading(self.input_cloud)
+        ov = compute_overlap(reading, world,
+                             jnp.asarray(self.T_world_robot), cfg)
         return float(ov)
+
+    def _cached_probe_map(self, comp: Composition) -> Cloud:
+        """The probe's built + reference-filtered candidate map in the
+        world frame, cached per (composition items, member update times).
+        Keyframe cloud payloads are immutable after creation; poses (and
+        hence the composed cloud) change only through graph writebacks,
+        which bump ``update_times`` — so the pair is a sound cache key."""
+        from .localmap import stack_composition
+        from .utils import counters
+        graph = self.mm.get_graph()
+        key = tuple(comp.as_list())
+        times = tuple(int(graph.update_times[v]) for v in key)
+        hit = self._probe_cache.get(key)
+        if hit is not None and hit[0] == times:
+            counters["localizer/probe_cache_hit"] += 1
+            return hit[1]
+        counters["localizer/probe_cache_miss"] += 1
+        points, masks, descs, Ts, slot_valid, desc_keys, T_world_ref = \
+            stack_composition(graph, comp.as_list(), comp.capacity)
+        world = _probe_build(points, masks, descs, Ts, slot_valid,
+                             jnp.asarray(T_world_ref), desc_keys,
+                             self.config.icp.reference_filters)
+        if len(self._probe_cache) >= 8:     # bound device-memory footprint
+            self._probe_cache.pop(next(iter(self._probe_cache)))
+        self._probe_cache[key] = (times, world)
+        return world
 
     def is_better_composition(self, current_overlap: float,
                               candidate: Composition) -> bool:
@@ -522,9 +665,11 @@ class Localizer:
     # -- neighbor-composition search (Localizer.hpp:393-483) ---------------
 
     def find_neighbor_local_map_composition(
-            self) -> Tuple[Optional[Composition], bool]:
+            self, T_world_robot=None) -> Tuple[Optional[Composition], bool]:
         graph = self.mm.get_graph()
         curr = self.local_map.get_composition().as_list()
+        if T_world_robot is None:
+            T_world_robot = self.T_world_robot
 
         # Vertices adjacent to the local map but not in it.
         adj = set()
@@ -537,7 +682,7 @@ class Localizer:
 
         # Closest adjacent vertex to the robot (host numpy: tiny sets).
         adj = sorted(adj)
-        robot_t = self.T_world_robot[:3, 3]
+        robot_t = np.asarray(T_world_robot)[:3, 3]
         dists = np.linalg.norm(
             graph.optimized_poses[np.asarray(adj)][:, :3, 3] - robot_t,
             axis=1)

@@ -177,10 +177,18 @@ class LoopCloser:
 
         # Initial guess: input keyframe pose in the candidate reference
         # keyframe's frame (LoopCloser.hpp:95).
+        # Host numpy 4x4 rigid inverse + compose: the eager-device form
+        # (jnp se3.inverse + matmul + d2h) costs ~250 ms per call on the
+        # relay chip (op-by-op dispatch, localizer.update_refkf_robot_pose
+        # had the same pathology, chip-measured in probe_config4_stages).
         ref_kf = self.candidate_local_map.reference_keyframe()
-        input_T_refkf_kf = np.asarray(
-            se3.inverse(jnp.asarray(ref_kf.optimized_T_world_kf))
-            @ jnp.asarray(self.input_T_world_kf))
+        Tr = np.asarray(ref_kf.optimized_T_world_kf, np.float64)
+        Tinv = np.eye(4, dtype=np.float64)
+        Tinv[:3, :3] = Tr[:3, :3].T
+        Tinv[:3, 3] = -Tr[:3, :3].T @ Tr[:3, 3]
+        input_T_refkf_kf = (
+            Tinv @ np.asarray(self.input_T_world_kf, np.float64)
+        ).astype(np.float32)
 
         # Verification ICP against the candidate map (LoopCloser.hpp:98).
         self.icp_engine.set_map(self.candidate_local_map.cloud())

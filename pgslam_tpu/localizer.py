@@ -98,12 +98,27 @@ def _probe_overlap_batched(points, masks, descs, Ts, slot_valid,
                            T_world_refs, readings, T_world_robots,
                            desc_keys, ref_chain, cfg) -> jax.Array:
     """vmapped overlap probes: evaluate many agents' candidate
-    compositions in one dispatch."""
+    compositions in one dispatch (build + filter + match in-graph;
+    prefer :func:`_probe_overlap_from_batched` over cached maps)."""
     return jax.vmap(
         lambda p, m, d, t, s, twr, r, twb: _probe_overlap_impl(
             p, m, d, t, s, twr, r, twb, desc_keys, ref_chain, cfg)
     )(points, masks, descs, Ts, slot_valid, T_world_refs, readings,
       T_world_robots)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _probe_overlap_from_batched(readings, worlds, T_world_robots,
+                                cfg) -> jax.Array:
+    """vmapped overlap evaluation against PRE-BUILT candidate maps
+    (each agent's :meth:`Localizer._cached_probe_map` output): the
+    per-step stack + build + reference-filter work the full batched
+    probe pays disappears on cache hits."""
+    from .ops.icp import _compute_overlap_impl
+
+    return jax.vmap(
+        lambda r, w, t: _compute_overlap_impl(r, w, t, cfg)
+    )(readings, worlds, T_world_robots)
 
 
 def _prepare_input_impl(chain, capacity: int, cloud: Cloud, T_robot_sensor,

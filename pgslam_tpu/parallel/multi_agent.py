@@ -177,33 +177,37 @@ class MultiAgentSlam:
         self.loop_closer.process_pending_batched()
 
     def _batched_probes(self, probe_req):
-        """Evaluate all requested overlap probes in one device call."""
+        """Evaluate all requested overlap probes in one device call.
+
+        Candidate maps come from each agent's composition-keyed cache
+        (:meth:`Localizer._cached_probe_map` — built + reference-filtered
+        once per composition/pose change) and readings are the scans'
+        already-prepared readings, so the steady-state step is ONE
+        vmapped match dispatch instead of per-agent reading preps plus
+        an in-graph stack + build + filter of every candidate map (the
+        same two costs the single-agent path sheds; chip numbers in the
+        probe-cache commit)."""
         if not probe_req:
             return {}
-        from ..localizer import _probe_overlap_batched
-        from ..localmap import stack_composition
+        from ..localizer import _probe_overlap_from_batched
         cfg = self.config.localizer.icp
-        graph = self.map_manager.get_graph()
         keys = list(probe_req.keys())
-        stacked = [stack_composition(graph, probe_req[b].as_list(),
-                                     probe_req[b].capacity) for b in keys]
-        # One fixed batch shape (see batch_rebuild).
-        stacked += [stacked[0]] * (self.n_agents - len(stacked))
-        desc_keys = stacked[0][5]
-        arrays = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
-                                        *[s[:5] for s in stacked])
-        T_world_refs = jnp.stack([jnp.asarray(s[6]) for s in stacked])
         locs = [self.localizers[b] for b in keys]
-        pad = self.n_agents - len(locs)
-        reading_list = [loc.icp_engine.prepare_reading(loc.input_cloud)
-                        for loc in locs]
+        worlds = [loc._cached_probe_map(probe_req[b])
+                  for b, loc in zip(keys, locs)]
+        reading_list = [
+            loc._last_reading if loc._last_reading is not None
+            else loc.icp_engine.prepare_reading(loc.input_cloud)
+            for loc in locs]
+        # One fixed batch shape (see batch_rebuild).
+        pad = self.n_agents - len(keys)
+        worlds = stack_clouds(worlds + [worlds[0]] * pad)
         readings = stack_clouds(reading_list + [reading_list[0]] * pad)
         T_world_robots = jnp.stack(
             [jnp.asarray(loc.T_world_robot) for loc in locs]
             + [jnp.asarray(locs[0].T_world_robot)] * pad)
-        ovs = _probe_overlap_batched(*arrays, T_world_refs, readings,
-                                     T_world_robots, desc_keys,
-                                     cfg.reference_filters, cfg)
+        ovs = _probe_overlap_from_batched(readings, worlds,
+                                          T_world_robots, cfg)
         ovs = np.asarray(ovs)
         return {b: float(ovs[i]) for i, b in enumerate(keys)}
 

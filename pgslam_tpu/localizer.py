@@ -69,9 +69,8 @@ def _probe_overlap_impl(points, masks, descs, T_refkf_kf, slot_valid,
 # remains the shared body for the multi-agent batched probe.)
 
 
-@functools.partial(jax.jit, static_argnames=("desc_keys", "ref_chain"))
-def _probe_build(points, masks, descs, T_refkf_kf, slot_valid,
-                 T_world_ref, desc_keys, ref_chain) -> Cloud:
+def _probe_build_impl(points, masks, descs, T_refkf_kf, slot_valid,
+                      T_world_ref, desc_keys, ref_chain) -> Cloud:
     """Candidate-map half of the overlap probe: build the composition
     cloud, move it to the world frame, apply the reference filter chain.
 
@@ -90,6 +89,26 @@ def _probe_build(points, masks, descs, T_refkf_kf, slot_valid,
     if ref_chain:
         world = F.apply_chain(ref_chain, world, jax.random.PRNGKey(0))
     return world
+
+
+_probe_build = functools.partial(
+    jax.jit, static_argnames=("desc_keys", "ref_chain"))(_probe_build_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("desc_keys", "ref_chain"))
+def _probe_build_batched(points, masks, descs, Ts, slot_valid,
+                         T_world_refs, desc_keys, ref_chain):
+    """vmapped :func:`_probe_build` for a fleet's probe-cache misses in
+    ONE dispatch, per-map slices cut inside the jit (a miss otherwise
+    pays ~6 eager ops per agent on the relay). Slices every padded batch
+    entry — callers take the first k — so the jit cache is keyed on the
+    padded shape alone, not the per-step miss count."""
+    worlds = jax.vmap(
+        lambda p, m, d, t, s, twr: _probe_build_impl(
+            p, m, d, t, s, twr, desc_keys, ref_chain)
+    )(points, masks, descs, Ts, slot_valid, T_world_refs)
+    cut = lambda i: jax.tree_util.tree_map(lambda x: x[i], worlds)
+    return [cut(i) for i in range(points.shape[0])]
 
 
 @functools.partial(jax.jit, static_argnames=("desc_keys", "ref_chain",
@@ -134,13 +153,33 @@ _prepare_input = functools.partial(
     jax.jit, static_argnames=("chain", "capacity"))(_prepare_input_impl)
 
 
-@functools.partial(jax.jit, static_argnames=("chain", "capacity"))
+@functools.partial(jax.jit, static_argnames=("chain", "capacity",
+                                             "reading_chain"))
 def _prepare_input_batched(chain, capacity: int, clouds: Cloud,
-                           T_robot_sensors, keys) -> Cloud:
-    """vmapped input preparation for a fleet of agents (one dispatch)."""
-    return jax.vmap(
+                           T_robot_sensors, keys,
+                           reading_chain=()):
+    """vmapped input preparation for a fleet of agents (one dispatch).
+
+    Also applies the reading filter chain (``reading_chain``) so the
+    fleet pays ONE dispatch instead of one ``prepare_reading`` per agent,
+    and returns per-agent slices of both the prepared input clouds and
+    the readings CUT INSIDE THE JIT — ``B × leaves`` eager slice
+    dispatches each cost the relay's ~2 ms floor otherwise.
+
+    Returns ``(clouds [B,...], readings [B,...], slices)`` with
+    ``slices[i] = (cloud_i, reading_i)``."""
+    prepped = jax.vmap(
         lambda c, t, k: _prepare_input_impl(chain, capacity, c, t, k)
     )(clouds, T_robot_sensors, keys)
+    readings = prepped
+    if reading_chain:
+        key0 = jax.random.PRNGKey(0)
+        readings = jax.vmap(
+            lambda c: F.apply_chain(reading_chain, c, key0))(prepped)
+    cut = lambda t, i: jax.tree_util.tree_map(lambda x: x[i], t)
+    slices = [(cut(prepped, i), cut(readings, i))
+              for i in range(clouds.points.shape[0])]
+    return prepped, readings, slices
 
 
 def _prepare_and_register_impl(chain, capacity: int, cfg, raw: Cloud,
@@ -378,12 +417,15 @@ class Localizer:
                                                    np.float32)
 
     def prepare_scan(self, input_T_world_robot, input_T_robot_sensor,
-                     input_cloud: Cloud, key=None, prepared: Cloud = None):
+                     input_cloud: Cloud, key=None, prepared: Cloud = None,
+                     reading: Cloud = None):
         """Everything before the ICP dispatch. Returns (prepared reading,
         initial transform) or None if this was the first cloud (fully
         handled). Split out so a multi-agent batcher can fuse many agents'
         registrations into one device call. ``prepared`` short-circuits
-        the input pipeline when the batcher already ran it."""
+        the input pipeline when the batcher already ran it; ``reading``
+        additionally short-circuits the reading filter chain (the fleet
+        prep applies it vmapped in the same dispatch)."""
         log.info("[Localizer] Processing cloud #%d", self.count)
         from .utils import counters
         counters["localizer/scans"] += 1
@@ -418,7 +460,8 @@ class Localizer:
                                      np.float64))
             @ np.asarray(input_T_world_robot, np.float64)).astype(np.float32)
         input_T_refkf_robot = self.T_refkf_robot @ input_dT_robot
-        reading = self.icp_engine.prepare_reading(cloud)
+        if reading is None:
+            reading = self.icp_engine.prepare_reading(cloud)
         self._last_reading = reading
         return reading, input_T_refkf_robot
 
@@ -650,6 +693,22 @@ class Localizer:
         which bump ``update_times`` — so the pair is a sound cache key."""
         from .localmap import stack_composition
         from .utils import counters
+        hit = self._probe_cache_get(comp)
+        if hit is not None:
+            return hit
+        graph = self.mm.get_graph()
+        points, masks, descs, Ts, slot_valid, desc_keys, T_world_ref = \
+            stack_composition(graph, comp.as_list(), comp.capacity)
+        world = _probe_build(points, masks, descs, Ts, slot_valid,
+                             jnp.asarray(T_world_ref), desc_keys,
+                             self.config.icp.reference_filters)
+        self._probe_cache_put(comp, world)
+        return world
+
+    def _probe_cache_get(self, comp: Composition) -> Optional[Cloud]:
+        """Cache lookup half of :meth:`_cached_probe_map` (the fleet
+        batcher builds all misses in one dispatch)."""
+        from .utils import counters
         graph = self.mm.get_graph()
         key = tuple(comp.as_list())
         times = tuple(int(graph.update_times[v]) for v in key)
@@ -658,15 +717,15 @@ class Localizer:
             counters["localizer/probe_cache_hit"] += 1
             return hit[1]
         counters["localizer/probe_cache_miss"] += 1
-        points, masks, descs, Ts, slot_valid, desc_keys, T_world_ref = \
-            stack_composition(graph, comp.as_list(), comp.capacity)
-        world = _probe_build(points, masks, descs, Ts, slot_valid,
-                             jnp.asarray(T_world_ref), desc_keys,
-                             self.config.icp.reference_filters)
+        return None
+
+    def _probe_cache_put(self, comp: Composition, world: Cloud) -> None:
+        graph = self.mm.get_graph()
+        key = tuple(comp.as_list())
+        times = tuple(int(graph.update_times[v]) for v in key)
         if len(self._probe_cache) >= 8:     # bound device-memory footprint
             self._probe_cache.pop(next(iter(self._probe_cache)))
         self._probe_cache[key] = (times, world)
-        return world
 
     def is_better_composition(self, current_overlap: float,
                               candidate: Composition) -> bool:

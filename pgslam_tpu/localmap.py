@@ -137,7 +137,59 @@ def stack_keyframes(kfs, capacity: int):
             T_ref.astype(np.float32))
 
 
-def batch_rebuild(local_maps, pad_to: int = 0) -> None:
+def stack_compositions(graph: PoseGraph, ids_list, capacity: int):
+    """Stack M compositions' keyframe payloads into ``[M, C, ...]`` build
+    inputs with ONE ``jnp.stack`` per leaf across all M*C slots (the
+    per-composition :func:`stack_composition` loop pays ~5 eager device
+    ops per composition on the relay).
+
+    Returns (points [M,C,N,3], masks, descs, Ts, slot_valid, desc_keys,
+    T_world_refs [M,4,4] host numpy)."""
+    M = len(ids_list)
+    C = capacity
+    kf0 = graph.keyframe(ids_list[0][-1])
+    ncap = kf0.cloud.capacity
+    desc_keys = tuple(sorted(kf0.cloud.descriptors.keys()))
+    zero_pts = jnp.zeros((ncap, 3), jnp.float32)
+    zero_mask = jnp.zeros((ncap,), bool)
+    zero_desc = {k: jnp.zeros((ncap, kf0.cloud.descriptors[k].shape[-1]),
+                              jnp.float32) for k in desc_keys}
+
+    pts_l, mask_l, Ts_l, valid_l, T_refs = [], [], [], [], []
+    desc_l = {k: [] for k in desc_keys}
+    for ids in ids_list:
+        kfs = [graph.keyframe(v) for v in ids]
+        T_ref = np.asarray(kfs[-1].optimized_T_world_kf, np.float64)
+        T_refs.append(T_ref.astype(np.float32))
+        T_refkf_world = np.linalg.inv(T_ref)
+        for kf in kfs:
+            pts_l.append(kf.cloud.points)
+            mask_l.append(kf.cloud.mask)
+            for k in desc_keys:
+                desc_l[k].append(kf.cloud.descriptors[k])
+            Ts_l.append((T_refkf_world
+                         @ np.asarray(kf.optimized_T_world_kf, np.float64)
+                         ).astype(np.float32))
+        for _ in range(C - len(kfs)):
+            pts_l.append(zero_pts)
+            mask_l.append(zero_mask)
+            for k in desc_keys:
+                desc_l[k].append(zero_desc[k])
+            Ts_l.append(np.eye(4, dtype=np.float32))
+        valid_l += [True] * len(kfs) + [False] * (C - len(kfs))
+
+    points = jnp.stack(pts_l).reshape(M, C, ncap, 3)
+    masks = jnp.stack(mask_l).reshape(M, C, ncap)
+    descs = {k: jnp.stack(v).reshape(M, C, ncap, -1)
+             for k, v in desc_l.items()}
+    Ts = jnp.asarray(np.stack(Ts_l).reshape(M, C, 4, 4))
+    slot_valid = jnp.asarray(np.asarray(valid_l).reshape(M, C))
+    return (points, masks, descs, Ts, slot_valid, desc_keys,
+            np.stack(T_refs))
+
+
+def batch_rebuild(local_maps, pad_to: int = 0,
+                  return_stacked: bool = False) -> Optional[Cloud]:
     """Rebuild several LocalMaps' clouds in ONE vmapped device dispatch
     (multi-agent path). All maps must share capacity / keyframe cloud
     capacity / descriptor keys (same pipeline config guarantees this).
@@ -145,32 +197,92 @@ def batch_rebuild(local_maps, pad_to: int = 0) -> None:
     The batch is padded (repeating the first entry) to ``pad_to`` when
     given, else to a power-of-two bucket — compiles through the relay are
     expensive and not persistently cached, so a single fixed batch shape
-    beats per-size recompiles even at the cost of padded compute."""
+    beats per-size recompiles even at the cost of padded compute.
+
+    Assembly cost discipline (relay chip: every eager op pays a
+    ~1.5-2.5 ms dispatch floor): keyframe payloads stack with ONE
+    ``jnp.stack`` per leaf across all maps*slots (not per map), and the
+    per-map output clouds are sliced INSIDE the jitted build (one
+    executable writes all per-map buffers) instead of ``bucket × leaves``
+    eager slice dispatches after it.
+
+    With ``return_stacked=True`` also returns the batched cloud
+    ``[bucket, C*N, ...]`` (the loop closer feeds it straight into the
+    fleet verification dispatch without re-stacking per-map slices)."""
     if not local_maps:
-        return
-    if len(local_maps) == 1 and pad_to <= 1:
+        return None
+    if len(local_maps) == 1 and pad_to <= 1 and not return_stacked:
         local_maps[0]._build_cloud()
-        return
+        return None
     n = len(local_maps)
     bucket = max(pad_to, 1 << (n - 1).bit_length())
-    stacked = [stack_keyframes([kf for _, kf in lm._data], lm._capacity)
-               for lm in local_maps]
-    stacked += [stacked[0]] * (bucket - n)
-    desc_keys = stacked[0][5]
-    ins = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
-                                 *[s[:5] for s in stacked])
-    pts, mask, descs = _batched_build(*ins, desc_keys=desc_keys)
-    for i, lm in enumerate(local_maps):
-        lm._cloud = Cloud(
-            points=pts[i], mask=mask[i],
-            descriptors={k: v[i] for k, v in descs.items()})
+    lms = list(local_maps) + [local_maps[0]] * (bucket - n)
+
+    C = local_maps[0]._capacity
+    kf0 = local_maps[0]._data[-1][1]
+    ncap = kf0.cloud.capacity
+    desc_keys = tuple(sorted(kf0.cloud.descriptors.keys()))
+    zero_pts = jnp.zeros((ncap, 3), jnp.float32)
+    zero_mask = jnp.zeros((ncap,), bool)
+    zero_desc = {k: jnp.zeros((ncap, kf0.cloud.descriptors[k].shape[-1]),
+                              jnp.float32) for k in desc_keys}
+
+    pts_l, mask_l, Ts_l, valid_l = [], [], [], []
+    desc_l = {k: [] for k in desc_keys}
+    for lm in lms:
+        if lm._capacity != C:
+            raise ValueError("batch_rebuild requires equal map capacities")
+        kfs = [kf for _, kf in lm._data]
+        T_ref = np.asarray(kfs[-1].optimized_T_world_kf, np.float64)
+        T_refkf_world = np.linalg.inv(T_ref)
+        for kf in kfs:
+            if kf.cloud.capacity != ncap:
+                raise ValueError(
+                    "batch_rebuild requires equal keyframe cloud capacities")
+            pts_l.append(kf.cloud.points)
+            mask_l.append(kf.cloud.mask)
+            for k in desc_keys:
+                desc_l[k].append(kf.cloud.descriptors[k])
+            Ts_l.append((T_refkf_world
+                         @ np.asarray(kf.optimized_T_world_kf, np.float64)
+                         ).astype(np.float32))
+        for _ in range(C - len(kfs)):
+            pts_l.append(zero_pts)
+            mask_l.append(zero_mask)
+            for k in desc_keys:
+                desc_l[k].append(zero_desc[k])
+            Ts_l.append(np.eye(4, dtype=np.float32))
+        valid_l += [True] * len(kfs) + [False] * (C - len(kfs))
+
+    points = jnp.stack(pts_l).reshape(bucket, C, ncap, 3)
+    masks = jnp.stack(mask_l).reshape(bucket, C, ncap)
+    descs = {k: jnp.stack(v).reshape(bucket, C, ncap, -1)
+             for k, v in desc_l.items()}
+    Ts = jnp.asarray(np.stack(Ts_l).reshape(bucket, C, 4, 4))
+    slot_valid = jnp.asarray(np.asarray(valid_l).reshape(bucket, C))
+
+    batched, slices = _batched_build(points, masks, descs, Ts, slot_valid,
+                                     desc_keys=desc_keys)
+    for (pts_i, mask_i, descs_i), lm in zip(slices, local_maps):
+        lm._cloud = Cloud(points=pts_i, mask=mask_i, descriptors=descs_i)
+    if return_stacked:
+        return Cloud(points=batched[0], mask=batched[1],
+                     descriptors=batched[2])
+    return None
 
 
 @functools.partial(jax.jit, static_argnames=("desc_keys",))
 def _batched_build(points, masks, descs, Ts, slot_valid, desc_keys):
-    return jax.vmap(
+    # Slices for EVERY padded batch entry, cut in-jit: callers take the
+    # first k. Slicing all of them (vs a static n_out arg) keeps the jit
+    # cache keyed on the padded shape alone — a varying count would
+    # retrace + recompile per distinct live-set size on the relay.
+    pts, mask, out_descs = jax.vmap(
         lambda p, m, d, t, s: _build_cloud_impl(p, m, d, t, s, desc_keys)
     )(points, masks, descs, Ts, slot_valid)
+    slices = [(pts[i], mask[i], {k: v[i] for k, v in out_descs.items()})
+              for i in range(pts.shape[0])]
+    return (pts, mask, out_descs), slices
 
 
 class LocalMap:

@@ -16,9 +16,12 @@ pose array.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
+import os
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,6 +34,38 @@ from .localmap import Composition, LocalMap
 from .ops.icp import ICPConfig, ICPEngine, ICPResult, compute_residual
 
 log = logging.getLogger("pgslam_tpu.loopcloser")
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "reading_chain",
+                                             "ref_chain", "use_fused"))
+def _verify_batch(readings, refs, T0s, cfg, reading_chain, ref_chain,
+                  use_fused):
+    """ONE dispatch for the fleet's whole verification stage: reading +
+    reference filter chains, the verification registration, and the fresh
+    residual recompute of ``LoopCloser.hpp:343-365``.
+
+    The pre-jit form (eager vmapped ``icp_core`` + vmapped residual +
+    per-map reference preps) dispatched hundreds of ops over the relay
+    per drain — chip-measured 1.6 s/step on the config-5 fleet, 66% of
+    the whole batch step."""
+    from .ops import filters as F
+    from .ops.icp import icp_core
+    key = jax.random.PRNGKey(0)
+    if reading_chain:
+        readings = jax.vmap(
+            lambda c: F.apply_chain(reading_chain, c, key))(readings)
+    if ref_chain:
+        refs = jax.vmap(lambda c: F.apply_chain(ref_chain, c, key))(refs)
+    if use_fused:
+        from .ops.icp_pallas import fused_icp_register
+        results = fused_icp_register(readings, refs, T0s, cfg)
+    else:
+        results = jax.vmap(lambda r, m, t: icp_core(r, m, t, cfg))(
+            readings, refs, T0s)
+    residuals = jax.vmap(
+        lambda r, m, t: compute_residual(r, m, t, cfg))(
+            readings, refs, results.T)
+    return results, residuals
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,11 +116,10 @@ class LoopCloser:
         acceptance + optimization for survivors."""
         if not self._pending:
             return
-        import jax
-        import jax.numpy as jnp
         from .cloud import stack_clouds
         from .localmap import batch_rebuild
-        from .ops.icp import icp_core
+        from .ops import filters as F
+        from .ops.icp_pallas import fused_eligible
 
         vs, self._pending = self._pending, []
         graph = self.mm.get_graph()
@@ -102,12 +136,15 @@ class LoopCloser:
             lm = LocalMap(size)
             lm.update_to_new_composition(graph, comp, build=False)
             lms.append(lm)
-        batch_rebuild(lms, pad_to=self.batch_pad_to)
+        # Pad to one fixed batch shape (relay compiles are expensive and
+        # not persistently cached).
+        n = len(reqs)
+        bucket = max(self.batch_pad_to, 1 << (n - 1).bit_length())
+        stacked_refs = batch_rebuild(lms, pad_to=bucket,
+                                     return_stacked=True)
 
         cfg = self.config.icp
-        refs = [self.icp_engine.prepare_reference(lm.cloud()) for lm in lms]
-        readings = [self.icp_engine.prepare_reading(graph.clouds[v])
-                    for v, _ in reqs]
+        readings = [graph.clouds[v] for v, _ in reqs]
         T0s = []
         for (v, _), lm in zip(reqs, lms):
             ref_kf = lm.reference_keyframe()
@@ -115,50 +152,63 @@ class LoopCloser:
                 np.asarray(ref_kf.optimized_T_world_kf, np.float64))
                 @ np.asarray(graph.optimized_poses[v], np.float64)
             ).astype(np.float32))
-        # Pad to one fixed batch shape (relay compiles are expensive and
-        # not persistently cached).
-        n = len(reqs)
-        bucket = max(self.batch_pad_to, 1 << (n - 1).bit_length())
         pad = bucket - n
         readings += [readings[0]] * pad
-        refs += [refs[0]] * pad
         T0s += [T0s[0]] * pad
         stacked_readings = stack_clouds(readings)
-        stacked_refs = stack_clouds(refs)
-        results = jax.device_get(jax.vmap(
-            lambda r, m, t: icp_core(r, m, t, cfg))(
-                stacked_readings, stacked_refs,
-                jnp.stack([jnp.asarray(t) for t in T0s])))
-        # Residual recompute (LoopCloser.hpp:343-365) for the whole batch
-        # in ONE dispatch instead of one per surviving closure.
-        residuals = np.asarray(jax.vmap(
-            lambda r, m, t: compute_residual(r, m, t, cfg))(
-                stacked_readings, stacked_refs, jnp.asarray(results.T)))
 
+        # Mirror ICPEngine.prepare_reference / prepare_reading as static
+        # chains so the whole verification runs in _verify_batch's ONE
+        # jitted dispatch.
+        ref_chain = cfg.reference_filters
+        if cfg.error == "point_to_plane" and not any(
+                isinstance(f, F.SurfaceNormal) for f in ref_chain):
+            if "normals" not in stacked_refs.descriptors:
+                ref_chain = ref_chain + (F.SurfaceNormal(),)
+        # Fused-kernel routing mirrors parallel.batched.batched_register
+        # (incl. the PGSLAM_FUSED_BATCHED escape hatch); for
+        # point-to-plane the ref_chain above guarantees normals.
+        env = os.environ.get("PGSLAM_FUSED_BATCHED", "")
+        mode = {"1": "on", "0": "off"}.get(env, "auto")
+        use_fused = fused_eligible(cfg) and (
+            mode == "on"
+            or (mode == "auto" and jax.default_backend() not in ("cpu",)))
+        results, residuals = jax.device_get(_verify_batch(
+            stacked_readings, stacked_refs,
+            jnp.asarray(np.stack(T0s)), cfg,
+            cfg.reading_filters, ref_chain, use_fused))
+
+        accepted_pairs = set()
         for i, ((v, comp), lm) in enumerate(zip(reqs, lms)):
             result = jax.tree_util.tree_map(lambda x: x[i], results)
             self.input_vertex = v
             self.input_cloud = graph.clouds[v]
             self.input_T_world_kf = graph.optimized_poses[v].copy()
             self.candidate_local_map = lm
-            self.icp_engine._reference = refs[i]
             self.T_refkf_kf = np.asarray(result.T)
             self.last_result = result
             from .utils import counters
             ref_v = lm.reference_vertex()
             if self.mm.get_graph().has_edge(ref_v, v) \
-                    or self.mm.get_graph().has_edge(v, ref_v):
+                    or self.mm.get_graph().has_edge(v, ref_v) \
+                    or (ref_v, v) in accepted_pairs \
+                    or (v, ref_v) in accepted_pairs:
                 # Batched race: candidate searches for the whole batch ran
                 # before any insertion, so two vertices can each pick the
                 # other (the ST ordering would have re-searched after the
                 # first insert and gated the reverse pair out by its new
-                # small topological distance). One closure per pair.
+                # small topological distance). One closure per pair. The
+                # accepted_pairs set covers the queued-optimizer case
+                # where edge insertion is deferred past this drain
+                # (Optimizer.queue_mode), so has_edge alone can't see the
+                # first acceptance of a reciprocal pair.
                 counters["loopcloser/rejected_duplicate"] += 1
                 log.info("[LoopCloser] Loop closure %d -> %d dropped: "
                          "edge already exists", ref_v, v)
             elif self.check_icp_result(result,
                                        residual=float(residuals[i])):
                 counters["loopcloser/accepted"] += 1
+                accepted_pairs.add((ref_v, v))
                 log.info("[LoopCloser] Loop closure accepted: %d -> %d",
                          ref_v, v)
                 self.optimizer.add_new_data(ref_v, v,

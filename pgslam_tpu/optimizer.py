@@ -47,8 +47,13 @@ def pm_cov_to_gtsam_cov(mat: np.ndarray) -> np.ndarray:
 
 
 def _bucket(n: int, bucket: int) -> int:
-    """Round up to the next bucket multiple (limits distinct jit shapes)."""
-    return max(bucket, ((n + bucket - 1) // bucket) * bucket)
+    """Round up to the next power of two at least ``bucket`` wide.
+
+    Power-of-two growth keeps the number of distinct jit shapes
+    logarithmic in the graph size: the previous linear multiples-of-64
+    policy recompiled the (relay-expensive, seconds-per-shape) PGO
+    executable every 64 new edges, which dominated long fleet runs."""
+    return max(bucket, 1 << max(0, n - 1).bit_length())
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,15 +72,31 @@ class Optimizer:
         # (from, to, T_from_to, cov_from_to) pending loop constraints.
         self.data_buffer: List[Tuple[int, int, np.ndarray, np.ndarray]] = []
         self.last_stats = None
+        # Multi-agent/MT batching: queue constraints and optimize once per
+        # drain (OptimizerMT.hpp:59-62 drains ALL pending constraints per
+        # optimization batch, vs the single-item ST path Optimizer.hpp:27-28).
+        self.queue_mode = False
 
     # -- entry (Optimizer.hpp:25-30): single-item batch per call -----------
 
     def add_new_data(self, from_v: int, to_v: int, T_from_to,
                      cov_from_to) -> None:
-        self.data_buffer = [(int(from_v), int(to_v),
-                             np.asarray(T_from_to, np.float32),
-                             np.asarray(cov_from_to, np.float32))]
+        item = (int(from_v), int(to_v),
+                np.asarray(T_from_to, np.float32),
+                np.asarray(cov_from_to, np.float32))
+        if self.queue_mode:
+            self.data_buffer.append(item)
+            return
+        self.data_buffer = [item]
         self.process_data()
+
+    def process_pending(self) -> None:
+        """Drain every queued constraint in ONE optimization batch
+        (``OptimizerMT.hpp:59-62`` semantics; the fleet path calls this
+        once per step — each accepted closure otherwise pays a full LM
+        solve, chip-measured several hundred ms each over the relay)."""
+        if self.data_buffer:
+            self.process_data()
 
     def process_data(self) -> None:
         log.info("[Optimizer] Building factor graph with %d new loop "

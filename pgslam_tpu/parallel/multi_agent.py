@@ -18,12 +18,39 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
 from ..cloud import Cloud, make_cloud, stack_clouds
 from ..graph.pose_graph import MapManager
 from ..localizer import Localizer
 from ..loopcloser import LoopCloser
 from ..optimizer import Optimizer
 from ..slam import SlamConfig
+
+
+@functools.partial(jax.jit, static_argnames=("chain",))
+def _batched_prepare_reference(chain, clouds):
+    """Fleet set_map: the reference filter chain vmapped over all changed
+    local-map clouds, per-agent slices cut inside the jit (ONE dispatch
+    instead of one ``prepare_reference`` + eager slices per agent). All
+    padded batch entries are sliced — callers take the first k — so the
+    jit cache is keyed on the padded shape, not the changed count."""
+    from ..ops import filters as F
+    refs = clouds
+    if chain:
+        key = jax.random.PRNGKey(0)
+        refs = jax.vmap(lambda c: F.apply_chain(chain, c, key))(clouds)
+    cut = lambda i: jax.tree_util.tree_map(lambda x: x[i], refs)
+    return refs, [cut(i) for i in range(clouds.points.shape[0])]
+
+
+@jax.jit
+def _gather_fleet(readings_full, refs_full, idx):
+    """Index the fleet's batched readings/references down to the live,
+    padded agent order in one dispatch (replaces per-leaf eager
+    ``jnp.stack`` of per-agent slices)."""
+    take = lambda t: jax.tree_util.tree_map(lambda x: x[idx], t)
+    return take(readings_full), take(refs_full)
 
 
 class MultiAgentSlam:
@@ -47,9 +74,12 @@ class MultiAgentSlam:
             self.map_manager.add_localizer(loc)
             self.localizers.append(loc)
         self.map_manager.set_loop_closer(self.loop_closer)
-        # Queue + batch loop-closure verifications across the fleet.
+        # Queue + batch loop-closure verifications across the fleet, and
+        # batch all accepted constraints into ONE optimization per step
+        # (OptimizerMT.hpp:59-62 drain-all semantics).
         self.loop_closer.queue_mode = True
         self.loop_closer.batch_pad_to = n_agents
+        self.optimizer.queue_mode = True
         # Fleet registration: with a (dp, tp) mesh the FULL icp_core
         # semantics run sharded — agents over dp, each reference's point
         # axis over tp (see parallel/sharded_icp.py); otherwise a plain
@@ -68,6 +98,10 @@ class MultiAgentSlam:
             _icp_cfg = config.localizer.icp
             self._batched_icp = (
                 lambda r, m, t: batched_register(r, m, t, _icp_cfg))
+        # Fleet-stacked prepared references, rebuilt (one stack per leaf)
+        # only when a composition/set_map changed some agent's reference.
+        self._refs_stacked: Optional[Cloud] = None
+        self._refs_dirty = True
 
     def add_data_batch(self, timestamp, world_frame_id: str,
                        T_world_robot: np.ndarray,      # [B, 4, 4]
@@ -84,17 +118,14 @@ class MultiAgentSlam:
             T_rs = np.broadcast_to(T_rs, (B, 4, 4))
 
         # Phase 0: flush deferred post-optimization resyncs (batched).
-        from ..localmap import batch_rebuild as _batch_rebuild
         resync = [loc for loc in self.localizers if loc._needs_resync]
         rebuilt = [loc for loc in resync
                    if loc.resync_from_graph(build=False)]
-        _batch_rebuild([loc.local_map for loc in rebuilt],
-                       pad_to=self.n_agents)
-        for loc in rebuilt:
-            loc.finish_apply()
+        self._batched_set_map(rebuilt)
 
         # Batched input preparation: ONE dispatch for the fleet's filter
-        # chains + compaction + sensor transforms.
+        # chains + compaction + sensor transforms + reading filters, with
+        # the per-agent slices cut inside the jit.
         from ..localizer import _prepare_input_batched
         raw = []
         for b in range(B):
@@ -106,15 +137,17 @@ class MultiAgentSlam:
         keys = jnp.stack([jax.random.PRNGKey(loc.count)
                           for loc in self.localizers])
         lcfg = self.config.localizer
-        prepared = _prepare_input_batched(
+        _, readings_full, slices = _prepare_input_batched(
             lcfg.input_filters, lcfg.keyframe_cloud_capacity,
-            stack_clouds(raw), jnp.asarray(T_rs), keys)
+            stack_clouds(raw), jnp.asarray(T_rs), keys,
+            reading_chain=lcfg.icp.reading_filters)
 
         preps = []
         for b, loc in enumerate(self.localizers):
-            prep_b = jax.tree_util.tree_map(lambda x: x[b], prepared)
+            cloud_b, reading_b = slices[b]
             preps.append(loc.prepare_scan(T_world_robot[b], T_rs[b],
-                                          raw[b], prepared=prep_b))
+                                          raw[b], prepared=cloud_b,
+                                          reading=reading_b))
 
         live = [b for b, p in enumerate(preps) if p is not None]
         if not live:
@@ -123,10 +156,23 @@ class MultiAgentSlam:
         # Pad the live set to the fleet size: one fixed batch shape (no
         # per-size recompiles) and divisibility by the mesh's dp axis.
         pad_ix = live + [live[0]] * (self.n_agents - len(live))
-        readings = stack_clouds([preps[b][0] for b in pad_ix])
-        references = stack_clouds(
-            [self.localizers[b].icp_engine.reference for b in pad_ix])
-        T0s = jnp.stack([jnp.asarray(preps[b][1]) for b in pad_ix])
+        all_have_refs = all(loc.icp_engine.reference is not None
+                            for loc in self.localizers)
+        if all_have_refs:
+            if self._refs_dirty or self._refs_stacked is None:
+                self._refs_stacked = stack_clouds(
+                    [loc.icp_engine.reference for loc in self.localizers])
+                self._refs_dirty = False
+            readings, references = _gather_fleet(
+                readings_full, self._refs_stacked,
+                jnp.asarray(np.asarray(pad_ix, np.int32)))
+        else:
+            # Mixed first-scan step: some agents have no reference yet.
+            readings = stack_clouds([preps[b][0] for b in pad_ix])
+            references = stack_clouds(
+                [self.localizers[b].icp_engine.reference for b in pad_ix])
+        T0s = jnp.asarray(np.stack([np.asarray(preps[b][1])
+                                    for b in pad_ix]))
         if self.mesh is not None and self._tp == 1:
             from .batched import shard_batch
             put = shard_batch(self.mesh)
@@ -165,16 +211,47 @@ class MultiAgentSlam:
             loc.last_input_T_world_robot = np.asarray(
                 T_world_robot[b], np.float32)
 
-        # Phase 4: ONE vmapped dispatch rebuilds all changed local maps.
-        from ..localmap import batch_rebuild
-        batch_rebuild([loc.local_map for loc in changed],
-                      pad_to=self.n_agents)
-        for loc in changed:
-            loc.finish_apply()
+        # Phase 4: ONE vmapped dispatch rebuilds all changed local maps,
+        # one more applies the reference chain (fleet set_map).
+        self._batched_set_map(changed)
 
         # Phase 5: fleet-fused loop-closure verification for the keyframes
-        # spawned this step (queued by the shared LoopCloser).
+        # spawned this step (queued by the shared LoopCloser), then ONE
+        # optimization over every accepted constraint.
         self.loop_closer.process_pending_batched()
+        self.optimizer.process_pending()
+
+    def _batched_set_map(self, locs) -> None:
+        """Rebuild changed local-map clouds (one vmapped dispatch) and
+        install them as the agents' ICP references with the reference
+        filter chain applied in ONE more dispatch (``ICPSequence.setMap``
+        semantics for the whole fleet; per-agent ``finish_apply`` costs a
+        chain dispatch + eager slices per agent on the relay)."""
+        if not locs:
+            return
+        from ..localmap import batch_rebuild
+        from ..ops import filters as F
+        engine0 = locs[0].icp_engine
+        if engine0.config.matcher == "grid":
+            # Grid indices build per-agent; keep the engine's own path.
+            batch_rebuild([loc.local_map for loc in locs],
+                          pad_to=self.n_agents)
+            for loc in locs:
+                loc.finish_apply()
+            self._refs_dirty = True
+            return
+        stacked = batch_rebuild([loc.local_map for loc in locs],
+                                pad_to=self.n_agents, return_stacked=True)
+        chain = engine0.config.reference_filters
+        if engine0.config.error == "point_to_plane" and not any(
+                isinstance(f, F.SurfaceNormal) for f in chain):
+            if "normals" not in stacked.descriptors:
+                chain = chain + (F.SurfaceNormal(),)
+        _, ref_slices = _batched_prepare_reference(chain, stacked)
+        for loc, ref in zip(locs, ref_slices):
+            loc.icp_engine._reference = ref
+            loc.icp_engine._index = None
+        self._refs_dirty = True
 
     def _batched_probes(self, probe_req):
         """Evaluate all requested overlap probes in one device call.
@@ -189,12 +266,33 @@ class MultiAgentSlam:
         probe-cache commit)."""
         if not probe_req:
             return {}
-        from ..localizer import _probe_overlap_from_batched
+        from ..localizer import (_probe_build_batched,
+                                 _probe_overlap_from_batched)
+        from ..localmap import stack_compositions
         cfg = self.config.localizer.icp
         keys = list(probe_req.keys())
         locs = [self.localizers[b] for b in keys]
-        worlds = [loc._cached_probe_map(probe_req[b])
+        # Build every probe-cache MISS in one vmapped dispatch (misses are
+        # common while the fleet advances — compositions churn — and each
+        # per-agent build costs ~6 eager relay ops).
+        worlds = [loc._probe_cache_get(probe_req[b])
                   for b, loc in zip(keys, locs)]
+        miss = [i for i, w in enumerate(worlds) if w is None]
+        if miss:
+            graph = self.map_manager.get_graph()
+            # Pad to the fleet size: one fixed batch shape for the build.
+            ids_list = [probe_req[keys[i]].as_list() for i in miss]
+            ids_list += [ids_list[0]] * (self.n_agents - len(ids_list))
+            (points, masks, descs, Ts, slot_valid, desc_keys,
+             T_world_refs) = stack_compositions(
+                graph, ids_list, probe_req[keys[miss[0]]].capacity)
+            built = _probe_build_batched(
+                points, masks, descs, Ts, slot_valid,
+                jnp.asarray(T_world_refs), desc_keys,
+                cfg.reference_filters)
+            for i, world in zip(miss, built):
+                worlds[i] = world
+                locs[i]._probe_cache_put(probe_req[keys[i]], world)
         reading_list = [
             loc._last_reading if loc._last_reading is not None
             else loc.icp_engine.prepare_reading(loc.input_cloud)

@@ -22,7 +22,7 @@ print("backend:", jax.devices(), flush=True)
 
 rng = np.random.default_rng(7)
 scans, odom, truth = corridor_sequence(
-    rng, n_scans=40, scan_points=512, step=0.25, noise=0.003,
+    rng, n_scans=72, scan_points=512, step=0.25, noise=0.003,
     odom_noise=0.005, length=60.0)
 B = 16
 slam = MultiAgentSlam(small_config(), n_agents=B)
@@ -46,15 +46,31 @@ def probe(obj, name, label=None):
 
 probe(slam, "_batched_probes")
 probe(slam.loop_closer, "process_pending_batched", "loopclose_batched")
+probe(slam.loop_closer, "find_candidate_composition", "lc_cand_search")
+probe(slam.optimizer, "process_data", "optimize")
+
+import pgslam_tpu.loopcloser as LC
+orig_verify = LC._verify_batch
+
+
+def timed_verify(*a, **k):
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(orig_verify(*a, **k))
+    stage.setdefault("lc_verify_dispatch", []).append(
+        time.perf_counter() - t0)
+    return out
+
+
+LC._verify_batch = timed_verify
 
 import pgslam_tpu.parallel.multi_agent as MA
 import pgslam_tpu.localmap as LM
 orig_rebuild = LM.batch_rebuild
 
 
-def timed_rebuild(maps, pad_to=None):
+def timed_rebuild(maps, pad_to=None, **kw):
     t0 = time.perf_counter()
-    out = orig_rebuild(maps, pad_to=pad_to)
+    out = orig_rebuild(maps, pad_to=pad_to, **kw)
     stage.setdefault(f"batch_rebuild(n={len(maps)})", []).append(
         time.perf_counter() - t0)
     return out
@@ -97,11 +113,16 @@ for v in stage.values():
     v.clear()
 
 t0 = time.perf_counter()
-for i in range(2, 30):
+for i in range(2, 62):
     step(i)
-dt = (time.perf_counter() - t0) / 28
+dt = (time.perf_counter() - t0) / 60
 
 print(f"\nms/batch-step: {dt*1e3:.1f}  ({B/dt:.1f} agent-scans/s)")
+steps = stage["STEP_total"]
+warm = steps[30:]
+print(f"warm (last {len(warm)}): {np.mean(warm)*1e3:.1f} ms/step "
+      f"({B/np.mean(warm):.1f} agent-scans/s), "
+      f"median {np.median(warm)*1e3:.1f} ms")
 for k in sorted(stage, key=lambda k: -sum(stage[k])):
     v = stage[k]
     print(f"{k:28s} n={len(v):3d} total={sum(v)*1e3:8.1f} ms  "

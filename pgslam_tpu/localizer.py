@@ -216,9 +216,51 @@ def _prepare_and_register_impl(chain, capacity: int, cfg, raw: Cloud,
     return cloud, reading, result
 
 
-_prepare_and_register = functools.partial(
-    jax.jit, static_argnames=("chain", "capacity", "cfg"))(
-        _prepare_and_register_impl)
+def _pack_result_vec(result, ov=None) -> jax.Array:
+    """Flatten an :class:`ICPResult` (+ optional probe overlap) into ONE
+    [59] f32 vector IN-JIT. ``jax.device_get`` on the 8-leaf result
+    pytree pays one relay round-trip per leaf (~30-45 ms/scan measured,
+    profile_config4); one packed buffer is one transfer. NaN encodes the
+    absent ``diverged``/``ov`` slots (both are presence-static)."""
+    f32 = jnp.float32
+    div = (jnp.asarray(jnp.nan, f32) if result.diverged is None
+           else result.diverged.astype(f32))
+    ove = (jnp.asarray(jnp.nan, f32) if ov is None else ov.astype(f32))
+    tail = jnp.stack([result.iterations.astype(f32),
+                      result.converged.astype(f32),
+                      result.max_iter_reached.astype(f32),
+                      result.overlap.astype(f32),
+                      result.residual.astype(f32), div, ove])
+    return jnp.concatenate([result.T.reshape(16).astype(f32),
+                            result.cov.reshape(36).astype(f32), tail])
+
+
+def _unpack_result_vec(vec) -> Tuple[ICPResult, Optional[float]]:
+    """Host-side inverse of :func:`_pack_result_vec` (numpy leaves, same
+    types a ``device_get`` of the struct produced)."""
+    vec = np.asarray(vec)
+    div = vec[57]
+    ov = vec[58]
+    result = ICPResult(
+        T=vec[:16].reshape(4, 4),
+        iterations=np.int32(vec[52]),
+        converged=np.bool_(vec[53] != 0.0),
+        max_iter_reached=np.bool_(vec[54] != 0.0),
+        overlap=np.float32(vec[55]),
+        residual=np.float32(vec[56]),
+        cov=vec[16:52].reshape(6, 6),
+        diverged=None if np.isnan(div) else np.bool_(div != 0.0))
+    return result, (None if np.isnan(ov) else float(ov))
+
+
+@functools.partial(jax.jit, static_argnames=("chain", "capacity", "cfg"))
+def _prepare_and_register(chain, capacity: int, cfg, raw: Cloud,
+                          T_robot_sensor, key, reference: Cloud, T0,
+                          index):
+    cloud, reading, result = _prepare_and_register_impl(
+        chain, capacity, cfg, raw, T_robot_sensor, key, reference, T0,
+        index)
+    return cloud, reading, _pack_result_vec(result)
 
 
 @functools.partial(jax.jit, static_argnames=("chain", "capacity", "cfg"))
@@ -248,7 +290,7 @@ def _prepare_register_probe(chain, capacity: int, cfg, raw: Cloud,
         index)
     T_world_robot = T_world_refkf @ result.T
     ov = _compute_overlap_impl(reading, probe_map, T_world_robot, cfg)
-    return cloud, reading, result, ov
+    return cloud, reading, _pack_result_vec(result, ov)
 
 
 def _orthonormalize(T: np.ndarray) -> np.ndarray:
@@ -399,15 +441,15 @@ class Localizer:
                 self.icp_engine.reference, jnp.asarray(input_T_refkf_robot),
                 self.icp_engine._index)
         if probe_map is not None:
-            cloud, reading, result, ov = _prepare_register_probe(
+            cloud, reading, packed = _prepare_register_probe(
                 *args, probe_map, jnp.asarray(T_world_refkf))
         else:
-            cloud, reading, result = _prepare_and_register(*args)
-            ov = None
+            cloud, reading, packed = _prepare_and_register(*args)
         self.input_cloud = cloud
         self._last_reading = reading
-        # The scan's single sync: result bundle + probe overlap together.
-        result, ov = jax.device_get((result, ov))
+        # The scan's single sync: ONE packed buffer carries the result
+        # bundle + probe overlap (one relay transfer, not one per leaf).
+        result, ov = _unpack_result_vec(jax.device_get(packed))
         result = self.begin_finish(result)
         self.decide_composition(
             result, neighbor_probe=(probe_comp,

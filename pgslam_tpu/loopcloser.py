@@ -36,18 +36,12 @@ from .ops.icp import ICPConfig, ICPEngine, ICPResult, compute_residual
 log = logging.getLogger("pgslam_tpu.loopcloser")
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "reading_chain",
-                                             "ref_chain", "use_fused"))
-def _verify_batch(readings, refs, T0s, cfg, reading_chain, ref_chain,
-                  use_fused):
-    """ONE dispatch for the fleet's whole verification stage: reading +
-    reference filter chains, the verification registration, and the fresh
-    residual recompute of ``LoopCloser.hpp:343-365``.
-
-    The pre-jit form (eager vmapped ``icp_core`` + vmapped residual +
-    per-map reference preps) dispatched hundreds of ops over the relay
-    per drain — chip-measured 1.6 s/step on the config-5 fleet, 66% of
-    the whole batch step."""
+def _verify_impl(readings, refs, T0s, cfg, reading_chain, ref_chain,
+                 use_fused):
+    """The whole verification stage in-graph: reading + reference filter
+    chains, the verification registration, and the fresh residual
+    recompute of ``LoopCloser.hpp:343-365``. Returns
+    (results, residuals, prepared refs)."""
     from .ops import filters as F
     from .ops.icp import icp_core
     key = jax.random.PRNGKey(0)
@@ -65,7 +59,57 @@ def _verify_batch(readings, refs, T0s, cfg, reading_chain, ref_chain,
     residuals = jax.vmap(
         lambda r, m, t: compute_residual(r, m, t, cfg))(
             readings, refs, results.T)
+    return results, residuals, refs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "reading_chain",
+                                             "ref_chain", "use_fused"))
+def _verify_batch(readings, refs, T0s, cfg, reading_chain, ref_chain,
+                  use_fused):
+    """ONE dispatch for the fleet's whole verification stage.
+
+    The pre-jit form (eager vmapped ``icp_core`` + vmapped residual +
+    per-map reference preps) dispatched hundreds of ops over the relay
+    per drain — chip-measured 1.6 s/step on the config-5 fleet, 66% of
+    the whole batch step."""
+    results, residuals, _ = _verify_impl(readings, refs, T0s, cfg,
+                                         reading_chain, ref_chain,
+                                         use_fused)
     return results, residuals
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "reading_chain",
+                                             "ref_chain", "use_fused"))
+def _verify_one(reading, ref, T0, cfg, reading_chain, ref_chain,
+                use_fused):
+    """Single-vertex verification (the ST ``ProcessVertex`` path): one
+    dispatch, and the result + fresh residual ride ONE packed f32 buffer
+    (a d2h sync on the relay costs ~25-30 ms regardless of payload, and
+    the result pytree otherwise pays it per leaf). Also returns the
+    prepared reference so the engine's ``setMap`` state stays what the
+    split path would have left.
+
+    Deliberately NOT a B=1 call of :func:`_verify_impl`: vmap changes
+    reduction order (golden-replay trajectories are pinned at 1e-5), so
+    the un-batched ops here stay bit-identical to the split
+    set_map/engine/residual sequence they replace."""
+    from .localizer import _pack_result_vec
+    from .ops import filters as F
+    from .ops.icp import icp_core
+    key = jax.random.PRNGKey(0)
+    if reading_chain:
+        reading = F.apply_chain(reading_chain, reading, key)
+    if ref_chain:
+        ref = F.apply_chain(ref_chain, ref, key)
+    if use_fused:
+        from .ops.icp_pallas import fused_icp_register
+        lift = lambda c: jax.tree_util.tree_map(lambda x: x[None], c)
+        res = fused_icp_register(lift(reading), lift(ref), T0[None], cfg)
+        result = jax.tree_util.tree_map(lambda x: x[0], res)
+    else:
+        result = icp_core(reading, ref, T0, cfg, None)
+    residual = compute_residual(reading, ref, result.T, cfg)
+    return _pack_result_vec(result, residual), ref
 
 
 @dataclasses.dataclass(frozen=True)
@@ -241,15 +285,48 @@ class LoopCloser:
         ).astype(np.float32)
 
         # Verification ICP against the candidate map (LoopCloser.hpp:98).
-        self.icp_engine.set_map(self.candidate_local_map.cloud())
-        import jax
-        result = jax.device_get(self.icp_engine(
-            self.input_cloud, jnp.asarray(input_T_refkf_kf)))
+        cfg = self.config.icp
+        residual = None
+        if cfg.matcher == "grid":
+            # Grid indices build per-reference inside set_map; keep the
+            # engine's split path for that matcher.
+            self.icp_engine.set_map(self.candidate_local_map.cloud())
+            result = jax.device_get(self.icp_engine(
+                self.input_cloud, jnp.asarray(input_T_refkf_kf)))
+        else:
+            # ONE dispatch + ONE packed d2h for reference prep +
+            # verification registration + the fresh residual recompute
+            # (the split set_map/engine/residual sequence paid three
+            # dispatches and two ~25-30 ms d2h syncs per spawned
+            # keyframe). Fused-kernel routing mirrors the fleet path
+            # (PGSLAM_FUSED_BATCHED escape hatch included).
+            from .localizer import _unpack_result_vec
+            from .ops import filters as F
+            from .ops.icp_pallas import fused_eligible
+            ref_cloud = self.candidate_local_map.cloud()
+            ref_chain = cfg.reference_filters
+            if cfg.error == "point_to_plane" and not any(
+                    isinstance(f, F.SurfaceNormal) for f in ref_chain):
+                if "normals" not in ref_cloud.descriptors:
+                    ref_chain = ref_chain + (F.SurfaceNormal(),)
+            env = os.environ.get("PGSLAM_FUSED_BATCHED", "")
+            mode = {"1": "on", "0": "off"}.get(env, "auto")
+            use_fused = fused_eligible(cfg) and (
+                mode == "on"
+                or (mode == "auto"
+                    and jax.default_backend() not in ("cpu",)))
+            packed, prepared_ref = _verify_one(
+                self.input_cloud, ref_cloud,
+                jnp.asarray(input_T_refkf_kf), cfg,
+                cfg.reading_filters, ref_chain, use_fused)
+            result, residual = _unpack_result_vec(jax.device_get(packed))
+            self.icp_engine._reference = prepared_ref
+            self.icp_engine._index = None
         self.last_result = result
         self.T_refkf_kf = np.asarray(result.T)
 
         from .utils import counters
-        if self.check_icp_result(result):
+        if self.check_icp_result(result, residual=residual):
             counters["loopcloser/accepted"] += 1
             log.info("[LoopCloser] Loop closure accepted: %d -> %d",
                      self.candidate_local_map.reference_vertex(),

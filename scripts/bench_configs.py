@@ -248,7 +248,7 @@ def config5_multi_agent():
 
     rng = np.random.default_rng(7)
     scans, odom, truth = corridor_sequence(
-        rng, n_scans=40, scan_points=512, step=0.25, noise=0.003,
+        rng, n_scans=72, scan_points=512, step=0.25, noise=0.003,
         odom_noise=0.005, length=60.0)
     B = 16
     slam = MultiAgentSlam(small_config(), n_agents=B)
@@ -261,16 +261,24 @@ def config5_multi_agent():
 
     step(0)
     step(1)   # warm
+    # 60-step horizon: the first loop-closure drain + optimize pay
+    # one-time host traces (seconds each on this core); a 28-step
+    # window measured mostly those. The mean still INCLUDES them —
+    # warm_ms reports the amortized steady state separately.
+    per_step = []
     t0 = time.perf_counter()
-    n = 0
-    for i in range(2, 30):
+    for i in range(2, 62):
+        ts = time.perf_counter()
         step(i)
-        n += 1
-    dt = (time.perf_counter() - t0) / n
+        per_step.append(time.perf_counter() - ts)
+    dt = (time.perf_counter() - t0) / len(per_step)
+    warm = per_step[len(per_step) // 2:]
     errs = [np.linalg.norm(slam.localizers[b].T_world_robot[:3, 3]
-                           - truth[29 + b % 3][:3, 3]) for b in range(B)]
+                           - truth[61 + b % 3][:3, 3]) for b in range(B)]
     emit("5_multi_agent_16", ms_per_batch_step=round(dt * 1e3, 1),
          agent_scans_per_sec=round(B / dt, 1),
+         warm_ms_per_batch_step=round(float(np.mean(warm)) * 1e3, 1),
+         warm_agent_scans_per_sec=round(B / float(np.mean(warm)), 1),
          max_agent_err_m=round(float(np.max(errs)), 3),
          keyframes=int(slam.get_graph().n_vertices))
 

@@ -91,20 +91,54 @@ loc.begin_finish = timed_begin
 loc.decide_composition = timed_decide
 loc.apply_composition = timed_apply
 
-orig_dispatch = L._prepare_register_probe
+loc.process_data = timed_process
 
 
-def timed_dispatch(*a, **k):
+def timed_fn(orig, label):
+    def wrapped(*a, **k):
+        t0 = time.perf_counter()
+        out = orig(*a, **k)
+        stage.setdefault(f"{label}_async", []).append(
+            time.perf_counter() - t0)
+        t1 = time.perf_counter()
+        out = jax.block_until_ready(out)
+        stage.setdefault(f"{label}_wait", []).append(
+            time.perf_counter() - t1)
+        return out
+    return wrapped
+
+
+L._prepare_register_probe = timed_fn(L._prepare_register_probe,
+                                     "reg_probe")
+L._prepare_and_register = timed_fn(L._prepare_and_register, "reg")
+
+
+def probe(obj, name, label=None):
+    label = label or name
+    orig = getattr(obj, name)
+
+    def wrapped(*a, **k):
+        t0 = time.perf_counter()
+        out = orig(*a, **k)
+        stage.setdefault(label, []).append(time.perf_counter() - t0)
+        return out
+    setattr(obj, name, wrapped)
+
+
+probe(loc, "neighbor_probe_request")
+probe(loc, "_cached_probe_map")
+
+orig_get = jax.device_get
+
+
+def timed_get(x):
     t0 = time.perf_counter()
-    out = orig_dispatch(*a, **k)
-    stage.setdefault("dispatch_async", []).append(time.perf_counter() - t0)
-    t1 = time.perf_counter()
-    out = jax.block_until_ready(out)
-    stage.setdefault("dispatch_wait", []).append(time.perf_counter() - t1)
+    out = orig_get(x)
+    stage.setdefault("device_get", []).append(time.perf_counter() - t0)
     return out
 
 
-L._prepare_register_probe = timed_dispatch
+jax.device_get = timed_get
 
 per_scan = []
 t_all = time.perf_counter()

@@ -156,7 +156,7 @@ _prepare_input = functools.partial(
 @functools.partial(jax.jit, static_argnames=("chain", "capacity",
                                              "reading_chain"))
 def _prepare_input_batched(chain, capacity: int, clouds: Cloud,
-                           T_robot_sensors, keys,
+                           T_robot_sensors, seeds,
                            reading_chain=()):
     """vmapped input preparation for a fleet of agents (one dispatch).
 
@@ -167,7 +167,11 @@ def _prepare_input_batched(chain, capacity: int, clouds: Cloud,
     dispatches each cost the relay's ~2 ms floor otherwise.
 
     Returns ``(clouds [B,...], readings [B,...], slices)`` with
-    ``slices[i] = (cloud_i, reading_i)``."""
+    ``slices[i] = (cloud_i, reading_i)``. ``seeds`` is a host int array
+    [B] (per-agent scan counts); PRNG keys derive IN-GRAPH — per-agent
+    ``jax.random.PRNGKey`` calls are device ops, ~2 ms each on the
+    relay."""
+    keys = jax.vmap(jax.random.PRNGKey)(seeds)
     prepped = jax.vmap(
         lambda c, t, k: _prepare_input_impl(chain, capacity, c, t, k)
     )(clouds, T_robot_sensors, keys)
@@ -471,12 +475,14 @@ class Localizer:
         log.info("[Localizer] Processing cloud #%d", self.count)
         from .utils import counters
         counters["localizer/scans"] += 1
-        if key is None:
-            key = jax.random.PRNGKey(self.count)
         self.count += 1
         if prepared is not None:
             cloud = prepared
         else:
+            if key is None:
+                # Lazy: PRNGKey construction is a device op (~2 ms on
+                # the relay); skip it when the batcher already prepped.
+                key = jax.random.PRNGKey(self.count - 1)
             # Input filters run in the sensor frame (observation directions
             # must point at the sensor, Localizer.hpp:100-103), then the
             # cloud moves to the robot frame (Localizer.hpp:106). Compact

@@ -134,12 +134,12 @@ class MultiAgentSlam:
                 cloud = make_cloud(np.asarray(cloud),
                                    capacity=self.config.sensor_cloud_capacity)
             raw.append(cloud)
-        keys = jnp.stack([jax.random.PRNGKey(loc.count)
-                          for loc in self.localizers])
+        seeds = np.asarray([loc.count for loc in self.localizers],
+                           np.int32)
         lcfg = self.config.localizer
         _, readings_full, slices = _prepare_input_batched(
             lcfg.input_filters, lcfg.keyframe_cloud_capacity,
-            stack_clouds(raw), jnp.asarray(T_rs), keys,
+            stack_clouds(raw), jnp.asarray(T_rs), seeds,
             reading_chain=lcfg.icp.reading_filters)
 
         preps = []

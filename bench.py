@@ -35,6 +35,29 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _emit_checkpoint(single_rate, batched_rate, phase):
+    """Print a PARTIAL headline JSON line to stdout as soon as a phase's
+    number is measured. The supervising parent captures the child's
+    stdout even when it kills the child on timeout (TimeoutExpired
+    carries the output read so far), so a slow relay session that runs
+    out of budget mid-aux-phase still ships the measured headline
+    instead of a zeroed fail-soft line. Chip-observed 2026-08-19: both
+    attempts 'timed out' AFTER the pipeline number (2,877 regs/s) was
+    measured and logged — the final JSON, printed only after every aux
+    variant plus the PGO bench, never got out."""
+    rate = max(single_rate, batched_rate)
+    payload = {
+        "metric": METRIC,
+        "value": round(rate, 2),
+        "unit": "registrations/sec",
+        "vs_baseline": round(rate / BASELINE_REGS_PER_SEC, 2),
+        "partial": phase,
+    }
+    if FUSED_FALLBACK:
+        payload["fused_fallback"] = True
+    print(json.dumps(payload), flush=True)
+
+
 def bench_icp_64k():
     import jax
     import jax.numpy as jnp
@@ -123,6 +146,7 @@ def bench_icp_64k():
     log(f"steady-state: {dt*1e3:.2f} ms/registration "
         f"({regs_per_sec:.1f} regs/sec) at 64k pts input, "
         f"{int(res.iterations)} ICP iterations each")
+    _emit_checkpoint(regs_per_sec, 0.0, "single_stream")
 
     # Batched multi-agent throughput — the DEPLOYABLE pipeline protocol
     # (r3, VERDICT r2 weak #1): B *distinct* independently-rendered 64k
@@ -348,6 +372,13 @@ def bench_icp_64k():
             f"err q50/q90/max={np.quantile(en, 0.5):.3f}/"
             f"{np.quantile(en, 0.9):.3f}/{err_max:.3f} m, "
             f"iters={its.min()}-{its.max()}")
+        # Accuracy gate BEFORE the checkpoint: the honest protocol's
+        # envelope is a few cm (q50 ~2.4 cm chip-measured); 0.2 m flags
+        # real regressions without tripping on the known tail (~0.10 m).
+        if err_max > 0.2:
+            log(f"ACCURACY GATE FAILED in batched bench: {err_max:.3f} m")
+            batched_rate = 0.0
+        _emit_checkpoint(regs_per_sec, batched_rate, "batched_pipeline")
 
         # kernel-only reference point (the r2-style protocol, same
         # distinct scans, prep + h2d excluded) for comparison
@@ -411,12 +442,6 @@ def bench_icp_64k():
                 f"{np.quantile(len_, 0.9):.3f}/{len_.max():.3f} m")
         except Exception as e:
             log(f"sensor-decimated variant failed (non-fatal): {e}")
-        # Accuracy gate: the honest protocol's envelope is a few cm
-        # (q50 ~2.4 cm chip-measured); 0.2 m flags real regressions
-        # without tripping on the known tail (max ~0.10 m).
-        if err_max > 0.2:
-            log(f"ACCURACY GATE FAILED in batched bench: {err_max:.3f} m")
-            batched_rate = 0.0
     except Exception as e:
         log(f"batched bench failed: {e}")
     return regs_per_sec, batched_rate
@@ -525,16 +550,46 @@ def child_main():
     print(json.dumps(payload), flush=True)
 
 
+def _last_json(text: str):
+    """Last parseable {"metric": ...} line in a child's stdout — the
+    child prints a checkpoint after each measured phase, then the final
+    (non-"partial") line, so the last one is always the best one."""
+    best = None
+    for line in text.strip().splitlines():
+        try:
+            parsed = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(parsed, dict) and "metric" in parsed:
+            best = parsed
+    return best
+
+
 def main(total_budget_s: float = 560.0):
     """Supervisor: run the benchmark in a subprocess so that a wedged TPU
     claim (observed r1: BENCH_r01 recorded rc=1 and no JSON) can be
     killed and retried, and so this process ALWAYS prints exactly one
-    JSON line whatever happens to the chip."""
+    JSON line whatever happens to the chip. Children checkpoint each
+    measured phase to stdout, so even a timed-out / crashed attempt
+    contributes its best measured number instead of zero (observed
+    2026-08-19: a degraded session measured 2,877 regs/s but both
+    attempts hit their caps during aux phases — the old supervisor
+    reported value 0)."""
     import subprocess
 
     deadline = time.monotonic() + total_budget_s
     env = dict(os.environ, PGSLAM_BENCH_CHILD="1")
     errors = []
+    best = None  # best checkpoint seen across attempts
+
+    def consider(parsed):
+        nonlocal best
+        if parsed is None:
+            return
+        if best is None or parsed.get("value", 0) > best.get("value", 0) \
+                or "partial" not in parsed:
+            best = parsed
+
     for attempt in range(2):
         remaining = deadline - time.monotonic()
         if remaining < 60:
@@ -553,19 +608,30 @@ def main(total_budget_s: float = 560.0):
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, stdout=subprocess.PIPE,
                 timeout=min(cap, remaining - 20))
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
             errors.append(f"attempt{attempt}_timeout")
+            out = (e.stdout or b"").decode(errors="replace")
+            consider(_last_json(out))
+            if best is not None and best.get("partial") == \
+                    "batched_pipeline":
+                break  # headline already measured; don't re-claim
             continue
-        out = proc.stdout.decode(errors="replace").strip().splitlines()
-        for line in reversed(out):
-            try:
-                parsed = json.loads(line)
-                if "metric" in parsed:
-                    print(line, flush=True)
-                    return
-            except json.JSONDecodeError:
-                continue
+        out = proc.stdout.decode(errors="replace")
+        parsed = _last_json(out)
+        if parsed is not None and "partial" not in parsed:
+            print(json.dumps(parsed), flush=True)
+            return
+        consider(parsed)
         errors.append(f"attempt{attempt}_rc{proc.returncode}")
+    if best is not None:
+        # A measured (possibly phase-truncated) number beats a zero.
+        best["truncated_after"] = best.pop("partial", "final")
+        if errors:
+            best["attempt_errors"] = ",".join(errors)
+        log(f"shipping best checkpoint after {errors}: "
+            f"value={best.get('value')}")
+        print(json.dumps(best), flush=True)
+        return
     log(f"all bench attempts failed: {errors}")
     print(json.dumps({
         "metric": METRIC,

@@ -30,6 +30,21 @@ BASELINE_REGS_PER_SEC = 5.0
 # throughput dip.
 FUSED_FALLBACK = False
 
+# Both timed-loop wall times (ms/batch) — published in the JSON so the
+# min-of-two de-noising is auditable, with a session tag (relay sessions
+# swing ~1.3x; VERDICT r3 weak #2 / ADVICE r3).
+LOOP_TIMES_MS = None
+SESSION_TAG = time.strftime("%Y-%m-%dT%H:%M:%S")
+
+
+def _decorate(payload):
+    if FUSED_FALLBACK:
+        payload["fused_fallback"] = True
+    if LOOP_TIMES_MS is not None:
+        payload["loops_ms"] = LOOP_TIMES_MS
+    payload["session"] = SESSION_TAG
+    return payload
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
@@ -46,15 +61,13 @@ def _emit_checkpoint(single_rate, batched_rate, phase):
     measured and logged — the final JSON, printed only after every aux
     variant plus the PGO bench, never got out."""
     rate = max(single_rate, batched_rate)
-    payload = {
+    payload = _decorate({
         "metric": METRIC,
         "value": round(rate, 2),
         "unit": "registrations/sec",
         "vs_baseline": round(rate / BASELINE_REGS_PER_SEC, 2),
         "partial": phase,
-    }
-    if FUSED_FALLBACK:
-        payload["fused_fallback"] = True
+    })
     print(json.dumps(payload), flush=True)
 
 
@@ -132,6 +145,13 @@ def bench_icp_64k():
     log(f"first registration (compile+run): {time.perf_counter()-t0:.2f}s; "
         f"iters={int(res.iterations)} overlap={float(res.overlap):.3f} "
         f"converged={bool(res.converged)}")
+    log("NOTE: converged=False is expected for this fixed-budget profile "
+        "(mi=5 with a 4-iteration smoothed-eps window leaves the checker "
+        "one iteration of room, and non-coincident matches keep per-iter "
+        "deltas above eps after accuracy has converged — mi=5/10 A/B "
+        "recover identical transforms). max_iter_reached=True means this "
+        "profile must NOT be reused for loop-closure verification; "
+        "LoopCloser validates that (ops.icp.eps_dead_zone).")
     err = np.asarray(se3.log(se3.inverse(res.T) @ offset))
     log(f"recovered-transform error norm: {np.linalg.norm(err):.2e}")
 
@@ -264,22 +284,37 @@ def bench_icp_64k():
         map_raw = np.stack([
             render_scan(world, agent_pose(b), brng, 65536,
                         max_range=30.0, noise=0.01) for b in range(B)])
-        read_raw = np.stack([
-            render_scan(world, agent_pose(b), brng, 65536,
-                        max_range=30.0, noise=0.01) for b in range(B)])
-        log(f"rendered {2*B} independent 64k scans: "
-            f"{time.perf_counter()-t0:.1f} s")
-        twists = (brng.normal(size=(B, 6))
-                  * [0.15, 0.15, 0.03, 0.005, 0.005, 0.02]
-                  ).astype(np.float32)
-        offsets = np.asarray(jax.vmap(se3.exp)(jnp.asarray(twists)))
-        inv = np.linalg.inv(offsets)
-        readings_raw = (np.einsum("bij,bnj->bni", inv[:, :3, :3], read_raw)
-                        + inv[:, None, :3, 3]).astype(np.float32)
-
-        if read_raw.shape[1] != 65536 or map_raw.shape[1] != 65536:
-            raise RuntimeError(f"render returned {read_raw.shape[1]} rows; "
+        if map_raw.shape[1] != 65536:
+            raise RuntimeError(f"render returned {map_raw.shape[1]} rows; "
                                f"the fused-step shapes assume 65536")
+        # r4 protocol (VERDICT r3 weak #2): the timed loop streams
+        # n_bat DISTINCT 128-scan blocks — every scan in the window is a
+        # fresh independent render with its own offset; nothing repeats.
+        # The per-agent reference maps stay persistent across blocks
+        # (ICPSequence.setMap semantics: maps are rebuilt per keyframe in
+        # production, not per scan).
+        n_bat = 8
+        QS = QSCALE
+
+        def render_block(bi):
+            read_raw = np.stack([
+                render_scan(world, agent_pose(b), brng, 65536,
+                            max_range=30.0, noise=0.01) for b in range(B)])
+            twists = (brng.normal(size=(B, 6))
+                      * [0.15, 0.15, 0.03, 0.005, 0.005, 0.02]
+                      ).astype(np.float32)
+            offs = np.asarray(jax.vmap(se3.exp)(jnp.asarray(twists)))
+            inv = np.linalg.inv(offs)
+            rr = (np.einsum("bij,bnj->bni", inv[:, :3, :3], read_raw)
+                  + inv[:, None, :3, 3]).astype(np.float32)
+            return rr, offs
+
+        blocks = [render_block(bi) for bi in range(n_bat)]
+        readings_raw, offsets = blocks[0]   # block 0 doubles as the
+        # operand for the sensor-decimated aux variant below
+        log(f"rendered {B + n_bat*B} independent 64k scans "
+            f"({n_bat} distinct timed blocks): "
+            f"{time.perf_counter()-t0:.1f} s")
         t0 = time.perf_counter()
         refs = stack_clouds([eng_b.prepare_reference(
             make_cloud(map_raw[b], capacity=65536)) for b in range(B)])
@@ -293,33 +328,28 @@ def bench_icp_64k():
         # range words, so the stream arrives quantized — model that by
         # quantizing the rendered scans ONCE here (1 mm grid, 0.5 mm max
         # round-off against the 10 mm range noise; accuracy identical to
-        # f32 input, chip-verified in /tmp/dbg_batch6). The per-scan
-        # host work inside the timed loop is the decimation copy.
-        sensor_i16 = np.clip(np.round(readings_raw * QSCALE),
-                             -32767, 32767).astype(np.int16)
-
-        def make_host_batch():
-            # Stride-32 packet decimation of the raw spin: 2048
-            # candidates for the in-graph VoxelGrid to equalize down to
-            # the 1024-pt working set. Stride 16 (4096 candidates,
-            # 3 MB/batch) was accuracy-identical (chip A/B: q50/q90/max
-            # 0.027/0.055/0.080 both ways — even RAW 1024-pt packets
-            # match, see the SENSOR-DECIMATED line) but its h2d could
-            # not hide under compute on slow relay sessions (transfer
-            # bandwidth swings 40-120 MB/s; 3 MB cost 73 ms one session,
-            # 26 ms another). 1.5 MB always fits under the ~57 ms
-            # device window.
-            return np.ascontiguousarray(sensor_i16[:, ::32])
+        # f32 input, chip-verified r3). Stride-32 packet decimation:
+        # 2048 candidates for the in-graph VoxelGrid to equalize down to
+        # the 1024-pt working set (stride 16 / 3 MB was accuracy-
+        # identical but its h2d cannot hide under compute on slow relay
+        # sessions — bandwidth swings 40-120 MB/s; 1.5 MB always fits
+        # under the device window). Packetization is staged pre-window:
+        # it is the sensor driver's job, and this box's shared host core
+        # swings >2x minute-to-minute.
+        def make_host_batch(rr):
+            q = np.clip(np.round(rr[:, ::32] * QSCALE),
+                        -32767, 32767).astype(np.int16)
+            return np.ascontiguousarray(q)
 
         # Warm BOTH input provenances: the timed loop feeds
         # pre-transferred (committed) device arrays via the prefetcher,
         # and jit cache keys on this stack include arg provenance beyond
         # avals (the retrace trap above) — so warm the numpy-arg and the
         # device-arg signatures explicitly.
-        bres = fused_step(make_host_batch(), refs, fref, Ts)
+        bres = fused_step(make_host_batch(readings_raw), refs, fref, Ts)
         jax.block_until_ready(bres.T)
-        bres = fused_step(jax.device_put(make_host_batch()), refs,
-                          fref, Ts)
+        bres = fused_step(jax.device_put(make_host_batch(readings_raw)),
+                          refs, fref, Ts)
         jax.block_until_ready(bres.T)
         try:   # diagnostic only — _cache_size is private jax API; never
             # let its absence zero the headline via the outer except
@@ -346,30 +376,35 @@ def bench_icp_64k():
         # register — stays timed. Two timed loops, best-of: min-of-N is
         # the standard de-noising for shared-tenancy dispatch jitter.
         from pgslam_tpu.utils.prefetch import prefetch_batches
-        n_bat = 8
-        packets = [make_host_batch() for _ in range(n_bat)]
+        packets = [make_host_batch(rr) for rr, _ in blocks]
 
         def run_timed():
-            res = None
+            results = []
             t0 = time.perf_counter()
             for dev in prefetch_batches(iter(packets), depth=1):
-                res = fused_step(dev, refs, fref, Ts)
-            jax.block_until_ready(res.T)
-            return (time.perf_counter() - t0) / n_bat, res
+                results.append(fused_step(dev, refs, fref, Ts))
+            jax.block_until_ready(results[-1].T)
+            return (time.perf_counter() - t0) / n_bat, results
 
-        bdt1, bres = run_timed()
-        bdt2, bres = run_timed()
+        bdt1, bress = run_timed()
+        bdt2, bress = run_timed()
         bdt = min(bdt1, bdt2)
+        global LOOP_TIMES_MS
+        LOOP_TIMES_MS = [round(bdt1 * 1e3, 2), round(bdt2 * 1e3, 2)]
         batched_rate = B / bdt
-        en = np.asarray(pose_errs(bres.T, jnp.asarray(offsets)))
+        en = np.concatenate([
+            np.asarray(pose_errs(r.T, jnp.asarray(o)))
+            for r, (_, o) in zip(bress, blocks)])
         err_max = float(en.max())
-        its = np.asarray(bres.iterations)
-        log(f"batched x{B} PIPELINE (distinct rendered scans; h2d + "
-            f"dequant + voxel prep + fused register, prefetch "
-            f"depth 1; loops {bdt1*1e3:.1f}/{bdt2*1e3:.1f} ms): "
+        its = np.concatenate([np.asarray(r.iterations) for r in bress])
+        log(f"batched x{B} PIPELINE ({n_bat} distinct blocks x {B} "
+            f"distinct rendered scans; h2d + dequant + voxel prep + "
+            f"fused register, prefetch depth 1; loops "
+            f"{bdt1*1e3:.1f}/{bdt2*1e3:.1f} ms): "
             f"{bdt*1e3:.2f} ms/batch "
             f"= {batched_rate:.1f} regs/sec, "
-            f"err q50/q90/max={np.quantile(en, 0.5):.3f}/"
+            f"err over all {n_bat*B} scans q50/q90/max="
+            f"{np.quantile(en, 0.5):.3f}/"
             f"{np.quantile(en, 0.9):.3f}/{err_max:.3f} m, "
             f"iters={its.min()}-{its.max()}")
         # Accuracy gate BEFORE the checkpoint: the honest protocol's
@@ -382,7 +417,7 @@ def bench_icp_64k():
 
         # kernel-only reference point (the r2-style protocol, same
         # distinct scans, prep + h2d excluded) for comparison
-        host_i16 = make_host_batch()
+        host_i16 = make_host_batch(readings_raw)
         pts_dev = jax.device_put(host_i16)
         kres = fused_step(pts_dev, refs, fref, Ts)
         jax.block_until_ready(kres.T)
@@ -539,14 +574,12 @@ def child_main():
     rate = max(single_rate, batched_rate)
     log(f"single-stream {single_rate:.1f} regs/s, "
         f"batched throughput {batched_rate:.1f} regs/s")
-    payload = {
+    payload = _decorate({
         "metric": METRIC,
         "value": round(rate, 2),
         "unit": "registrations/sec",
         "vs_baseline": round(rate / BASELINE_REGS_PER_SEC, 2),
-    }
-    if FUSED_FALLBACK:
-        payload["fused_fallback"] = True
+    })
     print(json.dumps(payload), flush=True)
 
 
@@ -565,7 +598,7 @@ def _last_json(text: str):
     return best
 
 
-def main(total_budget_s: float = 560.0):
+def main(total_budget_s: float = 560.0, retry_sleep_s: float = 5.0):
     """Supervisor: run the benchmark in a subprocess so that a wedged TPU
     claim (observed r1: BENCH_r01 recorded rc=1 and no JSON) can be
     killed and retried, and so this process ALWAYS prints exactly one
@@ -583,11 +616,14 @@ def main(total_budget_s: float = 560.0):
     best = None  # best checkpoint seen across attempts
 
     def consider(parsed):
+        # Best checkpoint = highest measured value, regardless of which
+        # phase it came from: a salvaged final line is just another
+        # candidate (ADVICE r3: it must not override a higher-valued
+        # partial from an earlier attempt).
         nonlocal best
         if parsed is None:
             return
-        if best is None or parsed.get("value", 0) > best.get("value", 0) \
-                or "partial" not in parsed:
+        if best is None or parsed.get("value", 0) > best.get("value", 0):
             best = parsed
 
     for attempt in range(2):
@@ -596,7 +632,7 @@ def main(total_budget_s: float = 560.0):
             errors.append("budget_exhausted")
             break
         if attempt:
-            time.sleep(5)  # brief backoff before re-claiming the chip
+            time.sleep(retry_sleep_s)  # backoff before re-claiming the chip
         # Cap the first attempt below the total so a pathological hang
         # AFTER the backend claim (the claim itself is covered by the
         # 120 s device watchdog) still leaves attempt 2 some budget; the
@@ -611,7 +647,14 @@ def main(total_budget_s: float = 560.0):
         except subprocess.TimeoutExpired as e:
             errors.append(f"attempt{attempt}_timeout")
             out = (e.stdout or b"").decode(errors="replace")
-            consider(_last_json(out))
+            parsed = _last_json(out)
+            if parsed is not None and "partial" not in parsed:
+                # The child finished the whole run (final line printed)
+                # but hung before exiting — ship the complete result now
+                # rather than mislabeling it a truncated checkpoint.
+                print(json.dumps(parsed), flush=True)
+                return
+            consider(parsed)
             if best is not None and best.get("partial") == \
                     "batched_pipeline":
                 break  # headline already measured; don't re-claim
@@ -623,6 +666,12 @@ def main(total_budget_s: float = 560.0):
             return
         consider(parsed)
         errors.append(f"attempt{attempt}_rc{proc.returncode}")
+        if best is not None and best.get("partial") == "batched_pipeline":
+            # Same early-exit as the timeout path (ADVICE r3): a child
+            # that crashed after the batched headline checkpoint already
+            # delivered the number — re-claiming the chip risks wedging
+            # the shared pool for nothing.
+            break
     if best is not None:
         # A measured (possibly phase-truncated) number beats a zero.
         best["truncated_after"] = best.pop("partial", "final")

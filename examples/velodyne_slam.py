@@ -25,7 +25,7 @@ from pgslam_tpu.slam import PoseGraphSlam, SlamConfig
 from pgslam_tpu.utils import StageTimer
 
 
-def velodyne_config() -> SlamConfig:
+def velodyne_config(sync_lag: int = 0) -> SlamConfig:
     # The chip-proven single-stream profile (bench.py, BENCH_NOTES
     # late-r3): packed hi/lo bf16 matcher + coarse-to-fine at a 2k/8k
     # voxel working set + mi=5. The original profile here (HIGHEST
@@ -45,9 +45,17 @@ def velodyne_config() -> SlamConfig:
         coarse_div=8, coarse_iterations=8,
         max_iterations=5, trans_eps=1e-4, rot_eps=1e-4,
         max_correction_trans=3.0, max_correction_rot=0.5)
+    # sync_lag=2 is the deployable live-loop profile on relay-attached
+    # chips: scan results commit two scans late (MT-style staleness,
+    # LocalizerConfig.sync_lag docstring) so the packed-result d2h
+    # overlaps the next scans' transfers — chip A/B
+    # (scripts/probe_deferred_sync.py): per-scan sync 197 ms/scan vs
+    # lag-2 + async copy 36 ms/scan (= the no-readback pipeline floor)
+    # in the same session.
     return SlamConfig(
         localizer=LocalizerConfig(icp=icp, keyframe_cloud_capacity=65536,
-                                  overlap_threshold=0.8),
+                                  overlap_threshold=0.8,
+                                  sync_lag=sync_lag),
         loop_closer=LoopCloserConfig(icp=icp, topo_dist_threshold=30.0,
                                      geom_dist_threshold=10.0,
                                      overlap_threshold=0.6),

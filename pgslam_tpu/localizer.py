@@ -326,6 +326,30 @@ class LocalizerConfig:
     # Fixed capacity of keyframe clouds after input filtering (compaction
     # target; fixed-shape discipline for the local-map builder).
     keyframe_cloud_capacity: int = 1024
+    # Deferred-commit depth for the single-threaded scan path: with
+    # sync_lag=k, scan t's registration is DISPATCHED immediately but its
+    # result (and the keyframe/composition decision tree it feeds) is
+    # consumed at scan t+k's call — so the per-scan device->host sync of
+    # the packed result overlaps the next scan's transfer + registration
+    # instead of serializing after it. This is the reference's own MT
+    # semantics (LocalizerMT.hpp:122-134: the localizer registers against
+    # a map that may be one decision stale and resyncs at the next drain)
+    # applied to the ST path; decisions lag k scans, initial guesses are
+    # odometry-extrapolated from the last committed pose, and
+    # :meth:`Localizer.flush` commits the tail. 0 = classic per-scan sync.
+    sync_lag: int = 0
+
+
+@dataclasses.dataclass
+class _Inflight:
+    """A dispatched-but-uncommitted scan (sync_lag > 0)."""
+    packed: jax.Array          # [59] result vector, device-resident
+    cloud: Cloud               # prepared input cloud (device)
+    reading: Cloud             # filtered reading (device)
+    T_world_refkf: np.ndarray  # refkf pose the registration ran in
+    probe_comp: Optional["Composition"]
+    odom_pose: np.ndarray      # this scan's odometry world pose
+    comp_items: Tuple[int, ...]  # composition the registration ran against
 
 
 class Localizer:
@@ -356,6 +380,13 @@ class Localizer:
         # (member update_times, built+filtered world cloud)}. See
         # :func:`_probe_build` / :meth:`_cached_probe_map`.
         self._probe_cache: dict = {}
+        # Deferred-commit state (config.sync_lag > 0): dispatched scans
+        # whose results have not been consumed yet, oldest first, plus
+        # the odometry pose of the last COMMITTED scan (the base for
+        # world-frame initial-guess extrapolation across the gap).
+        import collections
+        self._inflight: "collections.deque[_Inflight]" = collections.deque()
+        self._committed_odom = np.eye(4, dtype=np.float32)
         # The current scan's prepared reading (set by process_data /
         # prepare_scan) — reused by the inline overlap probe instead of
         # re-running the reading filters.
@@ -409,7 +440,14 @@ class Localizer:
             assert self.prepare_scan(input_T_world_robot,
                                      input_T_robot_sensor,
                                      input_cloud) is None
+            # Base for deferred-mode initial-guess extrapolation.
+            self._committed_odom = np.asarray(input_T_world_robot,
+                                              np.float32)
             return
+        if self.config.sync_lag > 0:
+            return self._process_data_deferred(
+                np.asarray(input_T_world_robot, np.float32),
+                np.asarray(input_T_robot_sensor, np.float32), input_cloud)
         # Hot path: same bookkeeping as prepare_scan, but input pipeline +
         # reading filters + ICP fuse into ONE dispatch (the dispatch
         # overhead, not the compute, bounds single-stream scan rate on a
@@ -461,6 +499,124 @@ class Localizer:
         self.apply_composition(build=True)
         self.last_input_T_world_robot = np.asarray(input_T_world_robot,
                                                    np.float32)
+        self._committed_odom = self.last_input_T_world_robot
+
+    # -- deferred-commit scan path (config.sync_lag > 0) --------------------
+
+    def _process_data_deferred(self, input_T_world_robot: np.ndarray,
+                               input_T_robot_sensor: np.ndarray,
+                               input_cloud: Cloud) -> None:
+        """The hot scan path with the per-scan device sync broken: scan
+        t's registration+probe dispatch goes out immediately (with an
+        odometry-extrapolated initial guess), and scan t-sync_lag's
+        result is consumed while t's transfer+registration is in flight —
+        on a relay-attached chip the packed-result d2h (~30 ms
+        payload-independent floor, BENCH_NOTES config-4 profile) then
+        overlaps the next scan's work instead of serializing after it.
+
+        Semantics note (mirrors the MT variant, LocalizerMT.hpp:122-134):
+        keyframe/composition decisions lag ``sync_lag`` scans, so an
+        in-flight scan may register against a map that is one decision
+        stale; its committed world pose is still computed in the frame it
+        actually registered in (``_Inflight.T_world_refkf``), then
+        re-anchored to the current reference keyframe."""
+        log.info("[Localizer] Processing cloud #%d (deferred)", self.count)
+        from .utils import counters
+        counters["localizer/scans"] += 1
+        key = jax.random.PRNGKey(self.count)
+        self.count += 1
+
+        # World-frame pose prediction: last committed pose composed with
+        # the odometry increment since the last committed scan. Pure
+        # odometry extrapolation across the in-flight gap — the ICP
+        # correction of the uncommitted scans (typically sub-cm) is the
+        # price of not syncing on them.
+        T_pred_world = (
+            np.asarray(self.T_world_robot, np.float64)
+            @ np.linalg.inv(np.asarray(self._committed_odom, np.float64))
+            @ np.asarray(input_T_world_robot, np.float64))
+        T_world_refkf = np.asarray(
+            self.local_map.reference_keyframe().optimized_T_world_kf,
+            np.float64)
+        R = T_world_refkf[:3, :3]
+        Tinv = np.eye(4, dtype=np.float64)
+        Tinv[:3, :3] = R.T
+        Tinv[:3, 3] = -R.T @ T_world_refkf[:3, 3]
+        T0 = _orthonormalize((Tinv @ T_pred_world).astype(np.float32))
+
+        probe_comp = self.neighbor_probe_request(
+            T_world_robot=T_pred_world.astype(np.float32))
+        probe_map = (self._cached_probe_map(probe_comp)
+                     if probe_comp is not None else None)
+
+        args = (self.config.input_filters,
+                self.config.keyframe_cloud_capacity,
+                self.icp_engine.config, input_cloud,
+                jnp.asarray(input_T_robot_sensor, jnp.float32), key,
+                self.icp_engine.reference, jnp.asarray(T0),
+                self.icp_engine._index)
+        T_world_refkf32 = T_world_refkf.astype(np.float32)
+        if probe_map is not None:
+            cloud, reading, packed = _prepare_register_probe(
+                *args, probe_map, jnp.asarray(T_world_refkf32))
+        else:
+            cloud, reading, packed = _prepare_and_register(*args)
+        try:
+            # Start the d2h of the packed result NOW so it rides behind
+            # the dispatch instead of waiting for the commit-time fetch.
+            packed.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+        self._inflight.append(_Inflight(
+            packed=packed, cloud=cloud, reading=reading,
+            T_world_refkf=T_world_refkf32, probe_comp=probe_comp,
+            odom_pose=np.asarray(input_T_world_robot, np.float32),
+            comp_items=tuple(self.local_map.get_composition().as_list())))
+        self.last_input_T_world_robot = np.asarray(input_T_world_robot,
+                                                   np.float32)
+        while len(self._inflight) > self.config.sync_lag:
+            self._commit(self._inflight.popleft())
+
+    def _commit(self, inflight: _Inflight) -> None:
+        """Consume one in-flight scan: fetch its packed result, update the
+        pose state, and run the keyframe/composition decision tree
+        (identical logic to the sync path, one sync_lag later)."""
+        result, ov = _unpack_result_vec(jax.device_get(inflight.packed))
+        self.last_result = result
+        # World pose in the frame the registration actually ran in.
+        self.T_world_robot = _orthonormalize(
+            (np.asarray(inflight.T_world_refkf, np.float64)
+             @ np.asarray(result.T, np.float64)).astype(np.float32))
+        # Re-anchor to the CURRENT reference keyframe (the composition may
+        # have moved since dispatch — the accepted sync_lag staleness).
+        self.update_refkf_robot_pose()
+        self.input_cloud = inflight.cloud
+        self._last_reading = inflight.reading
+        self._committed_odom = inflight.odom_pose
+        if inflight.comp_items != tuple(
+                self.local_map.get_composition().as_list()):
+            # The composition changed between dispatch and commit (an
+            # earlier commit spawned a keyframe or swapped the map), so
+            # this scan's overlap was measured against the OLD map —
+            # acting on it double-spawns keyframes 1 scan apart. Use the
+            # scan for localization only; the next scan (registered
+            # against the new map) resumes the decision tree. Mirrors
+            # the MT variant's stale-snapshot discipline
+            # (LocalizerMT.hpp:102-119: resync before committing).
+            log.info("[Localizer] deferred commit against stale "
+                     "composition — decision muted for this scan")
+            return
+        self.decide_composition(
+            result, neighbor_probe=(inflight.probe_comp,
+                                    None if ov is None else float(ov)))
+        self.apply_composition(build=True)
+
+    def flush(self) -> None:
+        """Commit every in-flight scan (sync_lag > 0). Call before reading
+        localizer/graph state that must reflect ALL submitted scans — the
+        facade's trajectory/error queries and end-of-stream handling do."""
+        while self._inflight:
+            self._commit(self._inflight.popleft())
 
     def prepare_scan(self, input_T_world_robot, input_T_robot_sensor,
                      input_cloud: Cloud, key=None, prepared: Cloud = None,

@@ -90,6 +90,39 @@ class ICPConfig:
     reference_filters: Tuple = ()
 
 
+def eps_dead_zone(cfg: ICPConfig) -> Optional[str]:
+    """Reason the differential convergence checker can NEVER fire for this
+    config, or None if it can.
+
+    The checker smooths the last ``smooth_length`` iteration deltas and
+    the window starts ``inf``-filled (libpointmatcher semantics), so
+    ``converged`` is structurally unreachable until iteration
+    ``smooth_length`` — with ``max_iterations <= smooth_length`` every
+    registration reports ``max_iter_reached=True`` regardless of the data.
+    That flag is exactly what loop-closure acceptance rejects on
+    (``LoopCloser.hpp:317``), so such a profile silently rejects 100% of
+    closures (VERDICT r3 weak #3)."""
+    L = max(1, cfg.smooth_length)
+    if cfg.max_iterations <= L:
+        return (f"max_iterations={cfg.max_iterations} <= smooth_length={L}: "
+                f"the smoothed eps window never fills, so converged can "
+                f"never be reported and max_iter_reached is unconditionally "
+                f"True")
+    if cfg.trans_eps <= 0 or cfg.rot_eps <= 0:
+        return (f"trans_eps={cfg.trans_eps} / rot_eps={cfg.rot_eps}: "
+                f"non-positive eps can never be satisfied")
+    return None
+
+
+def eps_margin(cfg: ICPConfig) -> int:
+    """Iterations in which the differential checker CAN fire
+    (``max_iterations - smooth_length``). Small positive values mean the
+    checker is live but has almost no room — fine for throughput
+    profiles (the localizer ignores ``max_iter_reached``), hazardous for
+    loop-closure verification profiles (which reject on it)."""
+    return cfg.max_iterations - max(1, cfg.smooth_length)
+
+
 @struct.dataclass
 class ICPResult:
     """Registration result + the introspection the framework depends on."""
@@ -323,6 +356,15 @@ class ICPEngine:
     mirroring ``ICPSequence``'s ``setMap`` semantics."""
 
     def __init__(self, config: ICPConfig = ICPConfig()):
+        reason = eps_dead_zone(config)
+        if reason is not None:
+            import logging
+            logging.getLogger("pgslam_tpu.icp").warning(
+                "[ICP] convergence checker can never fire (%s) — every "
+                "result will report converged=False / "
+                "max_iter_reached=True. Fine for fixed-budget throughput "
+                "profiles; NOT usable for loop-closure verification "
+                "(check_icp_result rejects on max_iter_reached).", reason)
         self.config = config
         self._reference: Optional[Cloud] = None
         self._index = None

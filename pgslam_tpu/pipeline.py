@@ -287,6 +287,12 @@ class PoseGraphSlamMT:
 
     AddData = add_data
 
+    def flush(self) -> None:
+        """Base-facade parity (deferred commits are an ST-path feature;
+        the MT localizer's in-flight queue is always empty — its worker
+        thread IS the deferred consumer)."""
+        self.localizer.flush()
+
     # -- state access ------------------------------------------------------
 
     def get_graph(self):

@@ -114,23 +114,36 @@ class PoseGraphSlam:
     # C++-style alias for API parity.
     AddData = add_data
 
+    def flush(self) -> None:
+        """Commit any in-flight deferred scans (``sync_lag > 0`` in the
+        LocalizerConfig): block on their results and run the deferred
+        keyframe/composition decisions. No-op in classic per-scan-sync
+        mode. The state accessors below call this, so reads always
+        reflect every scan submitted via :meth:`add_data`."""
+        self.localizer.flush()
+
     # -- state access ------------------------------------------------------
 
     @property
     def T_world_robot(self) -> np.ndarray:
+        self.flush()
         return self.localizer.T_world_robot
 
     def get_graph(self):
+        self.flush()
         return self.map_manager.get_graph()
 
     def get_local_map(self) -> Tuple[Optional[Cloud], bool]:
+        self.flush()
         return self.localizer.get_local_map()
 
     def get_local_map_in_world_frame(self) -> Tuple[Optional[Cloud], bool]:
+        self.flush()
         return self.localizer.get_local_map_in_world_frame()
 
     def trajectory(self) -> np.ndarray:
         """Optimized keyframe poses [n, 4, 4]."""
+        self.flush()
         g = self.map_manager.get_graph()
         return g.optimized_poses[:g.n_vertices].copy()
 
@@ -141,6 +154,7 @@ class PoseGraphSlam:
         dense ``[N, 3]`` float32 array (masked points dropped); cap the
         per-keyframe contribution with ``max_points_per_keyframe``.
         Export with :func:`pgslam_tpu.io.save_cloud_ply`."""
+        self.flush()
         g = self.map_manager.get_graph()
         parts = []
         for v in range(g.n_vertices):
@@ -158,6 +172,7 @@ class PoseGraphSlam:
         return np.concatenate(parts, axis=0)
 
     def write_graphviz(self, path: str) -> None:
+        self.flush()
         self.map_manager.write_graphviz(path)
 
     WriteGraphviz = write_graphviz

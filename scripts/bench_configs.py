@@ -200,7 +200,7 @@ def config4_velodyne():
         T[:3, 3] = [x, 0.0, 1.8]
         return T
 
-    poses = [pose_at(2.0 + i * 1.0) for i in range(10)]
+    poses = [pose_at(2.0 + i * 1.0) for i in range(26)]
     scans = [render_scan(world, T, rng, 65536, max_range=30.0, noise=0.01)
              for T in poses]
     # Stage the spins as KITTI .bin files and stream them back through the
@@ -219,25 +219,35 @@ def config4_velodyne():
     except ImportError:
         native = False
         loader = iter(scans)
-    slam = PoseGraphSlam(velodyne_config())
-    slam.add_data(0, "world", poses[0], np.eye(4), next(loader))
-    slam.add_data(1, "world", poses[1], np.eye(4), next(loader))  # warm
+    # sync_lag=2: the deferred-commit live loop (VERDICT r3 item 1) —
+    # scan results commit two scans late so the packed-result d2h
+    # overlaps in-flight transfers instead of serializing (~30 ms relay
+    # sync floor per scan otherwise; see probe_deferred_sync.py A/B).
+    slam = PoseGraphSlam(velodyne_config(sync_lag=2))
+    # Warm through the FIRST keyframe spawn: it pays the loop-closer +
+    # optimizer first-traces (seconds on this host core), which are
+    # one-time costs, not per-scan ones.
+    n_warm = 6
+    for i in range(n_warm):
+        slam.add_data(i, "world", poses[i], np.eye(4), next(loader))
+    slam.flush()
     # Triple overlap: native disk reads ahead of host staging ahead of
-    # the device registrations.
+    # the device registrations; decision commits trail two scans.
     from pgslam_tpu.utils.prefetch import prefetch_clouds
     t0 = time.perf_counter()
     n = 0
     for i, cloud in enumerate(prefetch_clouds(loader, capacity=65536),
-                              start=2):
+                              start=n_warm):
         slam.add_data(i, "world", poses[i], np.eye(4), cloud)
         n += 1
+    slam.flush()   # all n scans' results + decisions land in-window
     dt = (time.perf_counter() - t0) / n
     err = float(np.linalg.norm(
         slam.localizer.T_world_robot[:3, 3] - poses[len(scans) - 1][:3, 3]))
     emit("4_velodyne_full_slam_64k", ms_per_scan=round(dt * 1e3, 1),
          scans_per_sec=round(1 / dt, 2), final_err_m=round(err, 3),
          keyframes=int(slam.get_graph().n_vertices),
-         native_bin_loader=native)
+         native_bin_loader=native, sync_lag=2)
 
 
 def config5_multi_agent():

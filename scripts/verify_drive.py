@@ -60,6 +60,18 @@ traj = slam.trajectory()
 print(f"trajectory shape {traj.shape}; kf0 at {traj[0][:3,3]}, "
       f"last kf at {traj[-1][:3,3]}")
 
+print("PROBE deferred (sync_lag=2) facade:", end=" ")
+import dataclasses
+dcfg = dataclasses.replace(
+    cfg, localizer=dataclasses.replace(cfg.localizer, sync_lag=2))
+dslam = PoseGraphSlam(dcfg)
+for i, (scan, T_odom) in enumerate(zip(scans, odom)):
+    dslam.add_data(i, "world", T_odom, np.eye(4), scan)
+derr = np.linalg.norm(dslam.T_world_robot[:3, 3] - truth[-1][:3, 3])
+print(f"deferred err={derr:.3f} m (accessor auto-flush), "
+      f"kfs={dslam.get_graph().n_vertices}")
+assert derr < 0.25, "deferred tracking failed"
+
 # --- probes ---
 print("PROBE bad cloud shape:", end=" ")
 try:

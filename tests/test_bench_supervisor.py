@@ -24,7 +24,10 @@ import bench
 
 def _run_main(monkeypatch_run, capsys):
     with mock.patch.object(subprocess, "run", side_effect=monkeypatch_run):
-        bench.main(total_budget_s=560.0)
+        # retry_sleep_s=0: the 5 s inter-attempt backoff is real chip
+        # etiquette, not something the mocked tests should sleep through
+        # (ADVICE r3: the two double-attempt tests each slept 5 s).
+        bench.main(total_budget_s=560.0, retry_sleep_s=0.0)
     lines = [ln for ln in capsys.readouterr().out.strip().splitlines()
              if ln.strip()]
     assert len(lines) == 1, f"supervisor must print exactly one line: {lines}"
@@ -114,3 +117,64 @@ def test_no_output_at_all_yields_zero_error_line(capsys):
     out = _run_main(fake_run, capsys)
     assert out["value"] == 0.0
     assert "tpu_unavailable" in out["error"]
+
+
+def test_timeout_with_final_line_ships_it_clean(capsys):
+    """ADVICE r3: a child that printed its FINAL line but hung before
+    exiting is a complete run — ship it unchanged (same as the clean
+    path), never as a 'truncated_after: final' checkpoint."""
+    final = {"metric": bench.METRIC, "value": 2900.0,
+             "unit": "registrations/sec", "vs_baseline": 580.0}
+    stdout = (_ckpt(390.0, "single_stream") + b"\n"
+              + _ckpt(2900.0, "batched_pipeline") + b"\n"
+              + json.dumps(final).encode() + b"\n")
+    calls = []
+
+    def fake_run(*a, **k):
+        calls.append(k)
+        raise _timeout(stdout)
+
+    out = _run_main(fake_run, capsys)
+    assert out == final
+    assert len(calls) == 1
+
+
+def test_crash_after_batched_checkpoint_does_not_retry(capsys):
+    """ADVICE r3: the rc!=0 path gets the same early-exit as the timeout
+    path — once the batched headline is in hand, a retry only risks
+    wedging the shared TPU pool."""
+    stdout = (_ckpt(395.0, "single_stream") + b"\n"
+              + _ckpt(3105.5, "batched_pipeline") + b"\n")
+    calls = []
+
+    def fake_run(*a, **k):
+        calls.append(k)
+        return _proc(stdout, rc=1)
+
+    out = _run_main(fake_run, capsys)
+    assert out["value"] == 3105.5
+    assert out["truncated_after"] == "batched_pipeline"
+    assert len(calls) == 1
+
+
+def test_salvaged_lower_value_never_overrides_higher_checkpoint(capsys):
+    """ADVICE r3: best-checkpoint selection is by VALUE across attempts;
+    a later lower-valued salvage must not clobber an earlier higher one."""
+    seq = [_timeout(_ckpt(2800.0, "batched_pipeline") + b"\n")]
+    # (the batched checkpoint triggers the early-exit, single attempt)
+
+    def fake_run(*a, **k):
+        raise seq.pop(0)
+
+    out = _run_main(fake_run, capsys)
+    assert out["value"] == 2800.0
+
+    # Two single-stream-only attempts: second is slower; first wins.
+    seq2 = [_timeout(_ckpt(400.0, "single_stream") + b"\n"),
+            _timeout(_ckpt(350.0, "single_stream") + b"\n")]
+
+    def fake_run2(*a, **k):
+        raise seq2.pop(0)
+
+    out2 = _run_main(fake_run2, capsys)
+    assert out2["value"] == 400.0

@@ -76,7 +76,9 @@ def main():
             return orig_unpack(vec)
         n_warm = 6
         for i in range(n_warm):
+            tw = time.perf_counter()
             slam.add_data(i, "world", poses[i], np.eye(4), scans[i])
+            print(f"  warm {i}: {time.perf_counter()-tw:.1f}s", flush=True)
         slam.flush()
         stage.clear()
         per_scan = []

@@ -95,7 +95,7 @@ def bench_icp_64k():
     # working set (standard LiDAR-odometry practice: pose estimation
     # saturates around a few thousand correspondences), fused Pallas
     # matcher, point-to-plane minimization. r3 single-stream profile
-    # (chip A/B, scripts/probe_r3.py probe 4): packed hi/lo bf16 matcher
+    # (chip A/B, scripts/archive/probe_r3.py probe 4): packed hi/lo bf16 matcher
     # + coarse-to-fine at a 2k/8k working set — 8.08 -> 3.57 ms/reg (280
     # regs/s) at err 6.0e-07 vs the r2 exact-matcher 4k/16k profile.
     cfg = ICPConfig(
@@ -181,7 +181,7 @@ def bench_icp_64k():
     # maps are persistent (ICPSequence.setMap semantics, rebuilt per
     # keyframe in production, amortized across scans) — their one-time
     # prep is reported but outside the timed loop. Stage profile and
-    # A/B sweeps: /tmp/dbg_batch5-6 (r3), BENCH_NOTES.md.
+    # A/B sweeps: BENCH_NOTES.md (r3 protocol + stage tables).
     batched_rate = 0.0
     try:
         from pgslam_tpu.cloud import Cloud, stack_clouds
@@ -195,7 +195,7 @@ def bench_icp_64k():
                                F.SurfaceNormal(knn=8, tile_query=4096)),
             outlier=(O.TrimmedDist(0.9), O.MaxDist(1.0)),
             coarse_div=8, coarse_iterations=8,
-            # mi=5: chip A/B sweep (probe_aa_chip, late-r3) — accuracy
+            # mi=5: chip A/B sweep (scripts/archive/probe_aa_chip.py, late-r3) — accuracy
             # is within noise of mi=6/8/10 (q50/q90/max 0.0223/0.0580/
             # 0.0868 m vs 0.0234/0.0561/0.0854 at mi=6) at 35.99 ->
             # 34.15 ms/batch; mi=4 is another 6% but widens the tail
@@ -433,7 +433,7 @@ def bench_icp_64k():
         # the int16 packet arrives already at the 1024-pt working set —
         # real LiDAR decimation/return modes do this on-sensor, and the
         # rendered points are randomly ordered so stride decimation IS a
-        # uniform random subsample. Chip A/B (scripts/probe_noprep, r3):
+        # uniform random subsample. Chip A/B (scripts/archive/probe_noprep.py, r3):
         # accuracy identical to the in-graph VoxelGrid prep (q50/q90/max
         # 0.025/0.049/0.086 vs 0.027/0.055/0.080 m); 4x fewer h2d bytes;
         # the in-graph prep's ~25 ms/batch disappears. The headline JSON

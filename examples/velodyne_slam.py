@@ -6,6 +6,7 @@ is given) through the full pipeline with the production voxel-working-set
 
     python examples/velodyne_slam.py [kitti_velodyne_dir] [n_scans]
 """
+import dataclasses
 import os
 import sys
 
@@ -52,11 +53,20 @@ def velodyne_config(sync_lag: int = 0) -> SlamConfig:
     # (scripts/probe_deferred_sync.py): per-scan sync 197 ms/scan vs
     # lag-2 + async copy 36 ms/scan (= the no-readback pipeline floor)
     # in the same session.
+    # The LoopCloser gets a VERIFICATION-grade variant of the same
+    # pipeline: mi=5 is a fixed-budget throughput profile whose eps
+    # checker has one iteration of room, so check_icp_result
+    # (LoopCloser.hpp:317 semantics) would reject ~every closure as
+    # max_iter_reached (the r4 dead-zone guard flags exactly this).
+    # Verification runs once per keyframe, not per scan — iteration
+    # budget is cheap there.
+    verify_icp = dataclasses.replace(icp, max_iterations=24)
     return SlamConfig(
         localizer=LocalizerConfig(icp=icp, keyframe_cloud_capacity=65536,
                                   overlap_threshold=0.8,
                                   sync_lag=sync_lag),
-        loop_closer=LoopCloserConfig(icp=icp, topo_dist_threshold=30.0,
+        loop_closer=LoopCloserConfig(icp=verify_icp,
+                                     topo_dist_threshold=30.0,
                                      geom_dist_threshold=10.0,
                                      overlap_threshold=0.6),
         sensor_cloud_capacity=65536)

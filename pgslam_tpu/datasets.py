@@ -140,6 +140,55 @@ def loop_world(rng, n_points: int = 40000, radius: float = 12.0,
     return world.astype(np.float32)
 
 
+def clover_sequence(rng, n_scans: int = 300, scan_points: int = 512,
+                    petals: int = 3, radius: float = 8.0,
+                    noise: float = 0.002, odom_drift: float = 0.002,
+                    max_range: float = 7.0
+                    ) -> Tuple[List[np.ndarray], List[np.ndarray],
+                               List[np.ndarray]]:
+    """Clover trajectory: ``petals`` tangent ring corridors sharing one
+    center point; the robot drives each petal in turn and returns to the
+    center between petals. Unlike a multi-lap ring (where relocalization
+    against lap-1 keyframes means only the single wrap point ever closes
+    a loop), EVERY petal return is a distinct far-in-topology revisit —
+    the long golden-replay fixture uses this to pin multiple accepted
+    closures, composition swaps, and post-optimization re-anchors in one
+    deterministic sequence (VERDICT r3 item 3)."""
+    worlds = []
+    for i in range(petals):
+        phi = 2 * np.pi * i / petals
+        w = loop_world(rng, n_points=30000, radius=radius)
+        c = radius * np.array([np.cos(phi), np.sin(phi), 0.0])
+        worlds.append(w + c)
+    world = np.concatenate(worlds, 0)
+    per = n_scans // petals
+    scans, odom, truth = [], [], []
+    T_odom = None
+    prev_true = None
+    for i in range(n_scans):
+        petal = min(i // per, petals - 1)
+        theta = 2 * np.pi * (i - petal * per) / per
+        phi = 2 * np.pi * petal / petals
+        c = radius * np.array([np.cos(phi), np.sin(phi)])
+        ang = phi + np.pi + theta
+        pos = c + radius * np.array([np.cos(ang), np.sin(ang)])
+        T_true = _se3(pos[0], pos[1], 1.2, yaw=ang + np.pi / 2)
+        scans.append(render_scan(world, T_true, rng, scan_points,
+                                 max_range=max_range, noise=noise))
+        if T_odom is None:
+            T_odom = T_true.copy()
+        else:
+            dT = np.linalg.inv(prev_true) @ T_true
+            drift = _se3(odom_drift * rng.normal(),
+                         odom_drift * rng.normal(), 0.0,
+                         yaw=odom_drift * rng.normal())
+            T_odom = T_odom @ dT @ drift
+        truth.append(T_true)
+        odom.append(T_odom.copy())
+        prev_true = T_true
+    return scans, odom, truth
+
+
 def loop_sequence(rng, n_scans: int = 120, scan_points: int = 1000,
                   radius: float = 12.0, noise: float = 0.005,
                   odom_drift: float = 0.002,

@@ -65,29 +65,56 @@ def _pad128(n: int) -> int:
 
 
 def fits_vmem(n_vertices: int, n_edges: int, n_loop: int | None = None,
-              budget_bytes: int = VMEM_LIMIT_BYTES - 8 * 1024 * 1024) -> bool:
-    """VMEM estimate: S + pose/edge row fields + live 6x6 row blocks.
-    S counts DOUBLE: the kernel contracts it along both dims and Mosaic
-    materializes one layout per orientation (calibrated against compiler
-    scoped-vmem reports: 20.2 MiB at V=1k/E=2k, 74.9 MiB at V=2k/E=4k).
-    The budget leaves headroom under the kernel's VMEM_LIMIT_BYTES
-    request.
+              budget_bytes: int = VMEM_LIMIT_BYTES - 8 * 1024 * 1024,
+              factored: bool = False) -> bool:
+    """VMEM estimate: incidence + pose/edge row fields + live 6x6 row
+    blocks. The plain one-hot S counts DOUBLE: the kernel contracts it
+    along both dims and Mosaic materializes one layout per orientation
+    (calibrated against compiler scoped-vmem reports: 20.2 MiB at
+    V=1k/E=2k, 74.9 MiB at V=2k/E=4k). The budget leaves headroom under
+    the kernel's VMEM_LIMIT_BYTES request.
 
     ``n_loop``: with the chain-aware layout (see ``lm_optimize_pallas``)
     only the ``n_loop`` non-chain edges need the one-hot incidence; the
     odometry chain moves by lane rolls. S then scales with ``n_loop``
     instead of ``n_edges`` — real pose graphs (loop closures are a small
-    fraction of edges) fit far larger V."""
+    fraction of edges) fit far larger V.
+
+    ``factored``: the rank-factored incidence B [2L, V/128] + W
+    [2L, 128] replaces S at 1/64th the bytes (plus per-row [2L, 128]
+    f32 transients in the gather/scatter loops) — the layout that takes
+    dense 4k+ and sparse 16k+ graphs fused (VERDICT r3 item 2)."""
     V = _pad128(n_vertices)
     if n_loop is None:
         L = W = _pad128(n_edges)
     else:
         L = _pad128(n_loop)
         W = V + L                                # chain lanes + loop lanes
-    s_bytes = 2 * (2 * L * V * 2)
+    if factored:
+        # B both orientations + W + gather/scatter transients (G/Hk
+        # [2L, 128] f32, a few live at once under Mosaic scheduling).
+        s_bytes = 2 * (2 * L * (V // 128) * 2) + 2 * L * 128 * 2 \
+            + 4 * (2 * L * 128 * 4)
+    else:
+        s_bytes = 2 * (2 * L * V * 2)
     edge_rows = (36 * 3 + 16 * 4 + 60) * W * 4   # info, blocks, transforms
     vert_rows = (36 + 16 * 3 + 8 * 8) * V * 4    # Pinv, poses, Krylov
     return s_bytes + edge_rows + vert_rows <= budget_bytes
+
+
+def layout_plan(n_vertices: int, n_edges: int,
+                n_loop: int | None = None) -> str | None:
+    """Tiling/layout decision for one optimize() call (replaces the bare
+    ``fits_vmem`` gate, VERDICT r3 item 2): plain one-hot while it fits
+    (fewest kernel instructions), the 64x-smaller factored incidence
+    beyond that, None when even factored busts the budget (XLA loop
+    fallback). ``n_loop`` is the chain-layout loop-lane count when the
+    caller has static edge ids (host_loop_count), else None."""
+    if fits_vmem(n_vertices, n_edges, n_loop):
+        return "onehot"
+    if fits_vmem(n_vertices, n_edges, n_loop, factored=True):
+        return "factored"
+    return None
 
 
 def host_loop_count(edge_from, edge_to, n_vertices: int) -> int | None:
@@ -126,20 +153,82 @@ from ..ops.rowmath import (_add, _adjoint_of_inv, _ad6, _dotn, _eye6_plus,
                            _split16, _stack_rows, _to_row, _t6)
 
 
-def _lm_kernel(fixed_ref, S_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref,
-               em_ref, rm_ref, priorT_ref, PT_out_ref, stats_ref, *,
-               n_edges, chain, cg_iterations, cg_tol, max_iterations,
-               lambda_init, lambda_up, lambda_down, min_step_norm,
-               min_cost_decrease, prior_info, robust, robust_delta):
+def _lm_kernel(fixed_ref, *refs, n_edges, chain, factored, cg_iterations,
+               cg_tol, max_iterations, lambda_init, lambda_up, lambda_down,
+               min_step_norm, min_cost_decrease, prior_info, robust,
+               robust_delta):
     # Edge-lane layout: with ``chain`` the first V lanes are chain lanes
     # (lane i <-> the odometry edge (i, i+1); endpoint movement is a lane
     # roll) and the following ``n_edges`` lanes are loop lanes moved via
     # the one-hot incidence S [2*n_edges, V]. Without ``chain`` every lane
     # is a loop lane (legacy layout, used when edge ids are traced).
+    #
+    # ``factored``: the incidence arrives rank-factored as W [2E, 128]
+    # (lane one-hot, v % 128) + B [2E, Vb] (block one-hot, v // 128)
+    # instead of S [2E, V] — 1/64th the VMEM, same exact selection
+    # semantics (build_incidence_factored). Gather: pose row reshaped
+    # [Vb, 128], transposed, W contracted on the MXU (K=128), B as a
+    # Vb-lane mask+reduce — the per-row transient is [2E, Vb], small
+    # enough that Mosaic's unrolled-loop scheduling doesn't spill
+    # (contracting B instead spilled 160 MB of [2E, 128] transients).
+    # Scatter: B as lane expand, W on the MXU, the [128, Vb] result
+    # transposed + reshaped back to [1, V]. All four data-movement
+    # primitives are chip-verified (scripts/probe_mosaic_reshape.py).
+    if factored:
+        (W_ref, B_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref, em_ref,
+         rm_ref, priorT_ref, PT_out_ref, stats_ref) = refs
+    else:
+        (S_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref, em_ref, rm_ref,
+         priorT_ref, PT_out_ref, stats_ref) = refs
     E = n_edges                                             # loop lanes
     V = PT0_ref.shape[1]
     f32 = jnp.float32
     fixed = fixed_ref[0]
+
+    if factored:
+        Vb = V // 128
+        Bf32 = B_ref[:].astype(f32)                         # [2E, Vb]
+
+        def incid_gather(Xs):
+            """[R, V] split rows -> [R, 2E] endpoint lanes."""
+            R = Xs.shape[0]
+            Wm = W_ref[:]
+            Xs32 = Xs.astype(f32)
+            cols = []
+            for k in range(R):
+                Pk = Xs32[k:k + 1, :].reshape(Vb, 128).T    # [128, Vb]
+                T1 = jax.lax.dot_general(
+                    Wm, Pk.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=_DEFAULT)                     # [2E, Vb]
+                cols.append(jnp.sum(T1 * Bf32, axis=1, keepdims=True))
+            return jnp.concatenate(cols, axis=1).T          # [R, 2E]
+
+        def incid_scatter(Xs):
+            """[R, 2E] split edge rows -> [R, V] vertex sums."""
+            R = Xs.shape[0]
+            Wm = W_ref[:]
+            XsT = Xs.astype(f32).T                          # [2E, R]
+            outs = []
+            for k in range(R):
+                Hk = (XsT[:, k:k + 1] * Bf32).astype(jnp.bfloat16)
+                Yw = jax.lax.dot_general(
+                    Wm, Hk, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=_DEFAULT)                     # [128, Vb]
+                outs.append(Yw.T.reshape(1, V))             # [Vb,128]->row
+            return jnp.concatenate(outs, axis=0)            # [R, V]
+    else:
+        def incid_gather(Xs):
+            return jax.lax.dot_general(
+                Xs, S_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=_DEFAULT)
+
+        def incid_scatter(Xs):
+            return jax.lax.dot_general(
+                Xs, S_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=_DEFAULT)
     em = em_ref[0:1, :]                                     # [1, W]
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
     is_fixed1 = lane1 == fixed
@@ -161,9 +250,7 @@ def _lm_kernel(fixed_ref, S_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref,
 
     def edge_pass(PT):
         """Gather endpoint poses, return (e rows, M rows)."""
-        xs = jax.lax.dot_general(
-            _split16(PT), S_ref[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=f32, precision=_DEFAULT)   # [32, 2E]
+        xs = incid_gather(_split16(PT))                       # [32, 2E]
         full = xs[:16] + xs[16:]
         if chain:
             PTm1 = jnp.roll(PT, -1, axis=1)   # lane i -> pose i+1
@@ -237,9 +324,7 @@ def _lm_kernel(fixed_ref, S_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref,
         else:
             y = 0.0
             stacked = jnp.concatenate([f, t], axis=1)          # [n, 2E]
-        out = jax.lax.dot_general(
-            _split16(stacked), S_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=_DEFAULT)
+        out = incid_scatter(_split16(stacked))
         return y + out[:n_rows] + out[n_rows:]                 # [n, V]
 
     def lm_body(_, carry):
@@ -304,9 +389,7 @@ def _lm_kernel(fixed_ref, S_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref,
         is_fixed8 = jax.lax.broadcasted_iota(jnp.int32, (8, V), 1) == fixed
 
         def matvec(p):
-            xs = jax.lax.dot_general(
-                _split16(p), S_ref[:], (((1,), (1,)), ((), ())),
-                preferred_element_type=f32, precision=_DEFAULT)
+            xs = incid_gather(_split16(p))
             full = xs[:8] + xs[8:]
             if chain:
                 xf = jnp.concatenate([p, full[:, :E]], axis=1)
@@ -327,9 +410,7 @@ def _lm_kernel(fixed_ref, S_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref,
             else:
                 y0 = 0.0
                 ys = jnp.concatenate([yf, yt], axis=1)
-            ysc = jax.lax.dot_general(
-                _split16(ys), S_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=f32, precision=_DEFAULT)
+            ysc = incid_scatter(_split16(ys))
             y = y0 + ysc[:8] + ysc[8:]
             y = y + jnp.where(is_fixed8, prior_info * p, 0.0)
             return y + dd * p
@@ -413,7 +494,7 @@ def _lm_kernel(fixed_ref, S_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref,
 
 def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
                        emask, fixed_id, robust_emask=None, *, config,
-                       n_loop=None):
+                       n_loop=None, incidence="onehot"):
     """Single-dispatch LM optimize. Same contract as the LM loop inside
     ``pgo.optimize_pose_graph`` incl. the robust IRLS kernels; returns
     (poses, stats). Jitted WHOLE (routing + incidence build + kernel +
@@ -438,13 +519,15 @@ def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
         n_loop = _pad128(max(int(n_loop), 1))
     return _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T,
                             edge_cov, emask, fixed_id, robust_emask,
-                            config=config, n_loop=n_loop)
+                            config=config, n_loop=n_loop,
+                            incidence=incidence)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "n_loop"))
+@functools.partial(jax.jit,
+                   static_argnames=("config", "n_loop", "incidence"))
 def _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
                      emask, fixed_id, robust_emask=None, *, config,
-                     n_loop=None):
+                     n_loop=None, incidence="onehot"):
     V, E = poses.shape[0], edge_from.shape[0]
     Vp = -(-V // 128) * 128
     Ep = -(-E // 128) * 128
@@ -546,7 +629,11 @@ def _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
             lem = takeL((emE * not_claimed)[:, None])
             lrm = takeL(rmE[:, None])
             lZ, lC = takeL(ZinvE), takeL(covE)
-        S = build_incidence_bf16(lef, let, V)
+        if incidence == "factored":
+            from .pcg_pallas import build_incidence_factored
+            S_in = build_incidence_factored(lef, let, V)
+        else:
+            S_in = (build_incidence_bf16(lef, let, V),)
         ZinvT = jnp.concatenate([cZ, lZ], axis=0).T
         covT36 = jnp.concatenate([cC, lC], axis=0).T
         covT = jnp.pad(covT36, ((0, 4), (0, 0)))
@@ -554,7 +641,11 @@ def _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
         rme = jnp.concatenate([crm, lrm], axis=0).T
         n_lanes = Lp
     else:
-        S = build_incidence_bf16(ef, et, V)
+        if incidence == "factored":
+            from .pcg_pallas import build_incidence_factored
+            S_in = build_incidence_factored(ef, et, V)
+        else:
+            S_in = (build_incidence_bf16(ef, et, V),)
 
         def padT(x, rows_to, n_to):
             x = x.T
@@ -577,6 +668,7 @@ def _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
 
     kern = functools.partial(
         _lm_kernel, n_edges=n_lanes, chain=chain,
+        factored=(incidence == "factored"),
         cg_iterations=config.cg_iterations, cg_tol=config.cg_tol,
         max_iterations=config.max_iterations,
         lambda_init=config.lambda_init, lambda_up=config.lambda_up,
@@ -588,7 +680,7 @@ def _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
     PT_out, stats = pl.pallas_call(
         kern,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (7 + len(S_in)),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=[jax.ShapeDtypeStruct((16, Vp), jnp.float32),
@@ -598,7 +690,7 @@ def _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=jax.default_backend() == "cpu",
-    )(jnp.asarray(fixed_id, jnp.int32)[None], S, PT0, vm, ZinvT, covT,
+    )(jnp.asarray(fixed_id, jnp.int32)[None], *S_in, PT0, vm, ZinvT, covT,
       em, rme, priorT)
     final = PT_out[:, :V].T.reshape(V, 4, 4).astype(poses.dtype)
     final = se3.normalize_rotation_fast(final)

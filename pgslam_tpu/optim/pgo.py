@@ -196,27 +196,33 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
     E = edge_from.shape[0]
 
     from .lm_pallas import fits_vmem as lm_fits
-    from .lm_pallas import host_loop_count, lm_optimize_pallas
+    from .lm_pallas import host_loop_count, layout_plan, lm_optimize_pallas
     if n_loop == "auto":
         n_loop = None
         if _host_readable(edge_from) and _host_readable(edge_to):
             n_loop = host_loop_count(edge_from, edge_to, V)
     if n_loop is not None and n_loop > 0.8 * E:
         n_loop = None  # too few chain edges to pay for the extra lanes
-    # Layout policy (chip A/B, probe_pgo_sparse r3): the all-one-hot
-    # layout is FASTER when its incidence fits VMEM (1k sparse: legacy
-    # 5.8 ms vs chain 6.5 — lane rolls don't beat one-hot MXU matmuls);
-    # the chain layout's win is CAPACITY (4k sparse: 8.2 ms, 8k: 10.7 ms
-    # where the one-hot S alone is 140-560 MiB and cannot compile). So:
-    # legacy whenever it fits, chain as the scale extension.
-    # PGSLAM_PGO_FORCE_CHAIN=1 keeps a passed/detected count unconditional
-    # (layout A/B probes).
+    # Layout policy (chip A/B, probe_pgo_sparse r3 + factored r4): the
+    # all-one-hot layout is FASTER when its incidence fits VMEM (1k
+    # sparse: legacy 5.8 ms vs chain 6.5 — lane rolls don't beat one-hot
+    # MXU matmuls); the chain layout is the first capacity extension (S
+    # scales with the closure count), and the rank-factored incidence
+    # (B block one-hot + W lane one-hot, 1/64th the VMEM) is the second —
+    # it takes dense >=4k and sparse >=16k graphs fused where r3 fell
+    # back to the 44.6 ms XLA loop. PGSLAM_PGO_FORCE_CHAIN=1 keeps a
+    # passed/detected count unconditional; PGSLAM_PGO_FORCE_FACTORED=1
+    # forces the factored incidence (layout A/B probes).
     if (n_loop is not None and lm_fits(V, E, None)
             and os.environ.get("PGSLAM_PGO_FORCE_CHAIN", "") != "1"):
         n_loop = None
+    plan = layout_plan(V, E, n_loop)
+    if os.environ.get("PGSLAM_PGO_FORCE_FACTORED", "") == "1" \
+            and plan is not None:
+        plan = "factored"
 
     lm_kernel_eligible = (jax.default_backend() not in ("cpu",)
-                          and lm_fits(V, E, n_loop))
+                          and plan is not None)
     if config.solver == "lm_pallas" or (config.solver == "pcg"
                                         and lm_kernel_eligible):
         # Single-dispatch whole-LM kernel (see optim/lm_pallas.py):
@@ -224,7 +230,10 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
         # post-processing are all jitted together.
         return lm_optimize_pallas(
             poses, vmask, edge_from, edge_to, edge_T, edge_cov, emask,
-            fixed_id, robust_emask, config=config, n_loop=n_loop)
+            fixed_id, robust_emask, config=config, n_loop=n_loop,
+            # A forced solver with no fitting plan still gets the
+            # smallest-footprint layout rather than a guaranteed OOM.
+            incidence=plan or "factored")
     return _optimize_xla(poses, vmask, edge_from, edge_to, edge_T,
                          edge_cov, emask, fixed_id, robust_emask,
                          config=config)

@@ -22,6 +22,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import time  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -29,3 +31,37 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+# ---- fast-tier wall-clock budget guard (VERDICT r3 item 7) ----
+# The default tier must stay a quick pre-commit gate (~5 min). The guard
+# only arms on FULL unfiltered fast-tier runs, and the hard threshold is
+# deliberately loose (2x the target) because this box's shared host core
+# swings >2x minute-to-minute — the guard exists to catch structural
+# growth (a new expensive test landing untiered), not tenancy noise.
+_BUDGET_WARN_S = 400.0
+_BUDGET_FAIL_S = 900.0
+_t_session = None
+
+
+def pytest_configure(config):
+    global _t_session
+    # Arm only for the default fast tier: no -k filter and the markexpr
+    # is pytest.ini's addopts default ("not slow").
+    if not config.option.keyword and \
+            config.option.markexpr == "not slow":
+        _t_session = time.monotonic()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if _t_session is None:
+        return
+    dt = time.monotonic() - _t_session
+    if dt > _BUDGET_FAIL_S:
+        session.exitstatus = 1
+        print(f"\nFAST-TIER BUDGET EXCEEDED: {dt:.0f}s > "
+              f"{_BUDGET_FAIL_S:.0f}s — move new expensive tests to the "
+              f"slow tier (@pytest.mark.slow)")
+    elif dt > _BUDGET_WARN_S:
+        print(f"\nfast-tier budget warning: {dt:.0f}s "
+              f"(target < {_BUDGET_WARN_S:.0f}s)")

@@ -21,8 +21,10 @@ replay is the strongest available substitute (PARITY.md).
 import numpy as np
 import pytest
 
-from golden_replay import (FIXTURE, N_SCANS, golden_config,
-                           golden_sequence, run_st_replay)
+from golden_replay import (FIXTURE, FIXTURE_64K, FIXTURE_LONG, N_SCANS,
+                           _replay, golden_config, golden_sequence,
+                           long_sequence, run_st_replay,
+                           run_st_replay_64k, run_st_replay_long)
 
 
 @pytest.fixture(scope="module")
@@ -127,3 +129,105 @@ def test_mt_batched_sharded_match_golden(golden):
         err = np.linalg.norm(fleet2[-1, b][:3, 3]
                              - golden["per_scan"][-1][:3, 3])
         assert err < tol, f"fleet agent {b} final-pose dev {err}"
+
+
+@pytest.mark.slow
+def test_mt_per_scan_matches_golden(golden):
+    """MT facade pinned PER SCAN (VERDICT r3 item 3 — the r3 pin was
+    final-pose-only). The pipeline is driven lockstep (wait_idle after
+    every scan) so worker scheduling cannot reorder work; the ±1-scan
+    window stays because the MT localizer applies optimization
+    writebacks via the deferred outdated-flag (LocalizerMT.hpp:122-134)
+    — one scan later than ST around each closure, by design."""
+    from pgslam_tpu.pipeline import PoseGraphSlamMT
+
+    scans, odom, _ = golden_sequence()
+    T_rs = np.eye(4, dtype=np.float32)
+    per_scan = []
+    slam = PoseGraphSlamMT(golden_config())
+    with slam:
+        for i, (scan, T_odom) in enumerate(zip(scans, odom)):
+            slam.add_data(i, "world", T_odom, T_rs, scan)
+            assert slam.wait_idle(timeout=120.0)
+            per_scan.append(slam.localizer.T_world_robot.copy())
+    errs = _pose_errs(np.stack(per_scan), golden["per_scan"], window=1)
+    assert errs.max() < 0.10, f"MT per-scan max dev {errs.max()}"
+
+
+@pytest.mark.slow
+def test_deferred_matches_golden(golden):
+    """The deferred-commit ST path (sync_lag, r4) replays the golden
+    sequence: per-scan poses trail by up to sync_lag scans (that IS the
+    semantics), so the pin is a window=sync_lag comparison plus the
+    flushed final pose."""
+    for lag in (1, 2):
+        per_scan, trajectory, stats = _replay(
+            golden_sequence(), golden_config(), sync_lag=lag)
+        errs = _pose_errs(per_scan, golden["per_scan"], window=lag)
+        assert errs.max() < 0.10, f"lag={lag} max dev {errs.max()}"
+        assert stats["n_loops"] >= 1
+
+
+# ---- long fixture (300 scans, >=3 closures — VERDICT r3 item 3) -----------
+
+@pytest.fixture(scope="module")
+def golden_long():
+    data = np.load(FIXTURE_LONG)
+    return {k: data[k] for k in data.files}
+
+
+@pytest.mark.slow
+def test_st_long_matches_golden(golden_long):
+    per_scan, trajectory, stats = run_st_replay_long()
+    np.testing.assert_allclose(per_scan, golden_long["per_scan_poses"],
+                               atol=1e-5)
+    np.testing.assert_allclose(trajectory, golden_long["trajectory"],
+                               atol=1e-5)
+    # The events this fixture exists to pin (guards config drift that
+    # would silently make it trivial):
+    assert stats["n_loops"] == int(golden_long["n_loop_edges"]) >= 3
+    assert stats["opt_runs"] == int(golden_long["opt_runs"]) >= 3
+    assert stats["n_swaps"] == int(golden_long["n_swaps"]) >= 1
+    assert stats["n_keyframes"] == int(golden_long["n_keyframes"])
+
+
+@pytest.mark.slow
+def test_mt_long_per_scan_matches_golden(golden_long):
+    """MT per-scan pins over the LONG fixture: three closure events,
+    multiple composition swaps and re-anchors, all inside the pinned
+    window (lockstep drive; ±1 window for the deferred resync)."""
+    from pgslam_tpu.pipeline import PoseGraphSlamMT
+
+    scans, odom, _ = long_sequence()
+    T_rs = np.eye(4, dtype=np.float32)
+    per_scan = []
+    slam = PoseGraphSlamMT(golden_config())
+    with slam:
+        for i, (scan, T_odom) in enumerate(zip(scans, odom)):
+            slam.add_data(i, "world", T_odom, T_rs, scan)
+            assert slam.wait_idle(timeout=120.0)
+            per_scan.append(slam.localizer.T_world_robot.copy())
+    errs = _pose_errs(np.stack(per_scan),
+                      golden_long["per_scan_poses"], window=1)
+    assert errs.max() < 0.15, f"MT long per-scan max dev {errs.max()}"
+
+
+@pytest.mark.slow
+def test_deferred_long_matches_golden(golden_long):
+    per_scan, _, stats = _replay(long_sequence(), golden_config(),
+                                 sync_lag=2)
+    errs = _pose_errs(per_scan, golden_long["per_scan_poses"], window=2)
+    assert errs.max() < 0.15, f"deferred long max dev {errs.max()}"
+    assert stats["n_loops"] >= 3
+
+
+# ---- 64k-scale fixture (slow tier — VERDICT r3 item 3) ---------------------
+
+@pytest.mark.slow
+def test_st_64k_matches_golden():
+    data = np.load(FIXTURE_64K)
+    per_scan, trajectory, stats = run_st_replay_64k()
+    np.testing.assert_allclose(per_scan, data["per_scan_poses"],
+                               atol=1e-5)
+    np.testing.assert_allclose(trajectory, data["trajectory"], atol=1e-5)
+    assert stats["n_keyframes"] == int(data["n_keyframes"])

@@ -217,6 +217,47 @@ def test_chain_layout_matches_legacy(monkeypatch):
     assert int(st_a["iterations"]) == int(st_l["iterations"])
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("layout", ["legacy", "chain"])
+def test_factored_incidence_matches_onehot(layout, monkeypatch):
+    """The rank-factored incidence (B block one-hot + W lane one-hot,
+    1/64th the VMEM — VERDICT r3 item 2) must reproduce the plain
+    one-hot kernel: selection is exact in both (multiply-with-1.0 of
+    bf16 hi/lo split payloads), so only reduction-order noise separates
+    them."""
+    args, gt = _ring_problem()
+    cfg = PGOConfig(max_iterations=3, cg_iterations=12, cg_tol=1e-3,
+                    solver="lm_pallas")
+    if layout == "chain":
+        monkeypatch.setenv("PGSLAM_PGO_FORCE_CHAIN", "1")
+    out_1hot, st_1 = optimize_pose_graph(*args, config=cfg)
+    monkeypatch.setenv("PGSLAM_PGO_FORCE_FACTORED", "1")
+    out_fact, st_f = optimize_pose_graph(*args, config=cfg)
+    np.testing.assert_allclose(np.asarray(out_fact), np.asarray(out_1hot),
+                               atol=2e-3)
+    assert int(st_f["iterations"]) == int(st_1["iterations"])
+    assert float(st_f["final_cost"]) < 1e-4 * float(st_f["initial_cost"])
+
+
+def test_layout_plan_tiling_decision():
+    """The fits_vmem gate is now a tiling DECISION (VERDICT r3 item 2):
+    plain one-hot while it fits, factored as the capacity extension for
+    the r3 cliffs (dense 4k, sparse 16k — both fell back to the 44.6 ms
+    XLA loop), None only when even factored busts the budget."""
+    from pgslam_tpu.optim.lm_pallas import fits_vmem, layout_plan
+
+    assert layout_plan(1024, 2048) == "onehot"
+    # r3's dense cliff: 2.5k/5k had NO fused path; factored takes it.
+    assert layout_plan(2560, 5120) == "factored"
+    # dense 4k (the VERDICT target: <15 ms from 44.6).
+    assert layout_plan(4096, 8192, 4097) == "factored"
+    assert fits_vmem(4096, 8192, 4097, factored=True)
+    # sparse 16k (target <20 ms): chain + factored.
+    assert layout_plan(16384, 17408, 1024) == "factored"
+    # something absurd still routes to the XLA loop.
+    assert layout_plan(262144, 524288) is None
+
+
 def test_n_loop_static_key_is_bucketed(monkeypatch):
     # The jit cache key must be the 128-lane bucket, not the raw loop
     # count: a growing graph changes the raw count on nearly every

@@ -27,6 +27,23 @@ from flax import struct
 # Descriptor channels that rotate with the cloud (unit direction fields).
 ROTATED_DESCRIPTORS = ("normals", "observationDirections", "eigVectors")
 
+# Fixed-point protocol: a Cloud whose ``points`` are int16 is MILLIMETER
+# fixed point (the KITTI-native grid; +-32.767 m envelope, 0.5 mm max
+# round-off vs ~10 mm LiDAR range noise). Packed clouds halve
+# host->device bytes — the lever for transfer-floor-bound live SLAM
+# (BENCH_NOTES config-4 profile) — and every jitted ingest path
+# dequantizes them in-graph via :func:`dequantize_cloud`.
+MM_SCALE = 1000.0
+
+
+def dequantize_cloud(cloud: Cloud, dtype=jnp.float32) -> Cloud:
+    """In-graph dequantization of an int16 millimeter cloud; identity for
+    float clouds (the branch is static: dtype is part of the jit key)."""
+    if cloud.points.dtype != jnp.int16:
+        return cloud
+    return cloud.replace(
+        points=cloud.points.astype(dtype) * (1.0 / MM_SCALE))
+
 
 @struct.dataclass
 class Cloud:
@@ -71,6 +88,14 @@ def make_cloud(points, mask=None, descriptors=None, capacity: Optional[int] = No
     ``capacity`` pads/truncates to a fixed size. Host-side helper (uses
     numpy); do not call under jit.
     """
+    if np.asarray(points).dtype == np.int16 and dtype == jnp.float32:
+        # int16 points are the packed millimeter protocol (MM_SCALE):
+        # keep them packed — the jitted ingest dequantizes in-graph, and
+        # upcasting here would forfeit the halved h2d bytes.
+        dtype = jnp.int16
+        if descriptors:
+            raise ValueError("int16 (mm fixed-point) clouds cannot carry "
+                             "descriptors")
     np_dt = np.dtype(jnp.dtype(dtype))   # keep fp64 inputs fp64 end-to-end
     pts = np.asarray(points, dtype=np_dt)
     if pts.ndim != 2 or pts.shape[1] != 3:

@@ -143,7 +143,12 @@ def _probe_overlap_from_batched(readings, worlds, T_world_robots,
 def _prepare_input_impl(chain, capacity: int, cloud: Cloud, T_robot_sensor,
                         key) -> Cloud:
     """Input filters + compaction + sensor->robot transform as ONE device
-    dispatch (eager per-op dispatch costs dominate on remote devices)."""
+    dispatch (eager per-op dispatch costs dominate on remote devices).
+    int16 clouds are packed millimeter fixed-point (cloud.MM_SCALE) and
+    dequantize here, in-graph — the h2d transfer stays at half the f32
+    bytes."""
+    from .cloud import dequantize_cloud
+    cloud = dequantize_cloud(cloud)
     cloud = F.apply_chain(chain, cloud, key)
     cloud = F.compact(cloud, capacity)
     return transform_cloud(T_robot_sensor, cloud)
@@ -346,7 +351,14 @@ class _Inflight:
     packed: jax.Array          # [59] result vector, device-resident
     cloud: Cloud               # prepared input cloud (device)
     reading: Cloud             # filtered reading (device)
-    T_world_refkf: np.ndarray  # refkf pose the registration ran in
+    refkf_vertex: int          # reference keyframe the result.T is
+    # relative to. The commit composes with this vertex's CURRENT
+    # optimized pose, not the pose recorded at dispatch: an optimizer
+    # writeback landing between dispatch and commit must pull the live
+    # pose exactly like the sync path's post-optimization re-anchor
+    # (Localizer.hpp:270-273) — composing with the stale dispatch-time
+    # pose silently discards every closure correction (measured: 2.4x
+    # the sync path's drift on the 3-closure clover fixture).
     probe_comp: Optional["Composition"]
     odom_pose: np.ndarray      # this scan's odometry world pose
     comp_items: Tuple[int, ...]  # composition the registration ran against
@@ -517,9 +529,10 @@ class Localizer:
         Semantics note (mirrors the MT variant, LocalizerMT.hpp:122-134):
         keyframe/composition decisions lag ``sync_lag`` scans, so an
         in-flight scan may register against a map that is one decision
-        stale; its committed world pose is still computed in the frame it
-        actually registered in (``_Inflight.T_world_refkf``), then
-        re-anchored to the current reference keyframe."""
+        stale; its committed world pose composes the relative result with
+        the reference keyframe's CURRENT optimized pose
+        (``_Inflight.refkf_vertex``), then re-anchors to the current
+        reference keyframe."""
         log.info("[Localizer] Processing cloud #%d (deferred)", self.count)
         from .utils import counters
         counters["localizer/scans"] += 1
@@ -563,13 +576,21 @@ class Localizer:
             cloud, reading, packed = _prepare_and_register(*args)
         try:
             # Start the d2h of the packed result NOW so it rides behind
-            # the dispatch instead of waiting for the commit-time fetch.
+            # the dispatch instead of waiting for the commit-time fetch,
+            # and re-issue for the OLDEST in-flight scan — its compute
+            # has finished by now, so the commit-time device_get finds
+            # the bytes already host-side (chip-measured: a device_get
+            # after a completed async copy is ~0.2 ms vs the ~30 ms
+            # payload-independent relay sync floor).
             packed.copy_to_host_async()
+            if self._inflight:
+                self._inflight[0].packed.copy_to_host_async()
         except (AttributeError, RuntimeError):
             pass
         self._inflight.append(_Inflight(
             packed=packed, cloud=cloud, reading=reading,
-            T_world_refkf=T_world_refkf32, probe_comp=probe_comp,
+            refkf_vertex=self.local_map.reference_vertex(),
+            probe_comp=probe_comp,
             odom_pose=np.asarray(input_T_world_robot, np.float32),
             comp_items=tuple(self.local_map.get_composition().as_list())))
         self.last_input_T_world_robot = np.asarray(input_T_world_robot,
@@ -583,10 +604,16 @@ class Localizer:
         (identical logic to the sync path, one sync_lag later)."""
         result, ov = _unpack_result_vec(jax.device_get(inflight.packed))
         self.last_result = result
-        # World pose in the frame the registration actually ran in.
+        # World pose: result.T is relative to the reference KEYFRAME —
+        # compose with that vertex's CURRENT optimized pose so closure
+        # writebacks that landed since dispatch pull the live pose (see
+        # _Inflight.refkf_vertex).
+        T_ref_now = np.asarray(
+            self.mm.get_graph().optimized_poses[inflight.refkf_vertex],
+            np.float64)
         self.T_world_robot = _orthonormalize(
-            (np.asarray(inflight.T_world_refkf, np.float64)
-             @ np.asarray(result.T, np.float64)).astype(np.float32))
+            (T_ref_now @ np.asarray(result.T, np.float64))
+            .astype(np.float32))
         # Re-anchor to the CURRENT reference keyframe (the composition may
         # have moved since dispatch — the accepted sync_lag staleness).
         self.update_refkf_robot_pose()

@@ -69,6 +69,9 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.sl_next.restype = ctypes.c_long
     lib.sl_next.argtypes = [ctypes.c_int, f32p, ctypes.c_void_p,
                             ctypes.c_long]
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    lib.sl_next_q.restype = ctypes.c_long
+    lib.sl_next_q.argtypes = [ctypes.c_int, i16p, ctypes.c_long]
     lib.sl_close.restype = None
     lib.sl_close.argtypes = [ctypes.c_int]
     _lib = lib
@@ -130,7 +133,17 @@ class ScanLoader:
     """
 
     def __init__(self, directory: str, ext: str = ".bin",
-                 prefetch_depth: int = 2, with_reflectance: bool = False):
+                 prefetch_depth: int = 2, with_reflectance: bool = False,
+                 quantize_mm: bool = False):
+        """``quantize_mm=True`` yields int16 MILLIMETER fixed-point
+        ``[N, 3]`` arrays instead of float32: the loader's IO thread
+        quantizes (1 mm grid = 0.5 mm max round-off vs ~10 mm LiDAR
+        range noise; points beyond the +-32.767 m int16 envelope are
+        dropped), and the packed stream halves host->device bytes —
+        the live-SLAM pipeline on relay/PCIe-bandwidth-bound hosts is
+        transfer-floor-bound (BENCH_NOTES config-4 profile). Every
+        jitted ingest path dequantizes int16 clouds in-graph
+        (``pgslam_tpu.cloud.MM_SCALE`` protocol)."""
         lib = _load()
         if lib is None:
             raise ImportError("native scan loader unavailable")
@@ -142,6 +155,9 @@ class ScanLoader:
                 f"no '{ext}' scans under {directory!r}")
         self._cap = int(lib.sl_max_points(self._h))
         self._with_refl = with_reflectance
+        self._quant = quantize_mm
+        if quantize_mm and with_reflectance:
+            raise ValueError("quantize_mm drops reflectance")
 
     def __len__(self) -> int:
         return int(self._lib.sl_count(self._h))
@@ -152,6 +168,13 @@ class ScanLoader:
     def __next__(self):
         if self._h < 0:
             raise StopIteration
+        if self._quant:
+            q = np.empty((self._cap, 3), np.int16)
+            n = self._lib.sl_next_q(self._h, q, self._cap)
+            if n <= 0:
+                self.close()
+                raise StopIteration
+            return np.ascontiguousarray(q[:n])
         xyz = np.empty((self._cap, 3), np.float32)
         refl = np.empty(self._cap, np.float32) if self._with_refl else None
         refl_ptr = (refl.ctypes.data_as(ctypes.c_void_p)

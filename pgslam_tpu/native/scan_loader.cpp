@@ -11,7 +11,18 @@
 //   sl_count(handle)                          -> number of scans found
 //   sl_max_points(handle)                     -> upper bound on points/scan
 //   sl_next(handle, out_xyz, out_refl, cap)   -> n points, 0 = end, -1 err
+//   sl_next_q(handle, out_xyz_q, cap)         -> n points as int16
+//                                                millimeters (quantized by
+//                                                the IO worker; points
+//                                                beyond +-32.7 m dropped)
 //   sl_close(handle)
+//
+// The int16 path exists for relay-/PCIe-bandwidth-bound hosts: LiDAR
+// packets are fixed-point to begin with, a 1 mm grid adds 0.5 mm max
+// round-off against ~10 mm range noise, and halving the host->device
+// bytes directly raises the transfer-bound live-SLAM pipeline floor.
+// The conversion runs on the loader's background thread, off the
+// consumer's critical path.
 //
 // Scans are served in lexicographic filename order (KITTI convention).
 
@@ -32,9 +43,31 @@
 namespace {
 
 struct Scan {
-  std::vector<float> xyz;   // 3 * n
-  std::vector<float> refl;  // n
+  std::vector<float> xyz;      // 3 * n
+  std::vector<float> refl;     // n
+  std::vector<int16_t> xyz_q;  // 3 * nq, 1 mm grid (filled on demand)
 };
+
+constexpr float kQuantScale = 1000.0f;            // 1 mm fixed point
+constexpr float kQuantMax = 32.7f;                // |coord| bound, meters
+
+void quantize(Scan* s) {
+  size_t n = s->refl.size();
+  s->xyz_q.clear();
+  s->xyz_q.reserve(n * 3);
+  for (size_t i = 0; i < n; ++i) {
+    float x = s->xyz[3 * i], y = s->xyz[3 * i + 1], z = s->xyz[3 * i + 2];
+    if (x > kQuantMax || x < -kQuantMax || y > kQuantMax ||
+        y < -kQuantMax || z > kQuantMax || z < -kQuantMax)
+      continue;  // out of the int16 envelope: drop (documented)
+    s->xyz_q.push_back(static_cast<int16_t>(x * kQuantScale
+                                            + (x >= 0 ? 0.5f : -0.5f)));
+    s->xyz_q.push_back(static_cast<int16_t>(y * kQuantScale
+                                            + (y >= 0 ? 0.5f : -0.5f)));
+    s->xyz_q.push_back(static_cast<int16_t>(z * kQuantScale
+                                            + (z >= 0 ? 0.5f : -0.5f)));
+  }
+}
 
 struct Loader {
   std::vector<std::string> files;
@@ -94,6 +127,7 @@ void produce(Loader* L) {
     }
     Scan s;
     bool ok = read_bin(L->files[idx], &s);
+    if (ok) quantize(&s);  // off the consumer's critical path
     {
       std::unique_lock<std::mutex> lk(L->mu);
       if (!ok) s = Scan{};  // empty scan marks a read failure
@@ -178,6 +212,26 @@ long sl_next(int h, float* out_xyz, float* out_refl, long cap) {
   if (out_refl)
     std::memcpy(out_refl, s.refl.data(), static_cast<size_t>(n)
                 * sizeof(float));
+  return n;
+}
+
+long sl_next_q(int h, int16_t* out_xyz_q, long cap) {
+  Loader* L = get(h);
+  if (!L) return -1;
+  Scan s;
+  {
+    std::unique_lock<std::mutex> lk(L->mu);
+    if (L->consumed >= L->files.size()) return 0;
+    L->cv_produced.wait(lk, [L] { return !L->queue.empty(); });
+    s = std::move(L->queue.front());
+    L->queue.pop_front();
+    L->consumed++;
+  }
+  L->cv_consumed.notify_one();
+  long n = static_cast<long>(s.xyz_q.size() / 3);
+  if (n > cap) n = cap;
+  std::memcpy(out_xyz_q, s.xyz_q.data(),
+              static_cast<size_t>(n) * 3 * sizeof(int16_t));
   return n;
 }
 

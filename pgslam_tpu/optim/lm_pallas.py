@@ -64,6 +64,29 @@ def _pad128(n: int) -> int:
     return max(128, -(-n // 128) * 128)
 
 
+def vmem_estimate(n_vertices: int, n_edges: int, n_loop: int | None = None,
+                  factored: bool = False) -> int:
+    """Estimated resident VMEM bytes for one kernel instance (incidence
+    + row fields; see fits_vmem for the calibration story)."""
+    V = _pad128(n_vertices)
+    if n_loop is None:
+        L = W = _pad128(n_edges)
+    else:
+        L = _pad128(n_loop)
+        W = V + L                                # chain lanes + loop lanes
+    if factored:
+        # B/W both orientations + gather/scatter transients + the
+        # per-row staging scratch ([32, 2L] + [96, V]).
+        s_bytes = 2 * (2 * L * (V // 128) * 2) + 2 * (2 * L * 128 * 2) \
+            + 4 * (2 * L * 128 * 4) \
+            + (32 * 2 * L + 96 * V) * 4
+    else:
+        s_bytes = 2 * (2 * L * V * 2)
+    edge_rows = (36 * 3 + 16 * 4 + 60) * W * 4   # info, blocks, transforms
+    vert_rows = (36 + 16 * 3 + 8 * 8) * V * 4    # Pinv, poses, Krylov
+    return s_bytes + edge_rows + vert_rows
+
+
 def fits_vmem(n_vertices: int, n_edges: int, n_loop: int | None = None,
               budget_bytes: int = VMEM_LIMIT_BYTES - 8 * 1024 * 1024,
               factored: bool = False) -> bool:
@@ -80,26 +103,12 @@ def fits_vmem(n_vertices: int, n_edges: int, n_loop: int | None = None,
     instead of ``n_edges`` — real pose graphs (loop closures are a small
     fraction of edges) fit far larger V.
 
-    ``factored``: the rank-factored incidence B [2L, V/128] + W
-    [2L, 128] replaces S at 1/64th the bytes (plus per-row [2L, 128]
-    f32 transients in the gather/scatter loops) — the layout that takes
-    dense 4k+ and sparse 16k+ graphs fused (VERDICT r3 item 2)."""
-    V = _pad128(n_vertices)
-    if n_loop is None:
-        L = W = _pad128(n_edges)
-    else:
-        L = _pad128(n_loop)
-        W = V + L                                # chain lanes + loop lanes
-    if factored:
-        # B both orientations + W + gather/scatter transients (G/Hk
-        # [2L, 128] f32, a few live at once under Mosaic scheduling).
-        s_bytes = 2 * (2 * L * (V // 128) * 2) + 2 * L * 128 * 2 \
-            + 4 * (2 * L * 128 * 4)
-    else:
-        s_bytes = 2 * (2 * L * V * 2)
-    edge_rows = (36 * 3 + 16 * 4 + 60) * W * 4   # info, blocks, transforms
-    vert_rows = (36 + 16 * 3 + 8 * 8) * V * 4    # Pinv, poses, Krylov
-    return s_bytes + edge_rows + vert_rows <= budget_bytes
+    ``factored``: the rank-factored incidence W [2L, 128] + B
+    [2L, V/128] replaces S at 1/64th the bytes (plus staging scratch
+    and per-row transients) — the layout that takes dense 4k+ and
+    sparse 16k+ graphs fused (VERDICT r3 item 2)."""
+    return vmem_estimate(n_vertices, n_edges, n_loop,
+                         factored) <= budget_bytes
 
 
 def layout_plan(n_vertices: int, n_edges: int,
@@ -176,7 +185,8 @@ def _lm_kernel(fixed_ref, *refs, n_edges, chain, factored, cg_iterations,
     # primitives are chip-verified (scripts/probe_mosaic_reshape.py).
     if factored:
         (W_ref, B_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref, em_ref,
-         rm_ref, priorT_ref, PT_out_ref, stats_ref) = refs
+         rm_ref, priorT_ref, PT_out_ref, stats_ref,
+         gat_ref, sca_ref) = refs
     else:
         (S_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref, em_ref, rm_ref,
          priorT_ref, PT_out_ref, stats_ref) = refs
@@ -188,13 +198,18 @@ def _lm_kernel(fixed_ref, *refs, n_edges, chain, factored, cg_iterations,
     if factored:
         Vb = V // 128
         Bf32 = B_ref[:].astype(f32)                         # [2E, Vb]
+        # Per-row results land in VMEM scratch (gat_ref [Rmax, 2E],
+        # sca_ref [Rmax, V]) instead of a values concat: narrow-lane
+        # values ([2E, 1] columns, [2E, Vb] products) occupy full
+        # 128-lane vregs, and with the row loop unrolled the concat kept
+        # ~R of them live — 160 MB of register spills at V=1k/E=2k. A
+        # store ends each row's live range explicitly.
 
         def incid_gather(Xs):
             """[R, V] split rows -> [R, 2E] endpoint lanes."""
             R = Xs.shape[0]
             Wm = W_ref[:]
             Xs32 = Xs.astype(f32)
-            cols = []
             for k in range(R):
                 Pk = Xs32[k:k + 1, :].reshape(Vb, 128).T    # [128, Vb]
                 T1 = jax.lax.dot_general(
@@ -202,23 +217,24 @@ def _lm_kernel(fixed_ref, *refs, n_edges, chain, factored, cg_iterations,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=f32,
                     precision=_DEFAULT)                     # [2E, Vb]
-                cols.append(jnp.sum(T1 * Bf32, axis=1, keepdims=True))
-            return jnp.concatenate(cols, axis=1).T          # [R, 2E]
+                col = jnp.sum(T1 * Bf32, axis=1, keepdims=True)
+                gat_ref[k:k + 1, :] = col.T                 # [1, 2E]
+            return gat_ref[0:R, :]
 
         def incid_scatter(Xs):
             """[R, 2E] split edge rows -> [R, V] vertex sums."""
             R = Xs.shape[0]
             Wm = W_ref[:]
-            XsT = Xs.astype(f32).T                          # [2E, R]
-            outs = []
+            Xs32 = Xs.astype(f32)
             for k in range(R):
-                Hk = (XsT[:, k:k + 1] * Bf32).astype(jnp.bfloat16)
+                xcol = Xs32[k:k + 1, :].T                   # [2E, 1]
+                Hk = (xcol * Bf32).astype(jnp.bfloat16)     # [2E, Vb]
                 Yw = jax.lax.dot_general(
                     Wm, Hk, (((0,), (0,)), ((), ())),
                     preferred_element_type=f32,
                     precision=_DEFAULT)                     # [128, Vb]
-                outs.append(Yw.T.reshape(1, V))             # [Vb,128]->row
-            return jnp.concatenate(outs, axis=0)            # [R, V]
+                sca_ref[k:k + 1, :] = Yw.T.reshape(1, V)
+            return sca_ref[0:R, :]
     else:
         def incid_gather(Xs):
             return jax.lax.dot_general(
@@ -677,6 +693,13 @@ def _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
         min_cost_decrease=config.min_cost_decrease,
         prior_info=float(1.0 / config.prior_sigma ** 2),
         robust=config.robust, robust_delta=float(config.robust_delta))
+    # Factored mode stages per-row gather/scatter results through VMEM
+    # scratch (see incid_gather/incid_scatter): [32, 2E] for gathered
+    # endpoint rows, [96, V] for scattered vertex rows (84 = the 42
+    # hi/lo-split Hessian+gradient rows of scatter_to_vertices).
+    scratch = [] if incidence != "factored" else [
+        pltpu.VMEM((32, 2 * n_lanes), jnp.float32),
+        pltpu.VMEM((96, Vp), jnp.float32)]
     PT_out, stats = pl.pallas_call(
         kern,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -685,10 +708,20 @@ def _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
                    pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=[jax.ShapeDtypeStruct((16, Vp), jnp.float32),
                    jax.ShapeDtypeStruct((4,), jnp.float32)],
+        scratch_shapes=scratch,
         # The default scoped-vmem limit is 16 MiB; v5e has headroom above
         # that, and S + the live row fields need ~20 MiB at V=1k/E=2k.
+        # The request is SIZED TO THE ESTIMATE (+headroom for Mosaic
+        # stack/temporaries) rather than pinned at the 94 MiB maximum:
+        # the scoped request is a reservation, and reserving the maximum
+        # left the factored layout 688 KB short of stack at V=1k/E=2k
+        # even though its resident data is ~12 MiB.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+            vmem_limit_bytes=min(VMEM_LIMIT_BYTES, max(
+                32 * 1024 * 1024,
+                vmem_estimate(V, E, n_loop,
+                              incidence == "factored")
+                + 24 * 1024 * 1024))),
         interpret=jax.default_backend() == "cpu",
     )(jnp.asarray(fixed_id, jnp.int32)[None], *S_in, PT0, vm, ZinvT, covT,
       em, rme, priorT)

@@ -215,7 +215,13 @@ def config4_velodyne():
     native = True
     try:
         from pgslam_tpu.native import ScanLoader
-        loader = iter(ScanLoader(bin_dir, prefetch_depth=2))
+        # quantize_mm: the loader's IO thread packs each spin to int16
+        # millimeters (KITTI-native grid, 0.5 mm round-off), HALVING the
+        # per-scan h2d bytes — the live loop is transfer-floor-bound on
+        # relay-attached chips (BENCH_NOTES config-4 profile); the jitted
+        # ingest dequantizes in-graph.
+        loader = iter(ScanLoader(bin_dir, prefetch_depth=2,
+                                 quantize_mm=True))
     except ImportError:
         native = False
         loader = iter(scans)

@@ -132,6 +132,66 @@ def test_native_scan_loader(tmp_path):
         out[0][0], load_kitti_bin(str(tmp_path / "000000.bin")))
 
 
+def test_native_scan_loader_quantized(tmp_path):
+    """quantize_mm streams int16 millimeter packets: values match the
+    f32 reader to the 0.5 mm grid, out-of-envelope points are dropped,
+    and make_cloud/dequantize_cloud round-trip the packed protocol."""
+    from pgslam_tpu.cloud import MM_SCALE, dequantize_cloud, make_cloud
+    from pgslam_tpu.datasets import save_kitti_bin
+    from pgslam_tpu.native import ScanLoader, native_available
+    if not native_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-30, 30, (800, 3)).astype(np.float32)
+    pts[5] = [40.0, 0.0, 0.0]        # outside the +-32.767 m envelope
+    pts[17] = [0.0, -35.0, 2.0]
+    save_kitti_bin(str(tmp_path / "000000.bin"), pts)
+    with ScanLoader(str(tmp_path), quantize_mm=True) as loader:
+        q = next(iter(loader))
+    assert q.dtype == np.int16
+    assert q.shape == (798, 3)       # 2 dropped
+    keep = np.delete(pts, [5, 17], axis=0)
+    np.testing.assert_allclose(q.astype(np.float32) / MM_SCALE, keep,
+                               atol=0.5 / MM_SCALE + 1e-7)
+    # packed protocol survives make_cloud and dequantizes in-graph
+    cloud = make_cloud(q, capacity=1024)
+    assert cloud.points.dtype == np.int16
+    deq = dequantize_cloud(cloud)
+    np.testing.assert_allclose(
+        np.asarray(deq.points[:798]), keep, atol=0.5 / MM_SCALE + 1e-7)
+
+
+def test_int16_cloud_through_slam_facade(tmp_path):
+    """An int16 mm cloud entering via add_data tracks identically to the
+    same scan in f32 (to the quantization grid): the jitted ingest
+    dequantizes in-graph."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_slam_e2e import small_config
+
+    from pgslam_tpu.datasets import corridor_sequence
+    from pgslam_tpu.slam import PoseGraphSlam
+
+    rng = np.random.default_rng(7)
+    scans, odom, truth = corridor_sequence(
+        rng, n_scans=8, scan_points=512, step=0.4, noise=0.003,
+        odom_noise=0.005, length=30.0)
+    T_rs = np.eye(4, dtype=np.float32)
+
+    def run(quantize):
+        slam = PoseGraphSlam(small_config())
+        for i, (s, T) in enumerate(zip(scans, odom)):
+            if quantize:
+                s = np.clip(np.round(s * 1000.0), -32767,
+                            32767).astype(np.int16)
+            slam.add_data(i, "world", T, T_rs, s)
+        return slam.T_world_robot
+
+    d = np.linalg.norm(run(False)[:3, 3] - run(True)[:3, 3])
+    assert d < 0.02, f"int16 ingest diverged {d} m from f32"
+
+
 def test_native_scan_loader_missing_dir(tmp_path):
     from pgslam_tpu.native import ScanLoader, native_available
     if not native_available():

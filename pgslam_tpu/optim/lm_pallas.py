@@ -65,9 +65,11 @@ def _pad128(n: int) -> int:
 
 
 def vmem_estimate(n_vertices: int, n_edges: int, n_loop: int | None = None,
-                  factored: bool = False) -> int:
+                  factored: bool = False, block: int = 128) -> int:
     """Estimated resident VMEM bytes for one kernel instance (incidence
-    + row fields; see fits_vmem for the calibration story)."""
+    + row fields; see fits_vmem for the calibration story). ``block`` is
+    the tiled-overlay column width when ``factored`` (see
+    ``factored_plan``)."""
     V = _pad128(n_vertices)
     if n_loop is None:
         L = W = _pad128(n_edges)
@@ -75,16 +77,46 @@ def vmem_estimate(n_vertices: int, n_edges: int, n_loop: int | None = None,
         L = _pad128(n_loop)
         W = V + L                                # chain lanes + loop lanes
     if factored:
-        # B/W both orientations + gather/scatter transients + the
-        # per-row staging scratch ([32, 2L] + [96, V]).
-        s_bytes = 2 * (2 * L * (V // 128) * 2) + 2 * (2 * L * 128 * 2) \
-            + 4 * (2 * L * 128 * 4) \
-            + (32 * 2 * L + 96 * V) * 4
+        trips = -(-V // block)
+        Vt = block * trips                       # tile-expanded V padding
+        # W1 both contraction orientations (bf16) + sid row + the two
+        # staging scratches + a few live [R<=96, 2L] loop transients.
+        s_bytes = 2 * (2 * L * block * 2) + 2 * L * 4 \
+            + 96 * (Vt + 2 * L) * 4 + 3 * (96 * 2 * L * 4)
+        V = Vt
+        if n_loop is not None:
+            W = V + L
     else:
         s_bytes = 2 * (2 * L * V * 2)
     edge_rows = (36 * 3 + 16 * 4 + 60) * W * 4   # info, blocks, transforms
     vert_rows = (36 + 16 * 3 + 8 * 8) * V * 4    # Pinv, poses, Krylov
     return s_bytes + edge_rows + vert_rows
+
+
+def factored_plan(n_vertices: int, n_edges: int, n_loop: int | None = None,
+                  budget_bytes: int | None = None
+                  ) -> tuple[int, int] | None:
+    """Tile plan for the tiled-overlay incidence: the one-hot S's column
+    tiles are OR-overlaid into ONE resident ``W1 [2L, s]`` (tile
+    membership recovered by a per-lane super-id mask), and the kernel
+    loops over the V/s tiles — giant K=s MXU dots, total FLOPs identical
+    to the unfactored one-hot matmul. Picks the smallest trip count
+    (largest s) whose resident estimate fits; returns (s, trips) or
+    None. s=V (trips=1) IS the plain one-hot, so the search starts at
+    trips=2."""
+    if budget_bytes is None:
+        budget_bytes = VMEM_LIMIT_BYTES - 8 * 1024 * 1024
+    Vp = _pad128(n_vertices)
+    trips = 2
+    while trips <= max(2, Vp // 128):
+        s = -(-Vp // (128 * trips)) * 128
+        if vmem_estimate(n_vertices, n_edges, n_loop, factored=True,
+                         block=s) <= budget_bytes:
+            return s, trips
+        if s == 128:
+            break
+        trips *= 2
+    return None
 
 
 def fits_vmem(n_vertices: int, n_edges: int, n_loop: int | None = None,
@@ -103,19 +135,20 @@ def fits_vmem(n_vertices: int, n_edges: int, n_loop: int | None = None,
     instead of ``n_edges`` — real pose graphs (loop closures are a small
     fraction of edges) fit far larger V.
 
-    ``factored``: the rank-factored incidence W [2L, 128] + B
-    [2L, V/128] replaces S at 1/64th the bytes (plus staging scratch
-    and per-row transients) — the layout that takes dense 4k+ and
-    sparse 16k+ graphs fused (VERDICT r3 item 2)."""
-    return vmem_estimate(n_vertices, n_edges, n_loop,
-                         factored) <= budget_bytes
+    ``factored``: a tiled-overlay plan exists (see ``factored_plan``) —
+    the capacity extension that takes dense 4k+ and sparse 16k+ graphs
+    fused (VERDICT r3 item 2)."""
+    if factored:
+        return factored_plan(n_vertices, n_edges, n_loop,
+                             budget_bytes) is not None
+    return vmem_estimate(n_vertices, n_edges, n_loop) <= budget_bytes
 
 
 def layout_plan(n_vertices: int, n_edges: int,
                 n_loop: int | None = None) -> str | None:
     """Tiling/layout decision for one optimize() call (replaces the bare
     ``fits_vmem`` gate, VERDICT r3 item 2): plain one-hot while it fits
-    (fewest kernel instructions), the 64x-smaller factored incidence
+    (fewest kernel instructions), the tiled-overlay factored incidence
     beyond that, None when even factored busts the budget (XLA loop
     fallback). ``n_loop`` is the chain-layout loop-lane count when the
     caller has static edge ids (host_loop_count), else None."""
@@ -172,21 +205,25 @@ def _lm_kernel(fixed_ref, *refs, n_edges, chain, factored, cg_iterations,
     # the one-hot incidence S [2*n_edges, V]. Without ``chain`` every lane
     # is a loop lane (legacy layout, used when edge ids are traced).
     #
-    # ``factored``: the incidence arrives rank-factored as W [2E, 128]
-    # (lane one-hot, v % 128) + B [2E, Vb] (block one-hot, v // 128)
-    # instead of S [2E, V] — 1/64th the VMEM, same exact selection
-    # semantics (build_incidence_factored). Gather: pose row reshaped
-    # [Vb, 128], transposed, W contracted on the MXU (K=128), B as a
-    # Vb-lane mask+reduce — the per-row transient is [2E, Vb], small
-    # enough that Mosaic's unrolled-loop scheduling doesn't spill
-    # (contracting B instead spilled 160 MB of [2E, 128] transients).
-    # Scatter: B as lane expand, W on the MXU, the [128, Vb] result
-    # transposed + reshaped back to [1, V]. All four data-movement
-    # primitives are chip-verified (scripts/probe_mosaic_reshape.py).
+    # ``factored``: the incidence arrives as the tiled one-hot OVERLAY
+    # W1 [2E, s] (the OR of S's V/s column tiles: W1[e, v mod s] = 1)
+    # plus the super-id row sid [1, 2E] (sid[e] = v div s), built by
+    # build_incidence_factored. Both directions run a fori_loop over the
+    # V/s tiles with operands staged through VMEM scratch: gather is one
+    # [R, s] x W1^T MXU pass per tile masked into a scratch accumulator
+    # by (sid == t); scatter masks the edge rows by (sid == t) and
+    # contracts the 2E lanes with W1, writing output tile t. Total MXU
+    # FLOPs are IDENTICAL to the unfactored one-hot matmul (the overlay
+    # carries the same ones); only the resident bytes shrink V/s-fold.
+    # The fori_loop is load-bearing: python-unrolled variants let
+    # Mosaic's scheduler hoist every tile's independent dot and keep all
+    # results live — 129 MB of register-allocator spill slots at dense
+    # 4k (scripts/probe_mosaic_loop.py chip A/B; optimization_barrier
+    # has no Mosaic lowering).
     if factored:
-        (W_ref, B_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref, em_ref,
+        (W_ref, sid_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref, em_ref,
          rm_ref, priorT_ref, PT_out_ref, stats_ref,
-         gat_ref, sca_ref) = refs
+         sA_ref, sB_ref) = refs
     else:
         (S_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref, em_ref, rm_ref,
          priorT_ref, PT_out_ref, stats_ref) = refs
@@ -196,45 +233,50 @@ def _lm_kernel(fixed_ref, *refs, n_edges, chain, factored, cg_iterations,
     fixed = fixed_ref[0]
 
     if factored:
-        Vb = V // 128
-        Bf32 = B_ref[:].astype(f32)                         # [2E, Vb]
-        # Per-row results land in VMEM scratch (gat_ref [Rmax, 2E],
-        # sca_ref [Rmax, V]) instead of a values concat: narrow-lane
-        # values ([2E, 1] columns, [2E, Vb] products) occupy full
-        # 128-lane vregs, and with the row loop unrolled the concat kept
-        # ~R of them live — 160 MB of register spills at V=1k/E=2k. A
-        # store ends each row's live range explicitly.
+        s_tile = W_ref.shape[1]
+        trips = V // s_tile
+        # Callers pre-split values hi/lo (_split16 / _stack_rows of
+        # split rows), so every bf16 cast below is exact and the one-hot
+        # contractions accumulate in f32 — bit-identical selection to
+        # the plain one-hot path.
 
         def incid_gather(Xs):
             """[R, V] split rows -> [R, 2E] endpoint lanes."""
             R = Xs.shape[0]
-            Wm = W_ref[:]
-            Xs32 = Xs.astype(f32)
-            for k in range(R):
-                Pk = Xs32[k:k + 1, :].reshape(Vb, 128).T    # [128, Vb]
-                T1 = jax.lax.dot_general(
-                    Wm, Pk.astype(jnp.bfloat16),
-                    (((1,), (0,)), ((), ())),
+            sA_ref[0:R, :] = Xs.astype(f32)
+            sB_ref[0:R, :] = jnp.zeros((R, sB_ref.shape[1]), f32)
+
+            def body(t, _):
+                Xt = sA_ref[0:R, pl.ds(t * s_tile, s_tile)] \
+                    .astype(jnp.bfloat16)
+                T = jax.lax.dot_general(
+                    Xt, W_ref[:], (((1,), (1,)), ((), ())),
                     preferred_element_type=f32,
-                    precision=_DEFAULT)                     # [2E, Vb]
-                col = jnp.sum(T1 * Bf32, axis=1, keepdims=True)
-                gat_ref[k:k + 1, :] = col.T                 # [1, 2E]
-            return gat_ref[0:R, :]
+                    precision=_DEFAULT)                     # [R, 2E]
+                m = (sid_ref[0:1, :] == t.astype(f32)).astype(f32)
+                sB_ref[0:R, :] = sB_ref[0:R, :] + T * m
+                return 0
+
+            jax.lax.fori_loop(0, trips, body, 0)
+            return sB_ref[0:R, :]
 
         def incid_scatter(Xs):
             """[R, 2E] split edge rows -> [R, V] vertex sums."""
             R = Xs.shape[0]
-            Wm = W_ref[:]
-            Xs32 = Xs.astype(f32)
-            for k in range(R):
-                xcol = Xs32[k:k + 1, :].T                   # [2E, 1]
-                Hk = (xcol * Bf32).astype(jnp.bfloat16)     # [2E, Vb]
-                Yw = jax.lax.dot_general(
-                    Wm, Hk, (((0,), (0,)), ((), ())),
+            sB_ref[0:R, :] = Xs.astype(f32)
+
+            def body(t, _):
+                m = (sid_ref[0:1, :] == t.astype(f32)).astype(f32)
+                Z = (sB_ref[0:R, :] * m).astype(jnp.bfloat16)
+                Y = jax.lax.dot_general(
+                    Z, W_ref[:], (((1,), (0,)), ((), ())),
                     preferred_element_type=f32,
-                    precision=_DEFAULT)                     # [128, Vb]
-                sca_ref[k:k + 1, :] = Yw.T.reshape(1, V)
-            return sca_ref[0:R, :]
+                    precision=_DEFAULT)                     # [R, s]
+                sA_ref[0:R, pl.ds(t * s_tile, s_tile)] = Y
+                return 0
+
+            jax.lax.fori_loop(0, trips, body, 0)
+            return sA_ref[0:R, :]
     else:
         def incid_gather(Xs):
             return jax.lax.dot_general(
@@ -548,6 +590,15 @@ def _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
     Vp = -(-V // 128) * 128
     Ep = -(-E // 128) * 128
     chain = n_loop is not None
+    s_tile = None
+    if incidence == "factored":
+        plan = factored_plan(V, E, n_loop)
+        if plan is None:
+            plan = (128, -(-Vp // 128))   # max-trips fallback
+        s_tile, n_trips = plan
+        # Vertex lanes pad to a whole number of tiles (the extra lanes
+        # carry vmask=0/em=0 like ordinary 128-padding).
+        Vp = s_tile * n_trips
     ef = jnp.clip(edge_from, 0, V - 1).astype(jnp.int32)
     et = jnp.clip(edge_to, 0, V - 1).astype(jnp.int32)
     ZinvE = se3.inverse(edge_T).reshape(E, 16).astype(jnp.float32)
@@ -647,7 +698,7 @@ def _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
             lZ, lC = takeL(ZinvE), takeL(covE)
         if incidence == "factored":
             from .pcg_pallas import build_incidence_factored
-            S_in = build_incidence_factored(lef, let, V)
+            S_in = build_incidence_factored(lef, let, V, s_tile)
         else:
             S_in = (build_incidence_bf16(lef, let, V),)
         ZinvT = jnp.concatenate([cZ, lZ], axis=0).T
@@ -659,7 +710,7 @@ def _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
     else:
         if incidence == "factored":
             from .pcg_pallas import build_incidence_factored
-            S_in = build_incidence_factored(ef, et, V)
+            S_in = build_incidence_factored(ef, et, V, s_tile)
         else:
             S_in = (build_incidence_bf16(ef, et, V),)
 
@@ -693,13 +744,13 @@ def _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
         min_cost_decrease=config.min_cost_decrease,
         prior_info=float(1.0 / config.prior_sigma ** 2),
         robust=config.robust, robust_delta=float(config.robust_delta))
-    # Factored mode stages per-row gather/scatter results through VMEM
-    # scratch (see incid_gather/incid_scatter): [32, 2E] for gathered
-    # endpoint rows, [96, V] for scattered vertex rows (84 = the 42
-    # hi/lo-split Hessian+gradient rows of scatter_to_vertices).
+    # Factored staging/accumulator scratch: sA [96, Vp] (gather operand
+    # stage / scatter output tiles), sB [96, 2E] (gather accumulator /
+    # scatter operand stage). 96 >= the 84 hi/lo-split rows of
+    # scatter_to_vertices.
     scratch = [] if incidence != "factored" else [
-        pltpu.VMEM((32, 2 * n_lanes), jnp.float32),
-        pltpu.VMEM((96, Vp), jnp.float32)]
+        pltpu.VMEM((96, Vp), jnp.float32),
+        pltpu.VMEM((96, 2 * n_lanes), jnp.float32)]
     PT_out, stats = pl.pallas_call(
         kern,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -712,15 +763,12 @@ def _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
         # The default scoped-vmem limit is 16 MiB; v5e has headroom above
         # that, and S + the live row fields need ~20 MiB at V=1k/E=2k.
         # The request is SIZED TO THE ESTIMATE (+headroom for Mosaic
-        # stack/temporaries) rather than pinned at the 94 MiB maximum:
-        # the scoped request is a reservation, and reserving the maximum
-        # left the factored layout 688 KB short of stack at V=1k/E=2k
-        # even though its resident data is ~12 MiB.
+        # stack/temporaries) rather than pinned at the 94 MiB maximum.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(VMEM_LIMIT_BYTES, max(
                 32 * 1024 * 1024,
-                vmem_estimate(V, E, n_loop,
-                              incidence == "factored")
+                vmem_estimate(V, E, n_loop, incidence == "factored",
+                              block=s_tile or 128)
                 + 24 * 1024 * 1024))),
         interpret=jax.default_backend() == "cpu",
     )(jnp.asarray(fixed_id, jnp.int32)[None], *S_in, PT0, vm, ZinvT, covT,

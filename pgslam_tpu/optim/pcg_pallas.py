@@ -248,32 +248,30 @@ def build_incidence_bf16(edge_from: jax.Array, edge_to: jax.Array,
 
 
 def build_incidence_factored(edge_from: jax.Array, edge_to: jax.Array,
-                             n_vertices: int):
-    """Exact rank-factored incidence: ``S[e, v] = W[e, v % 128] *
-    B[e, v // 128]`` with W ``[2Ep, 128]`` (lane-within-block one-hot)
-    and B ``[2Ep, Vp/128]`` (block one-hot), both bf16 — 1/64th the
-    plain one-hot S, the capacity extension that lets the whole-LM
-    kernel hold graphs whose S (64-128 MB at dense 4k poses) cannot fit
-    (VERDICT r3 item 2).
+                             n_vertices: int, block: int = 128):
+    """Exact tiled-overlay incidence: ``S[e, v] = W1[e, v % block] *
+    (sid[e] == v // block)`` with W1 ``[2Ep, block]`` bf16 (the OR of
+    S's V/block column tiles — each endpoint contributes its one-hot at
+    the within-tile offset) and sid ``[1, 2Ep]`` f32 (tile id per
+    endpoint lane). Resident bytes shrink V/block-fold vs the plain
+    one-hot S (64-128 MB at dense 4k poses) — the capacity extension
+    that takes dense 4k+ and sparse 16k+ graphs fused (VERDICT r3
+    item 2); MXU FLOPs are identical (the overlay carries the same
+    ones, contracted tile-by-tile).
 
-    The kernel contracts W on the MXU (K=128) and applies B as a
-    Vb-lane mask+reduce, so the per-row transient is only [2E, Vb] —
-    contracting B on the MXU instead register-spilled 160 MB at
-    V=1k/E=2k ([2E, 128] transients; Mosaic keeps the unrolled per-row
-    loop's intermediates live). Pose rows move by the Mosaic-verified
-    [1, V] <-> [Vb, 128] reshapes + [Vb, 128] <-> [128, Vb] transposes
-    (scripts/probe_mosaic_reshape.py; the reshape-only w-major layout
-    was rejected: 'unsupported shape cast' to narrow-lane [128, Vb]).
+    The kernel runs a fori_loop over tiles — unrolled variants let
+    Mosaic hoist every tile's independent dot and spill all results
+    (129 MB at dense 4k; scripts/probe_mosaic_loop.py chip A/B).
     Selection stays exact: one-hot matmuls move payloads by
-    multiply-with-1.0 with f32 accumulation, like the unfactored path.
-    Same row layout/padding contract as :func:`build_incidence_bf16`."""
+    multiply-with-1.0 with f32 accumulation, and the tile masks are
+    disjoint. Same row layout/padding contract as
+    :func:`build_incidence_bf16`; padded edge rows are all-zero in W1
+    and tile 0 in sid, contributing nothing."""
     E = edge_from.shape[0]
-    Vp = -(-n_vertices // 128) * 128
-    Vb = Vp // 128
     Ep = -(-E // 128) * 128
     idx = jnp.concatenate([edge_from, edge_to]).astype(jnp.int32)
-    W = jax.nn.one_hot(idx % 128, 128, dtype=jnp.bfloat16)   # [2E, 128]
-    B = jax.nn.one_hot(idx // 128, Vb, dtype=jnp.bfloat16)   # [2E, Vb]
+    W1 = jax.nn.one_hot(idx % block, block, dtype=jnp.bfloat16)
+    sid = (idx // block).astype(jnp.float32)[:, None]        # [2E, 1]
 
     def padE(M):
         M = M.reshape(2, E, M.shape[1])
@@ -281,4 +279,4 @@ def build_incidence_factored(edge_from: jax.Array, edge_to: jax.Array,
             M = jnp.pad(M, ((0, 0), (0, Ep - E), (0, 0)))
         return M.reshape(2 * Ep, M.shape[2])
 
-    return padE(W), padE(B)
+    return padE(W1), padE(sid).T

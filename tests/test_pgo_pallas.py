@@ -258,6 +258,30 @@ def test_layout_plan_tiling_decision():
     assert layout_plan(262144, 524288) is None
 
 
+def test_factored_plan_tiles_cover_vertices():
+    """The tiled-overlay plan must produce whole-tile vertex coverage
+    (s*trips >= padded V) and an estimate inside the budget, preferring
+    the largest tile (fewest fori trips) that fits."""
+    from pgslam_tpu.optim.lm_pallas import (VMEM_LIMIT_BYTES, factored_plan,
+                                            vmem_estimate)
+
+    budget = VMEM_LIMIT_BYTES - 8 * 1024 * 1024
+    for V, E, nl in ((2560, 5120, None), (4096, 8192, 4097),
+                     (16384, 17408, 1024)):
+        s, trips = factored_plan(V, E, nl)
+        assert s % 128 == 0 and trips >= 2
+        assert s * trips >= -(-V // 128) * 128
+        assert vmem_estimate(V, E, nl, factored=True, block=s) <= budget
+        if s > 128:
+            # one fewer doubling (larger tile) must NOT fit — largest-s
+            # preference.
+            s_big = -(-(-(-V // 128) * 128) // (128 * max(trips // 2, 1))) \
+                * 128
+            if trips > 2:
+                assert vmem_estimate(V, E, nl, factored=True,
+                                     block=s_big) > budget
+
+
 def test_n_loop_static_key_is_bucketed(monkeypatch):
     # The jit cache key must be the 128-lane bucket, not the raw loop
     # count: a growing graph changes the raw count on nearly every

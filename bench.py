@@ -22,6 +22,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import numpy as np
 
+_CHILD_T0 = time.monotonic()
+
 BASELINE_REGS_PER_SEC = 5.0
 
 # Set when the batched bench had to reroute off the fused kernel onto
@@ -477,6 +479,45 @@ def bench_icp_64k():
                 f"{np.quantile(len_, 0.9):.3f}/{len_.max():.3f} m")
         except Exception as e:
             log(f"sensor-decimated variant failed (non-fatal): {e}")
+
+        # Micro-batched STREAM line (VERDICT r3 item 6): a single
+        # robot's scans dispatched B=16 at a time against persistent
+        # maps — the lag-B analog of the facade's sync_lag path; commit
+        # lag is 16 scans. Chip sweep (scripts/probe_microbatch.py):
+        # read=1024 x B=16 is the knee (560-576 regs/s; B=32/64 regress
+        # — the vmapped prep pipeline has a ~25 ms per-dispatch floor
+        # that only amortizes at headline-scale B). Runs only with
+        # >=180 s of child budget left so it can never crowd out the
+        # headline phases above.
+        try:
+            if time.monotonic() - _CHILD_T0 < 240.0:
+                B16 = 16
+                refs16 = jax.tree_util.tree_map(lambda x: x[:B16], refs)
+                fref16 = jax.tree_util.tree_map(lambda x: x[:B16], fref)
+                Ts16 = Ts[:B16]
+                pk16 = np.ascontiguousarray(packets[0][:B16])
+                mres = fused_step(jax.device_put(pk16), refs16, fref16,
+                                  Ts16)
+                jax.block_until_ready(mres.T)
+                mrates = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    for _ in range(8):
+                        mres = fused_step(jax.device_put(pk16), refs16,
+                                          fref16, Ts16)
+                    jax.block_until_ready(mres.T)
+                    mrates.append(8 * B16
+                                  / (time.perf_counter() - t0))
+                men = np.asarray(pose_errs(
+                    mres.T, jnp.asarray(offsets[:B16])))
+                log(f"micro-batched stream (B=16 scans in flight, h2d + "
+                    f"dequant + prep + register): "
+                    f"{max(mrates):.1f} regs/sec, err max "
+                    f"{men.max():.3f} m")
+            else:
+                log("micro-batched stream skipped (child budget)")
+        except Exception as e:
+            log(f"micro-batched stream failed (non-fatal): {e}")
     except Exception as e:
         log(f"batched bench failed: {e}")
     return regs_per_sec, batched_rate

@@ -200,7 +200,16 @@ def config4_velodyne():
         T[:3, 3] = [x, 0.0, 1.8]
         return T
 
-    poses = [pose_at(2.0 + i * 1.0) for i in range(26)]
+    # 56 scans: the first 30 are warm-up. The r4 deferred-loop chip
+    # profile (probe_config4_deferred) showed the old 6-scan warm left
+    # first-trace compiles INSIDE the window — each local-map
+    # composition SIZE (1..capacity keyframes) traces its own jitted
+    # map build (~10 s over the relay), and the corridor spawns a
+    # keyframe every ~4 scans, so composition growth only settles after
+    # ~4*capacity scans. The timed window still contains every
+    # steady-state cost (registrations, keyframe spawns, probe-map
+    # rebuilds, set_map) — just not one-time traces.
+    poses = [pose_at(2.0 + i * 1.0) for i in range(56)]
     scans = [render_scan(world, T, rng, 65536, max_range=30.0, noise=0.01)
              for T in poses]
     # Stage the spins as KITTI .bin files and stream them back through the
@@ -230,10 +239,10 @@ def config4_velodyne():
     # overlaps in-flight transfers instead of serializing (~30 ms relay
     # sync floor per scan otherwise; see probe_deferred_sync.py A/B).
     slam = PoseGraphSlam(velodyne_config(sync_lag=2))
-    # Warm through the FIRST keyframe spawn: it pays the loop-closer +
-    # optimizer first-traces (seconds on this host core), which are
-    # one-time costs, not per-scan ones.
-    n_warm = 6
+    # Warm through composition growth to the local-map capacity (see the
+    # poses comment): keyframe spawns, every composition size, and the
+    # loop-closer first-traces are all one-time costs, not per-scan ones.
+    n_warm = 30
     for i in range(n_warm):
         slam.add_data(i, "world", poses[i], np.eye(4), next(loader))
     slam.flush()

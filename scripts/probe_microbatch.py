@@ -63,11 +63,15 @@ def main():
             coarse_div=8, coarse_iterations=8,
             max_iterations=5, trans_eps=1e-4, rot_eps=1e-4)
 
-    for read_n in (1024, 2048):
+    read_ns = ([int(x) for x in sys.argv[1].split(",")]
+               if len(sys.argv) > 1 else [1024, 2048])
+    Bs = ([int(x) for x in sys.argv[2].split(",")]
+          if len(sys.argv) > 2 else [4, 8, 16])
+    for read_n in read_ns:
         bcfg = cfg_for(read_n)
         beng = ICPEngine(bcfg)
         base_ref = beng.prepare_reference(make_cloud(pts, capacity=65536))
-        for B in (4, 8, 16):
+        for B in Bs:
             refs = stack_clouds([base_ref] * B)
             fref = prepare_fused_reference(refs)
             jax.block_until_ready(fref.refT)

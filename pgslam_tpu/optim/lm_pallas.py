@@ -65,7 +65,8 @@ def _pad128(n: int) -> int:
 
 
 def vmem_estimate(n_vertices: int, n_edges: int, n_loop: int | None = None,
-                  factored: bool = False, block: int = 128) -> int:
+                  factored: bool = False, block: int = 128,
+                  stacked: bool = True) -> int:
     """Estimated resident VMEM bytes for one kernel instance (incidence
     + row fields; see fits_vmem for the calibration story). ``block`` is
     the tiled-overlay column width when ``factored`` (see
@@ -79,10 +80,20 @@ def vmem_estimate(n_vertices: int, n_edges: int, n_loop: int | None = None,
     if factored:
         trips = -(-V // block)
         Vt = block * trips                       # tile-expanded V padding
-        # W1 both contraction orientations (bf16) + sid row + the two
-        # staging scratches + a few live [R<=96, 2L] loop transients.
-        s_bytes = 2 * (2 * L * block * 2) + 2 * L * 4 \
-            + 96 * (Vt + 2 * L) * 4 + 3 * (96 * 2 * L * 4)
+        if stacked:
+            # W1 both contraction orientations (bf16) + sid row + the
+            # tile-stacked dot transients (the scatter path is worst:
+            # trips masked f32 copies of an [R<=96, 2L] operand live
+            # into one concat, plus the bf16 stack and the [R*T, s]
+            # f32 result).
+            s_bytes = 2 * (2 * L * block * 2) + 2 * L * 4 \
+                + 96 * trips * (2 * L * 4 + 2 * L * 2 + 2 * L * 4
+                                + block * 4)
+        else:
+            # fori style: W1 orientations + sid + the two staging
+            # scratches + a few live [R<=96, 2L] loop transients.
+            s_bytes = 2 * (2 * L * block * 2) + 2 * L * 4 \
+                + 96 * (Vt + 2 * L) * 4 + 3 * (96 * 2 * L * 4)
         V = Vt
         if n_loop is not None:
             W = V + L
@@ -99,23 +110,43 @@ def factored_plan(n_vertices: int, n_edges: int, n_loop: int | None = None,
     """Tile plan for the tiled-overlay incidence: the one-hot S's column
     tiles are OR-overlaid into ONE resident ``W1 [2L, s]`` (tile
     membership recovered by a per-lane super-id mask), and the kernel
-    loops over the V/s tiles — giant K=s MXU dots, total FLOPs identical
-    to the unfactored one-hot matmul. Picks the smallest trip count
-    (largest s) whose resident estimate fits; returns (s, trips) or
-    None. s=V (trips=1) IS the plain one-hot, so the search starts at
-    trips=2."""
+    stacks the V/s tiles along M into ONE MXU dot — total FLOPs
+    identical to the unfactored one-hot matmul, weight loads trips-fold
+    fewer. Returns (s, trips) or None. s=V (trips=1) IS the plain
+    one-hot, so candidates start at trips=2."""
     if budget_bytes is None:
         budget_bytes = VMEM_LIMIT_BYTES - 8 * 1024 * 1024
     Vp = _pad128(n_vertices)
-    trips = 2
-    while trips <= max(2, Vp // 128):
-        s = -(-Vp // (128 * trips)) * 128
-        if vmem_estimate(n_vertices, n_edges, n_loop, factored=True,
-                         block=s) <= budget_bytes:
-            return s, trips
-        if s == 128:
-            break
-        trips *= 2
+    max_trips = max(2, Vp // 128)
+    style_env = os.environ.get("PGSLAM_PGO_FACTORED_STYLE", "")
+    # STACKED style first: one dot per direction, weight loads
+    # trips-fold fewer (preference T=8 — the weight-load knee). Gated on
+    # Vt*trips <= 16k: the stacked values' register-allocator live set
+    # scales ~ V*T, chip-calibrated between dense 4k/T=4 (Vt*T=16,384:
+    # compiles, 10.1 ms) and sparse 16k/T=8 (131,072: 315 MB of spill
+    # slots, the whole VMEM 2.5x over).
+    if style_env != "fori":
+        for trips in [t for t in (8, 16, 4, 32, 2)
+                      if 2 <= t <= max_trips]:
+            s = -(-Vp // (128 * trips)) * 128
+            if s * trips * trips > 16384:  # Vt*trips = s*trips^2
+                continue
+            if vmem_estimate(n_vertices, n_edges, n_loop, factored=True,
+                             block=s) <= budget_bytes:
+                return s, trips, True
+    # FORI style capacity fallback: per-tile dots staged through VMEM
+    # scratch — spill-safe at any size that fits resident (sparse 16k
+    # chip-verified fused), weight-load bound (~2-3x slower movement).
+    if style_env != "stacked":
+        trips = 2
+        while trips <= max_trips:
+            s = -(-Vp // (128 * trips)) * 128
+            if vmem_estimate(n_vertices, n_edges, n_loop, factored=True,
+                             block=s, stacked=False) <= budget_bytes:
+                return s, trips, False
+            if s == 128:
+                break
+            trips *= 2
     return None
 
 
@@ -195,7 +226,8 @@ from ..ops.rowmath import (_add, _adjoint_of_inv, _ad6, _dotn, _eye6_plus,
                            _split16, _stack_rows, _to_row, _t6)
 
 
-def _lm_kernel(fixed_ref, *refs, n_edges, chain, factored, cg_iterations,
+def _lm_kernel(fixed_ref, *refs, n_edges, chain, factored, fstacked,
+               cg_iterations,
                cg_tol, max_iterations, lambda_init, lambda_up, lambda_down,
                min_step_norm, min_cost_decrease, prior_info, robust,
                robust_delta):
@@ -208,19 +240,21 @@ def _lm_kernel(fixed_ref, *refs, n_edges, chain, factored, cg_iterations,
     # ``factored``: the incidence arrives as the tiled one-hot OVERLAY
     # W1 [2E, s] (the OR of S's V/s column tiles: W1[e, v mod s] = 1)
     # plus the super-id row sid [1, 2E] (sid[e] = v div s), built by
-    # build_incidence_factored. Both directions run a fori_loop over the
-    # V/s tiles with operands staged through VMEM scratch: gather is one
-    # [R, s] x W1^T MXU pass per tile masked into a scratch accumulator
-    # by (sid == t); scatter masks the edge rows by (sid == t) and
-    # contracts the 2E lanes with W1, writing output tile t. Total MXU
+    # build_incidence_factored. Both directions stack the V/s tiles
+    # along M into ONE MXU dot against W1 and recombine with (sid == t)
+    # masks (exactly one tile is nonzero per endpoint lane). Total MXU
     # FLOPs are IDENTICAL to the unfactored one-hot matmul (the overlay
-    # carries the same ones); only the resident bytes shrink V/s-fold.
-    # The fori_loop is load-bearing: python-unrolled variants let
-    # Mosaic's scheduler hoist every tile's independent dot and keep all
-    # results live — 129 MB of register-allocator spill slots at dense
-    # 4k (scripts/probe_mosaic_loop.py chip A/B; optimization_barrier
-    # has no Mosaic lowering).
-    if factored:
+    # carries the same ones); only the resident bytes shrink V/s-fold,
+    # and the weight-load count shrinks trips-fold (see incid_gather).
+    # Earlier layouts chip-probed and rejected
+    # (scripts/probe_mosaic_loop.py): per-tile UNROLLED dots spill the
+    # whole VMEM (Mosaic hoists every independent dot; 129 MB of spill
+    # slots at dense 4k; optimization_barrier has no Mosaic lowering),
+    # and a fori_loop per tile is spill-safe but weight-load bound.
+    if factored and fstacked:
+        (W_ref, sid_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref, em_ref,
+         rm_ref, priorT_ref, PT_out_ref, stats_ref) = refs
+    elif factored:
         (W_ref, sid_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref, em_ref,
          rm_ref, priorT_ref, PT_out_ref, stats_ref,
          sA_ref, sB_ref) = refs
@@ -232,13 +266,13 @@ def _lm_kernel(fixed_ref, *refs, n_edges, chain, factored, cg_iterations,
     f32 = jnp.float32
     fixed = fixed_ref[0]
 
-    if factored:
+    if factored and not fstacked:
+        # FORI capacity style: per-tile dots with operands staged
+        # through VMEM scratch — spill-safe at any resident-fitting
+        # size (sparse 16k chip-verified), but each tile reloads W1
+        # into the MXU (weight-load bound; see the stacked branch).
         s_tile = W_ref.shape[1]
         trips = V // s_tile
-        # Callers pre-split values hi/lo (_split16 / _stack_rows of
-        # split rows), so every bf16 cast below is exact and the one-hot
-        # contractions accumulate in f32 — bit-identical selection to
-        # the plain one-hot path.
 
         def incid_gather(Xs):
             """[R, V] split rows -> [R, 2E] endpoint lanes."""
@@ -277,6 +311,75 @@ def _lm_kernel(fixed_ref, *refs, n_edges, chain, factored, cg_iterations,
 
             jax.lax.fori_loop(0, trips, body, 0)
             return sA_ref[0:R, :]
+    elif factored:
+        s_tile = W_ref.shape[1]
+        trips = V // s_tile
+        # Callers pre-split values hi/lo (_split16 / _stack_rows of
+        # split rows), so every bf16 cast below is exact and the one-hot
+        # contractions accumulate in f32 — bit-identical selection to
+        # the plain one-hot path.
+        #
+        # TILE-STACKED dots: all V/s tiles ride ONE dot with the tiles
+        # stacked along M. The MXU is WEIGHT-LOAD bound at these row
+        # counts (cycles ~ (K/128)(N/128)(128 + M): loading each 128x128
+        # weight tile costs 128 cycles vs M=16-32 compute cycles — the
+        # fori-per-tile variant reloaded W1 every trip and measured
+        # exactly that model's 0.31 ms per CG matvec at sparse 16k).
+        # Stacking multiplies M by `trips` per weight load, so total
+        # movement cycles scale as (V*2E/128^2)*(128/trips + R). One dot
+        # also sidesteps the unrolled-independent-dots spill (the concat
+        # operands are simultaneously live by necessity and counted in
+        # vmem_estimate).
+
+        def _pad8(Xs):
+            # Sublane-align the per-tile row count: slice starts t*Rp
+            # must be 8-aligned or Mosaic rejects the recombine concat
+            # ("result/input offset mismatch on non-concat dimension",
+            # chip-observed at R=84).
+            pad = (-Xs.shape[0]) % 8
+            if pad:
+                Xs = jnp.concatenate(
+                    [Xs, jnp.zeros((pad, Xs.shape[1]), Xs.dtype)], axis=0)
+            return Xs
+
+        def incid_gather(Xs):
+            """[R, V] split rows -> [R, 2E] endpoint lanes."""
+            R = Xs.shape[0]
+            sid = sid_ref[0:1, :]
+            Xp = _pad8(Xs)
+            Rp = Xp.shape[0]
+            Xstk = jnp.concatenate(
+                [Xp[:, t * s_tile:(t + 1) * s_tile]
+                 for t in range(trips)], axis=0)            # [Rp*T, s]
+            T = jax.lax.dot_general(
+                Xstk.astype(jnp.bfloat16), W_ref[:],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+                precision=_DEFAULT)                         # [Rp*T, 2E]
+            acc = None
+            for t in range(trips):
+                Tm = T[t * Rp:(t + 1) * Rp, :] \
+                    * (sid == float(t)).astype(f32)
+                acc = Tm if acc is None else acc + Tm
+            return acc[0:R, :]
+
+        def incid_scatter(Xs):
+            """[R, 2E] split edge rows -> [R, V] vertex sums."""
+            R = Xs.shape[0]
+            sid = sid_ref[0:1, :]
+            Xp = _pad8(Xs.astype(f32))
+            Rp = Xp.shape[0]
+            Zstk = jnp.concatenate(
+                [Xp * (sid == float(t)).astype(f32)
+                 for t in range(trips)], axis=0)            # [Rp*T, 2E]
+            Y = jax.lax.dot_general(
+                Zstk.astype(jnp.bfloat16), W_ref[:],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=_DEFAULT)                         # [Rp*T, s]
+            return jnp.concatenate(
+                [Y[t * Rp:(t + 1) * Rp, :] for t in range(trips)],
+                axis=1)[0:R, :]                             # [R, V]
     else:
         def incid_gather(Xs):
             return jax.lax.dot_general(
@@ -590,12 +693,12 @@ def _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
     Vp = -(-V // 128) * 128
     Ep = -(-E // 128) * 128
     chain = n_loop is not None
-    s_tile = None
+    s_tile, fstacked = None, True
     if incidence == "factored":
         plan = factored_plan(V, E, n_loop)
         if plan is None:
-            plan = (128, -(-Vp // 128))   # max-trips fallback
-        s_tile, n_trips = plan
+            plan = (128, -(-Vp // 128), False)   # max-trips fori fallback
+        s_tile, n_trips, fstacked = plan
         # Vertex lanes pad to a whole number of tiles (the extra lanes
         # carry vmask=0/em=0 like ordinary 128-padding).
         Vp = s_tile * n_trips
@@ -735,7 +838,7 @@ def _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
 
     kern = functools.partial(
         _lm_kernel, n_edges=n_lanes, chain=chain,
-        factored=(incidence == "factored"),
+        factored=(incidence == "factored"), fstacked=fstacked,
         cg_iterations=config.cg_iterations, cg_tol=config.cg_tol,
         max_iterations=config.max_iterations,
         lambda_init=config.lambda_init, lambda_up=config.lambda_up,
@@ -744,22 +847,22 @@ def _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
         min_cost_decrease=config.min_cost_decrease,
         prior_info=float(1.0 / config.prior_sigma ** 2),
         robust=config.robust, robust_delta=float(config.robust_delta))
-    # Factored staging/accumulator scratch: sA [96, Vp] (gather operand
+    # fori-style factored staging scratch: sA [96, Vp] (gather operand
     # stage / scatter output tiles), sB [96, 2E] (gather accumulator /
-    # scatter operand stage). 96 >= the 84 hi/lo-split rows of
-    # scatter_to_vertices.
-    scratch = [] if incidence != "factored" else [
+    # scatter operand stage); 96 >= the 84 hi/lo-split rows of
+    # scatter_to_vertices. The stacked style needs none.
+    scratch = [] if incidence != "factored" or fstacked else [
         pltpu.VMEM((96, Vp), jnp.float32),
         pltpu.VMEM((96, 2 * n_lanes), jnp.float32)]
     PT_out, stats = pl.pallas_call(
         kern,
+        scratch_shapes=scratch,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (7 + len(S_in)),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=[jax.ShapeDtypeStruct((16, Vp), jnp.float32),
                    jax.ShapeDtypeStruct((4,), jnp.float32)],
-        scratch_shapes=scratch,
         # The default scoped-vmem limit is 16 MiB; v5e has headroom above
         # that, and S + the live row fields need ~20 MiB at V=1k/E=2k.
         # The request is SIZED TO THE ESTIMATE (+headroom for Mosaic
@@ -768,7 +871,7 @@ def _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
             vmem_limit_bytes=min(VMEM_LIMIT_BYTES, max(
                 32 * 1024 * 1024,
                 vmem_estimate(V, E, n_loop, incidence == "factored",
-                              block=s_tile or 128)
+                              block=s_tile or 128, stacked=fstacked)
                 + 24 * 1024 * 1024))),
         interpret=jax.default_backend() == "cpu",
     )(jnp.asarray(fixed_id, jnp.int32)[None], *S_in, PT0, vm, ZinvT, covT,

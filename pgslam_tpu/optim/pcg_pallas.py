@@ -259,9 +259,10 @@ def build_incidence_factored(edge_from: jax.Array, edge_to: jax.Array,
     item 2); MXU FLOPs are identical (the overlay carries the same
     ones, contracted tile-by-tile).
 
-    The kernel runs a fori_loop over tiles — unrolled variants let
-    Mosaic hoist every tile's independent dot and spill all results
-    (129 MB at dense 4k; scripts/probe_mosaic_loop.py chip A/B).
+    The kernel stacks the tiles along M into ONE dot per direction
+    (per-tile dots are MXU weight-load bound, and UNROLLED per-tile
+    dots spill the whole VMEM — Mosaic hoists every independent dot;
+    129 MB at dense 4k; scripts/probe_mosaic_loop.py chip A/B).
     Selection stays exact: one-hot matmuls move payloads by
     multiply-with-1.0 with f32 accumulation, and the tile masks are
     disjoint. Same row layout/padding contract as

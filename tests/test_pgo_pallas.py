@@ -218,18 +218,20 @@ def test_chain_layout_matches_legacy(monkeypatch):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("layout", ["legacy", "chain"])
+@pytest.mark.parametrize("layout", ["legacy", "chain", "fori"])
 def test_factored_incidence_matches_onehot(layout, monkeypatch):
-    """The rank-factored incidence (B block one-hot + W lane one-hot,
-    1/64th the VMEM — VERDICT r3 item 2) must reproduce the plain
-    one-hot kernel: selection is exact in both (multiply-with-1.0 of
-    bf16 hi/lo split payloads), so only reduction-order noise separates
-    them."""
+    """The tiled-overlay factored incidence (W1 overlay + tile-id row,
+    VERDICT r3 item 2) must reproduce the plain one-hot kernel in BOTH
+    movement styles (tile-stacked dots and the fori capacity fallback):
+    selection is exact in all of them (multiply-with-1.0 of bf16 hi/lo
+    split payloads), so only reduction-order noise separates them."""
     args, gt = _ring_problem()
     cfg = PGOConfig(max_iterations=3, cg_iterations=12, cg_tol=1e-3,
                     solver="lm_pallas")
     if layout == "chain":
         monkeypatch.setenv("PGSLAM_PGO_FORCE_CHAIN", "1")
+    elif layout == "fori":
+        monkeypatch.setenv("PGSLAM_PGO_FACTORED_STYLE", "fori")
     out_1hot, st_1 = optimize_pose_graph(*args, config=cfg)
     monkeypatch.setenv("PGSLAM_PGO_FORCE_FACTORED", "1")
     out_fact, st_f = optimize_pose_graph(*args, config=cfg)
@@ -261,25 +263,24 @@ def test_layout_plan_tiling_decision():
 def test_factored_plan_tiles_cover_vertices():
     """The tiled-overlay plan must produce whole-tile vertex coverage
     (s*trips >= padded V) and an estimate inside the budget, preferring
-    the largest tile (fewest fori trips) that fits."""
+    trips=8 (the weight-load knee for the stacked dots) when it fits."""
     from pgslam_tpu.optim.lm_pallas import (VMEM_LIMIT_BYTES, factored_plan,
                                             vmem_estimate)
 
     budget = VMEM_LIMIT_BYTES - 8 * 1024 * 1024
     for V, E, nl in ((2560, 5120, None), (4096, 8192, 4097),
                      (16384, 17408, 1024)):
-        s, trips = factored_plan(V, E, nl)
+        s, trips, stacked = factored_plan(V, E, nl)
         assert s % 128 == 0 and trips >= 2
         assert s * trips >= -(-V // 128) * 128
-        assert vmem_estimate(V, E, nl, factored=True, block=s) <= budget
-        if s > 128:
-            # one fewer doubling (larger tile) must NOT fit — largest-s
-            # preference.
-            s_big = -(-(-(-V // 128) * 128) // (128 * max(trips // 2, 1))) \
-                * 128
-            if trips > 2:
-                assert vmem_estimate(V, E, nl, factored=True,
-                                     block=s_big) > budget
+        assert vmem_estimate(V, E, nl, factored=True, block=s,
+                             stacked=stacked) <= budget
+        # stacked only inside the chip-calibrated live-set gate
+        # (Vt*trips <= 16k; sparse 16k spilled 315 MB stacked and must
+        # route to the fori capacity style).
+        assert stacked == (s * trips * trips <= 16384)
+    assert factored_plan(4096, 8192, 4097)[2] is True
+    assert factored_plan(16384, 17408, 1024)[2] is False
 
 
 def test_n_loop_static_key_is_bucketed(monkeypatch):

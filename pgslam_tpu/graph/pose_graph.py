@@ -24,7 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cloud import Cloud
-from ..metrics import weight as edge_weight
 
 ODOM_CONSTRAINT = 0   # Constraint::kOdomConstraint (types.h:42-45)
 LOOP_CONSTRAINT = 1   # Constraint::kLoopConstraint
@@ -113,7 +112,10 @@ class PoseGraph:
         self.edge_T[e] = T
         self.edge_cov[e] = np.asarray(cov, np.float32)
         self.edge_type[e] = etype
-        self.edge_weight[e] = float(edge_weight(jnp.asarray(T)))
+        # Host-side translation norm (== metrics.weight, metrics.hpp:20-24):
+        # the eager-jnp form costs a full device round-trip per edge insert
+        # (~30 ms d2h sync floor on the relay) inside every keyframe spawn.
+        self.edge_weight[e] = float(np.linalg.norm(T[:3, 3]))
         self.n_edges += 1
         return e
 

@@ -94,8 +94,13 @@ def run(name, args, gt, cg=30, force=None):
         "1" if force == "factored" else ""
     cfg = PGOConfig(max_iterations=4, cg_iterations=cg, cg_tol=1e-3,
                     solver="lm_pallas")
+    # Pass n_loop EXPLICITLY: the probe's edge ids are device-resident,
+    # so "auto" inside optimize_pose_graph degrades to None (no d2h
+    # fetch) and the measurement silently covers the chain-less layout.
+    # Production (Optimizer.prepare_for_optimization) computes the count
+    # from its host arrays and passes it — measure that path.
     t0 = time.perf_counter()
-    out, st = optimize_pose_graph(*args, config=cfg)
+    out, st = optimize_pose_graph(*args, config=cfg, n_loop=nl)
     jax.block_until_ready(out)
     compile_s = time.perf_counter() - t0
     dts = []
@@ -103,7 +108,7 @@ def run(name, args, gt, cg=30, force=None):
         t0 = time.perf_counter()
         n = 5
         for _ in range(n):
-            out, st = optimize_pose_graph(*args, config=cfg)
+            out, st = optimize_pose_graph(*args, config=cfg, n_loop=nl)
         jax.block_until_ready(out)
         dts.append((time.perf_counter() - t0) / n * 1e3)
     err = np.linalg.norm(np.asarray(out)[:, :3, 3]

@@ -64,6 +64,20 @@ def _pad128(n: int) -> int:
     return max(128, -(-n // 128) * 128)
 
 
+def _host_np(a) -> bool:
+    """True when reading ``a`` into numpy costs no accelerator sync
+    (numpy input or CPU-backed concrete jax array) — mirrors
+    ``pgo._host_readable``."""
+    if isinstance(a, np.ndarray):
+        return True
+    if isinstance(a, jax.core.Tracer):
+        return False
+    try:
+        return all(d.platform == "cpu" for d in a.devices())
+    except Exception:
+        return False
+
+
 def vmem_estimate(n_vertices: int, n_edges: int, n_loop: int | None = None,
                   factored: bool = False, block: int = 128,
                   stacked: bool = True) -> int:
@@ -190,6 +204,85 @@ def layout_plan(n_vertices: int, n_edges: int,
     return None
 
 
+def vmem_estimate_ranges(Vp: int, Lq: int, Tq: int, s: int) -> int:
+    """Resident VMEM bytes for the sorted-RANGES factored style: WfT/WtT
+    one-hot panels (counted double — Mosaic materializes one layout per
+    contraction orientation), the Pt lane permutation, the fori staging
+    scratches, and the usual row fields (edge rows over Vp+Lq lanes)."""
+    w_bytes = 2 * (s * Lq * 2) + 2 * (s * Tq * 2) + 2 * (Tq * Lq * 2)
+    scratch = 96 * (Vp + 2 * Lq + Tq) * 4
+    W = Vp + Lq
+    edge_rows = (36 * 3 + 16 * 4 + 60) * W * 4
+    vert_rows = (36 + 16 * 3 + 8 * 8) * Vp * 4
+    return w_bytes + scratch + edge_rows + vert_rows
+
+
+class RangesPlan:
+    """Static layout for the sorted-ranges movement style (host-routed).
+
+    Loop lanes are grouped by the FROM endpoint's vertex tile: lanes
+    ``[t*capF, t*capF + cntF[t])`` hold the loop edges whose from-vertex
+    lives in tile ``t`` (per-tile 128-padded, dead lanes masked). A
+    second TO-sorted space of ``Tq = trips*capT`` positions groups the
+    same edges by their TO endpoint's tile; ``Pt [Tq, Lq]`` is the
+    one-hot permutation between the two. Movement then runs per-tile
+    dots against [s, cap] one-hot panels — the weight-load count drops
+    from (V/128)*(2L/128) tiles to (s/128)*((Lq+Tq)/128) + 2*(Tq*Lq/128^2)
+    (chip model: each 128x128 weight tile costs ~128 cycles vs M=16-32
+    compute cycles, so tiles ~= cycles at LM row counts)."""
+
+    def __init__(self, s, trips, capF, capT):
+        self.s = s
+        self.trips = trips
+        self.capF = capF
+        self.capT = capT
+        self.Lq = trips * capF
+        self.Tq = trips * capT
+
+    def __repr__(self):
+        return (f"RangesPlan(s={self.s}, trips={self.trips}, "
+                f"capF={self.capF}, capT={self.capT})")
+
+    def movement_tiles(self):
+        return (self.s // 128) * ((self.Lq + self.Tq) // 128) \
+            + 2 * (self.Tq * self.Lq) // (128 * 128)
+
+
+def ranges_plan(n_vertices: int, loop_from, loop_to,
+                budget_bytes: int | None = None) -> RangesPlan | None:
+    """Pick (s, trips, capF, capT) for the ranges style from CONCRETE
+    loop-edge endpoints (numpy int arrays, valid loop edges only).
+    Minimizes the modeled movement weight-tile count subject to the VMEM
+    budget; returns None when nothing fits or the loop set is empty."""
+    if budget_bytes is None:
+        budget_bytes = VMEM_LIMIT_BYTES - 8 * 1024 * 1024
+    Vp0 = _pad128(n_vertices)
+    lf = np.asarray(loop_from, np.int64)
+    lt = np.asarray(loop_to, np.int64)
+    best = None
+    trips = 2
+    while True:
+        s = -(-Vp0 // (128 * trips)) * 128
+        cntF = np.bincount(np.minimum(lf // s, trips - 1),
+                           minlength=trips) if lf.size else \
+            np.zeros(trips, np.int64)
+        cntT = np.bincount(np.minimum(lt // s, trips - 1),
+                           minlength=trips) if lt.size else \
+            np.zeros(trips, np.int64)
+        capF = _pad128(int(cntF.max()) if lf.size else 1)
+        capT = _pad128(int(cntT.max()) if lt.size else 1)
+        plan = RangesPlan(s, trips, capF, capT)
+        if vmem_estimate_ranges(s * trips, plan.Lq, plan.Tq, s) \
+                <= budget_bytes:
+            if best is None or plan.movement_tiles() \
+                    < best.movement_tiles():
+                best = plan
+        if s == 128:
+            break
+        trips *= 2
+    return best
+
+
 def host_loop_count(edge_from, edge_to, n_vertices: int) -> int | None:
     """#edges that can NOT ride the odometry chain's lane-roll path: for
     every vertex i, the FIRST edge (i, i+1) claims chain lane i; the rest
@@ -218,6 +311,89 @@ def host_loop_count(edge_from, edge_to, n_vertices: int) -> int | None:
     return int(len(ef) - len(first))
 
 
+def _host_claim(ef, et, V):
+    """Numpy claim rule, identical to the traced routing and
+    ``host_loop_count``: the min-index edge per chain pair (i, i+1)
+    claims chain lane i. Returns (claimed bool [E], claim_lane int [E]
+    valid where claimed)."""
+    E = len(ef)
+    is_pair = (et == ef + 1) & (ef >= 0) & (et < V)
+    claim_tbl = np.full(V, E, np.int64)
+    np.minimum.at(claim_tbl, np.where(is_pair, ef, 0),
+                  np.where(is_pair, np.arange(E), E))
+    claimed = is_pair & (claim_tbl[np.clip(ef, 0, V - 1)]
+                         == np.arange(E))
+    return claimed, ef
+
+
+def host_route_ranges(ef, et, eT, ec, em, rm, V, plan: RangesPlan):
+    """Numpy routing for the sorted-RANGES layout: chain rows scattered
+    to vertex lanes (claim rule), valid non-claimed edges laid out in
+    from-tile-sorted loop lanes (per-tile 128-padded ranges), plus the
+    TO-sorted companion order and the index arrays the kernel builds its
+    one-hot movement panels from.
+
+    Unlike the traced routing this is emask-AWARE (padding slots are
+    dropped, not compacted into lanes) — their contributions are zero
+    either way, and dropping them keeps per-tile capacities honest.
+
+    Returns (routedT [Vp+Lq,4,4], routedCov [Vp+Lq,6,6], em/rm
+    [Vp+Lq], fw [Lq], tw [Tq], qsrc [Tq]) — all numpy."""
+    s, trips = plan.s, plan.trips
+    capF, capT, Lq, Tq = plan.capF, plan.capT, plan.Lq, plan.Tq
+    Vp = s * trips
+    ef = np.asarray(ef, np.int64)
+    et = np.asarray(et, np.int64)
+    em = np.asarray(em, bool)
+    claimed, _ = _host_claim(ef, et, V)
+
+    # Dead lanes carry IDENTITY (not the traced path's zeros): log stays
+    # finite everywhere and em=0 masks the contribution either way.
+    routedT = np.tile(np.eye(4, dtype=np.float32), (Vp + Lq, 1, 1))
+    routedCov = np.zeros((Vp + Lq, 6, 6), np.float32)
+    rem = np.zeros(Vp + Lq, np.float32)
+    rrm = np.zeros(Vp + Lq, np.float32)
+    ce = np.nonzero(claimed)[0]
+    routedT[ef[ce]] = np.asarray(eT, np.float32)[ce]
+    routedCov[ef[ce]] = np.asarray(ec, np.float32)[ce]
+    rem[ef[ce]] = em[ce].astype(np.float32)
+    rrm[ef[ce]] = np.asarray(rm, np.float32)[ce]
+
+    le = np.nonzero(~claimed & em)[0]           # valid loop edges
+    tf = ef[le] // s
+    tt = et[le] // s
+    # from-tile-sorted lane per loop edge (stable within tile)
+    orderF = np.lexsort((le, tf))
+    rankF = np.zeros(len(le), np.int64)
+    lanes = np.zeros(len(le), np.int64)
+    for t in range(trips):
+        sel = tf[orderF] == t
+        n = int(sel.sum())
+        if n > capF:
+            raise ValueError("ranges plan capacity overflow (from)")
+        rankF[orderF[sel]] = np.arange(n)
+        lanes[orderF[sel]] = t * capF + np.arange(n)
+    routedT[Vp + lanes] = np.asarray(eT, np.float32)[le]
+    routedCov[Vp + lanes] = np.asarray(ec, np.float32)[le]
+    rem[Vp + lanes] = 1.0
+    rrm[Vp + lanes] = np.asarray(rm, np.float32)[le]
+    fw = np.full(Lq, -1, np.int32)
+    fw[lanes] = (ef[le] % s).astype(np.int32)
+    # TO-sorted companion order
+    orderT = np.lexsort((le, tt))
+    tw = np.full(Tq, -1, np.int32)
+    qsrc = np.full(Tq, -1, np.int32)
+    for t in range(trips):
+        sel = tt[orderT] == t
+        n = int(sel.sum())
+        if n > capT:
+            raise ValueError("ranges plan capacity overflow (to)")
+        q = t * capT + np.arange(n)
+        tw[q] = (et[le][orderT[sel]] % s).astype(np.int32)
+        qsrc[q] = lanes[orderT[sel]].astype(np.int32)
+    return routedT, routedCov, rem, rrm, fw, tw, qsrc
+
+
 # Row-algebra helpers (entries are [1, N] arrays or python float
 # constants) live in ops/rowmath.py, shared with the fused ICP kernel.
 from ..ops.rowmath import (_add, _adjoint_of_inv, _ad6, _dotn, _eye6_plus,
@@ -227,6 +403,7 @@ from ..ops.rowmath import (_add, _adjoint_of_inv, _ad6, _dotn, _eye6_plus,
 
 
 def _lm_kernel(fixed_ref, *refs, n_edges, chain, factored, fstacked,
+               franges=False,
                cg_iterations,
                cg_tol, max_iterations, lambda_init, lambda_up, lambda_down,
                min_step_norm, min_cost_decrease, prior_info, robust,
@@ -251,7 +428,11 @@ def _lm_kernel(fixed_ref, *refs, n_edges, chain, factored, fstacked,
     # whole VMEM (Mosaic hoists every independent dot; 129 MB of spill
     # slots at dense 4k; optimization_barrier has no Mosaic lowering),
     # and a fori_loop per tile is spill-safe but weight-load bound.
-    if factored and fstacked:
+    if franges:
+        (WfT_ref, WtT_ref, Pt_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref,
+         em_ref, rm_ref, priorT_ref, PT_out_ref, stats_ref,
+         sA_ref, sB_ref, sC_ref) = refs
+    elif factored and fstacked:
         (W_ref, sid_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref, em_ref,
          rm_ref, priorT_ref, PT_out_ref, stats_ref) = refs
     elif factored:
@@ -266,7 +447,81 @@ def _lm_kernel(fixed_ref, *refs, n_edges, chain, factored, fstacked,
     f32 = jnp.float32
     fixed = fixed_ref[0]
 
-    if factored and not fstacked:
+    if franges:
+        # Sorted-RANGES style: loop lanes grouped by FROM-endpoint tile
+        # (lane range [t*capF, (t+1)*capF) <-> vertex tile t), so each
+        # trip's dot only touches ITS lane range — weight loads carry no
+        # V factor ((s/128)*(Lq/128) tiles per half vs
+        # (V/128)*(2L/128) for the masked-overlay styles). The TO half
+        # rides a second, TO-sorted space (WtT panels) and one lane
+        # permutation dot Pt [Tq, Lq] back to edge-lane order. All
+        # selection dots move hi/lo-split payloads (exactly
+        # bf16-representable) with f32 accumulation — bit-identical to
+        # the plain one-hot path. Operands/results stage through VMEM
+        # scratch inside a real fori (the only spill-safe sequencer,
+        # scripts/probe_mosaic_loop.py).
+        s_tile = WfT_ref.shape[0]                   # WfT [s, Lq]
+        Lq = WfT_ref.shape[1]
+        Tq = WtT_ref.shape[1]
+        trips = V // s_tile
+        capF = Lq // trips
+        capT = Tq // trips
+
+        def incid_gather(Xs):
+            """[R, V] split rows -> [R, 2*Lq] endpoint lanes."""
+            R = Xs.shape[0]
+            sA_ref[0:R, :] = Xs.astype(f32)
+
+            def body(t, _):
+                Xt = sA_ref[0:R, pl.ds(t * s_tile, s_tile)] \
+                    .astype(jnp.bfloat16)
+                sB_ref[0:R, pl.ds(t * capF, capF)] = jax.lax.dot_general(
+                    Xt, WfT_ref[:, pl.ds(t * capF, capF)],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32, precision=_DEFAULT)
+                sC_ref[0:R, pl.ds(t * capT, capT)] = jax.lax.dot_general(
+                    Xt, WtT_ref[:, pl.ds(t * capT, capT)],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32, precision=_DEFAULT)
+                return 0
+
+            jax.lax.fori_loop(0, trips, body, 0)
+            # to-sorted -> edge-lane order (one-hot permute, exact)
+            sB_ref[0:R, Lq:] = jax.lax.dot_general(
+                sC_ref[0:R, :].astype(jnp.bfloat16), Pt_ref[:],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=_DEFAULT)
+            return sB_ref[0:R, :]
+
+        def incid_scatter(Xs):
+            """[R, 2*Lq] split edge rows -> [R, V] vertex sums."""
+            R = Xs.shape[0]
+            sB_ref[0:R, :] = Xs.astype(f32)
+            # edge-lane -> to-sorted order for the TO half
+            sC_ref[0:R, :] = jax.lax.dot_general(
+                sB_ref[0:R, Lq:].astype(jnp.bfloat16), Pt_ref[:],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=_DEFAULT)
+
+            def body(t, _):
+                Zf = sB_ref[0:R, pl.ds(t * capF, capF)] \
+                    .astype(jnp.bfloat16)
+                Zt = sC_ref[0:R, pl.ds(t * capT, capT)] \
+                    .astype(jnp.bfloat16)
+                Yf = jax.lax.dot_general(
+                    Zf, WfT_ref[:, pl.ds(t * capF, capF)],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32, precision=_DEFAULT)
+                Yt = jax.lax.dot_general(
+                    Zt, WtT_ref[:, pl.ds(t * capT, capT)],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32, precision=_DEFAULT)
+                sA_ref[0:R, pl.ds(t * s_tile, s_tile)] = Yf + Yt
+                return 0
+
+            jax.lax.fori_loop(0, trips, body, 0)
+            return sA_ref[0:R, :]
+    elif factored and not fstacked:
         # FORI capacity style: per-tile dots with operands staged
         # through VMEM scratch — spill-safe at any resident-fitting
         # size (sparse 16k chip-verified), but each tile reloads W1
@@ -678,6 +933,44 @@ def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
         # max(.,1): a pure-chain graph (0 loop edges) still gets one
         # 128-lane block so the loop-lane arrays are never zero-sized.
         n_loop = _pad128(max(int(n_loop), 1))
+    # Sorted-RANGES upgrade (see RangesPlan): needs the chain layout,
+    # HOST-readable edge inputs (numpy / CPU-backed — no d2h fetch), and
+    # a movement-tile win over the masked-overlay fori tier. The stacked
+    # tier keeps small/dense graphs (its amortized weight loads beat
+    # ranges there and the Pt permute is O(L^2)).
+    force = os.environ.get("PGSLAM_PGO_FORCE_RANGES", "")
+    if (incidence == "factored" and n_loop is not None and force != "0"
+            and all(_host_np(a) for a in (edge_from, edge_to, edge_T,
+                                          edge_cov, emask))):
+        V, E = poses.shape[0], edge_from.shape[0]
+        ef = np.asarray(edge_from, np.int64)
+        et = np.asarray(edge_to, np.int64)
+        em = np.asarray(emask, bool)
+        claimed, _ = _host_claim(ef, et, V)
+        le = np.nonzero(~claimed & em)[0]
+        rp = ranges_plan(V, ef[le], et[le])
+        fp = factored_plan(V, E, n_loop)
+        take = force == "1"
+        if rp is not None and not take:
+            if fp is None or not fp[2]:          # no plan, or fori tier
+                fori_s, fori_t = (fp[0], fp[1]) if fp else \
+                    (128, _pad128(V) // 128)
+                fori_tiles = (fori_s * fori_t // 128) \
+                    * (2 * _pad128(max(int(len(le)), 1)) // 128)
+                take = rp.movement_tiles() < 0.7 * fori_tiles
+        if take and rp is not None:
+            if os.environ.get("PGSLAM_PGO_DEBUG", "") == "1":
+                print(f"[lm_pallas] RANGES {rp} Lq={rp.Lq} Tq={rp.Tq} "
+                      f"tiles={rp.movement_tiles()}", flush=True)
+            rm = np.ones(E, np.float32) if robust_emask is None \
+                else np.asarray(robust_emask, np.float32)
+            routedT, routedCov, rem, rrm, fw, tw, qsrc = \
+                host_route_ranges(ef, et, np.asarray(edge_T),
+                                  np.asarray(edge_cov), em, rm, V, rp)
+            return _lm_optimize_ranges_jit(
+                poses, vmask, routedT, routedCov, rem, rrm, fixed_id,
+                fw, tw, qsrc, config=config, s_tile=rp.s, trips=rp.trips,
+                capF=rp.capF, capT=rp.capT)
     return _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T,
                             edge_cov, emask, fixed_id, robust_emask,
                             config=config, n_loop=n_loop,
@@ -716,7 +1009,8 @@ def _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
         ef0 = edge_from.astype(jnp.int32)
         et0 = edge_to.astype(jnp.int32)
         is_pair = (et0 == ef0 + 1) & (ef0 >= 0) & (et0 < V)
-        use_matmul_routing = V * E <= (1 << 24)
+        use_matmul_routing = V * E <= (1 << 24) and \
+            os.environ.get("PGSLAM_PGO_FORCE_SCATTER_ROUTING", "") != "1"
         if use_matmul_routing:
             # Scatter-free routing: XLA lowers scatter/argsort/row-gather
             # to serialized loops on TPU — the original routing prologue
@@ -782,20 +1076,27 @@ def _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
             cC = chain_scatter(covE)
             cem = chain_scatter(emE[:, None])
             crm = chain_scatter(rmE[:, None])
-            # Loop lanes: non-claimed edges compacted to the front.
+            # Loop lanes: non-claimed edges compacted to the front in
+            # original order via a cumsum-rank SCATTER — NOT argsort +
+            # row-gather: XLA graphs containing a large argsort compile
+            # pathologically slowly over the relay (>580 s at E=17k,
+            # reproducibly — the VoxelGrid lexsort variant hit the same
+            # cliff), while this scatter form compiles in seconds.
             # n_loop is an exact count under the same claim rule, so
             # nothing real can fall off the end; claimed edges inside
-            # the window are masked.
-            order = jnp.argsort(claimed, stable=True)
-            k = min(E, Lp)
+            # the window are masked (em scattered as em*~claimed).
+            nc = ~claimed
+            posn = jnp.cumsum(nc.astype(jnp.int32)) - 1
+            tgtL = jnp.where(nc & (posn < Lp), posn, Lp)   # Lp = dump
 
             def takeL(a2d):                           # [E, k] -> [Lp, k]
-                a = a2d[order][:k]
-                return jnp.pad(a, ((0, Lp - k), (0, 0)))
+                buf = jnp.zeros((Lp + 1, a2d.shape[1]),
+                                a2d.dtype).at[tgtL].set(a2d)
+                return buf[:Lp]
 
-            not_claimed = (~claimed).astype(jnp.float32)
-            lef = jnp.pad(ef[order][:k], (0, Lp - k))
-            let = jnp.pad(et[order][:k], (0, Lp - k))
+            not_claimed = nc.astype(jnp.float32)
+            lef = jnp.zeros(Lp + 1, jnp.int32).at[tgtL].set(ef)[:Lp]
+            let = jnp.zeros(Lp + 1, jnp.int32).at[tgtL].set(et)[:Lp]
             lem = takeL((emE * not_claimed)[:, None])
             lrm = takeL(rmE[:, None])
             lZ, lC = takeL(ZinvE), takeL(covE)
@@ -876,6 +1177,81 @@ def _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
         interpret=jax.default_backend() == "cpu",
     )(jnp.asarray(fixed_id, jnp.int32)[None], *S_in, PT0, vm, ZinvT, covT,
       em, rme, priorT)
+    final = PT_out[:, :V].T.reshape(V, 4, 4).astype(poses.dtype)
+    final = se3.normalize_rotation_fast(final)
+    final = jnp.where(vmask[:, None, None], final, poses)
+    out_stats = {"initial_cost": stats[0], "final_cost": stats[1],
+                 "iterations": stats[2].astype(jnp.int32),
+                 "lambda": stats[3]}
+    return final, out_stats
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "s_tile", "trips",
+                                    "capF", "capT"))
+def _lm_optimize_ranges_jit(poses, vmask, routedT, routedCov, rem, rrm,
+                            fixed_id, fw, tw, qsrc, *, config, s_tile,
+                            trips, capF, capT):
+    """Whole-LM kernel over HOST-ROUTED lane data (the sorted-RANGES
+    style, chain layout required): no traced routing prologue at all —
+    the caller did the claim/sort in numpy (``host_route_ranges``) and
+    this jit only inverts/transposes the routed measurements and builds
+    the one-hot movement panels from tiny index arrays."""
+    V = poses.shape[0]
+    Vp = s_tile * trips
+    Lq = trips * capF
+    Tq = trips * capT
+    f32 = jnp.float32
+    Zinv = se3.inverse(routedT).reshape(Vp + Lq, 16).astype(f32)
+    ZinvT = Zinv.T                                        # [16, Vp+Lq]
+    covT = jnp.pad(routedCov.reshape(Vp + Lq, 36).astype(f32).T,
+                   ((0, 4), (0, 0)))                      # [40, Vp+Lq]
+    em = rem.astype(f32)[None, :]
+    rme = rrm.astype(f32)[None, :]
+    iota_s = jnp.arange(s_tile, dtype=jnp.int32)[:, None]
+    WfT = (iota_s == fw.astype(jnp.int32)[None, :]).astype(jnp.bfloat16)
+    WtT = (iota_s == tw.astype(jnp.int32)[None, :]).astype(jnp.bfloat16)
+    Pt = (qsrc.astype(jnp.int32)[:, None]
+          == jnp.arange(Lq, dtype=jnp.int32)[None, :]) \
+        .astype(jnp.bfloat16)                             # [Tq, Lq]
+    PT0 = jnp.pad(poses.reshape(V, 16).astype(f32).T,
+                  ((0, 0), (0, Vp - V)))
+    vm = jnp.broadcast_to(
+        jnp.pad(vmask.astype(f32), (0, Vp - V))[None, :], (8, Vp))
+    prior_Tinv = se3.inverse(poses[fixed_id])
+    priorT = jnp.pad(prior_Tinv.reshape(16, 1).astype(f32),
+                     ((0, 0), (0, 127)))
+    kern = functools.partial(
+        _lm_kernel, n_edges=Lq, chain=True, factored=True,
+        fstacked=False, franges=True,
+        cg_iterations=config.cg_iterations, cg_tol=config.cg_tol,
+        max_iterations=config.max_iterations,
+        lambda_init=config.lambda_init, lambda_up=config.lambda_up,
+        lambda_down=config.lambda_down,
+        min_step_norm=config.min_step_norm,
+        min_cost_decrease=config.min_cost_decrease,
+        prior_info=float(1.0 / config.prior_sigma ** 2),
+        robust=config.robust, robust_delta=float(config.robust_delta))
+    scratch = [pltpu.VMEM((96, Vp), jnp.float32),
+               pltpu.VMEM((96, 2 * Lq), jnp.float32),
+               pltpu.VMEM((96, Tq), jnp.float32)]
+    PT_out, stats = pl.pallas_call(
+        kern,
+        scratch_shapes=scratch,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((16, Vp), jnp.float32),
+                   jax.ShapeDtypeStruct((4,), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(VMEM_LIMIT_BYTES, max(
+                32 * 1024 * 1024,
+                vmem_estimate_ranges(Vp, Lq, Tq, s_tile)
+                + 24 * 1024 * 1024))),
+        interpret=jax.default_backend() == "cpu",
+    )(jnp.asarray(fixed_id, jnp.int32)[None], WfT, WtT, Pt, PT0, vm,
+      ZinvT, covT, em, rme, priorT)
     final = PT_out[:, :V].T.reshape(V, 4, 4).astype(poses.dtype)
     final = se3.normalize_rotation_fast(final)
     final = jnp.where(vmask[:, None, None], final, poses)

@@ -157,15 +157,19 @@ class Optimizer:
             rm = np.zeros(E, bool)
             rm[:ne] = g.edge_type[:ne] == LOOP_CONSTRAINT
             rm[ne:ne + n_pending] = True
-            rmask = jnp.asarray(rm)
+            rmask = rm
         # Chain-aware lane count for the fused-LM kernel, computed here
         # on the HOST arrays (free) — computing it from the device copies
         # inside optimize_pose_graph would cost a d2h sync per optimize.
         from .optim.lm_pallas import host_loop_count
         n_loop = host_loop_count(ef, et, V)
-        return (jnp.asarray(poses), jnp.asarray(vmask), jnp.asarray(ef),
-                jnp.asarray(et), jnp.asarray(eT), jnp.asarray(ec),
-                jnp.asarray(emask), fixed, rmask, n_loop)
+        # Edge arrays stay NUMPY: lm_optimize_pallas's sorted-RANGES
+        # layout (large sparse graphs) routes lanes HOST-side, which
+        # needs concrete ids/measurements without a d2h fetch. The
+        # other layouts jnp.asarray these at the jit boundary — the h2d
+        # happens either way.
+        return (jnp.asarray(poses), jnp.asarray(vmask), ef,
+                et, eT, ec, emask, fixed, rmask, n_loop)
 
     # -- writeback (Optimizer.hpp:135-157) ---------------------------------
 

@@ -119,6 +119,55 @@ def run(name, args, gt, cg=30, force=None):
           f"iters={int(st['iterations'])}", flush=True)
 
 
+def run_ranges(name, args, gt, cg=30, m=4):
+    """Time the sorted-RANGES path with the routed arrays PRE-STAGED on
+    device (host routing outside the loop) — isolates kernel +
+    panel-build exactly like the other cases (which pre-stage their
+    args and pay their routing in-graph)."""
+    from pgslam_tpu.optim.lm_pallas import (_host_claim, _lm_optimize_ranges_jit,
+                                            host_route_ranges, ranges_plan)
+    V = args[0].shape[0]
+    E = args[2].shape[0]
+    ef = np.asarray(args[2], np.int64)
+    et = np.asarray(args[3], np.int64)
+    em = np.asarray(args[6], bool)
+    claimed, _ = _host_claim(ef, et, V)
+    le = np.nonzero(~claimed & em)[0]
+    rp = ranges_plan(V, ef[le], et[le])
+    cfg = PGOConfig(max_iterations=m, cg_iterations=cg, cg_tol=1e-3,
+                    solver="lm_pallas")
+    rT, rC, rem_, rrm_, fw, tw, qsrc = [
+        jax.device_put(r) for r in host_route_ranges(
+            ef, et, np.asarray(args[4]), np.asarray(args[5]), em,
+            np.ones(E, np.float32), V, rp)]
+    kw = dict(config=cfg, s_tile=rp.s, trips=rp.trips, capF=rp.capF,
+              capT=rp.capT)
+
+    def call():
+        return _lm_optimize_ranges_jit(args[0], args[1], rT, rC, rem_,
+                                       rrm_, args[7], fw, tw, qsrc, **kw)
+
+    t0 = time.perf_counter()
+    out, st = call()
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+    dts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = 5
+        for _ in range(n):
+            out, st = call()
+        jax.block_until_ready(out)
+        dts.append((time.perf_counter() - t0) / n * 1e3)
+    err = np.linalg.norm(np.asarray(out)[:, :3, 3]
+                         - gt[:, :3, 3], axis=1).max()
+    print(f"OK [{name}] V={V} E={E} plan={rp} "
+          f"tiles={rp.movement_tiles()}: "
+          f"{min(dts):.2f} ms (loops {dts[0]:.2f}/{dts[1]:.2f}, compile "
+          f"{compile_s:.0f}s), max pose err {err*100:.1f} cm, "
+          f"iters={int(st['iterations'])}", flush=True)
+
+
 def main():
     want = set(sys.argv[1:]) or {"d2.5k", "d4k", "s16k", "ctl1k"}
     print(f"devices={jax.devices()}", flush=True)
@@ -138,6 +187,43 @@ def main():
     if "s16k" in want:
         args, gt = sparse(16384, 1024)
         run("sparse16k", args, gt, cg=40)
+    if "s16kr" in want:
+        args, gt = sparse(16384, 1024)
+        run_ranges("sparse16k-RANGES", args, gt, cg=40)
+    if "d4kr" in want:
+        args, gt = ring(4096, 8192)
+        run_ranges("dense4k-RANGES", args, gt)
+    if "s32kr" in want:
+        args, gt = sparse(32768, 2048)
+        run_ranges("sparse32k-RANGES", args, gt, cg=40)
+    if "s16kp" in want:
+        # PRODUCTION protocol: numpy args through optimize_pose_graph —
+        # host routing + h2d of the routed arrays INSIDE the timed loop
+        # (what Optimizer.process_data pays per optimize).
+        args, gt = sparse(16384, 1024)
+        nargs = tuple(np.asarray(a) for a in args)
+        from pgslam_tpu.optim.lm_pallas import host_loop_count
+        nl = host_loop_count(nargs[2], nargs[3], 16384)
+        cfg = PGOConfig(max_iterations=4, cg_iterations=40, cg_tol=1e-3,
+                        solver="lm_pallas")
+        t0 = time.perf_counter()
+        out, st = optimize_pose_graph(*nargs, config=cfg, n_loop=nl)
+        jax.block_until_ready(out)
+        compile_s = time.perf_counter() - t0
+        dts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(5):
+                out, st = optimize_pose_graph(*nargs, config=cfg,
+                                              n_loop=nl)
+            jax.block_until_ready(out)
+            dts.append((time.perf_counter() - t0) / 5 * 1e3)
+        err = np.linalg.norm(np.asarray(out)[:, :3, 3]
+                             - gt[:, :3, 3], axis=1).max()
+        print(f"OK [sparse16k-PROD] (host routing + h2d in loop): "
+              f"{min(dts):.2f} ms (loops {dts[0]:.2f}/{dts[1]:.2f}, "
+              f"compile {compile_s:.0f}s), max pose err {err*100:.1f} cm",
+              flush=True)
 
 
 if __name__ == "__main__":

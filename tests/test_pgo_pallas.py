@@ -241,6 +241,145 @@ def test_factored_incidence_matches_onehot(layout, monkeypatch):
     assert float(st_f["final_cost"]) < 1e-4 * float(st_f["initial_cost"])
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("robust", ["none", "gm"])
+def test_ranges_matches_factored(robust, monkeypatch):
+    """The sorted-RANGES movement style (host-routed from-tile-sorted
+    loop lanes + TO-sorted companion + Pt lane permute) must reproduce
+    the masked-overlay factored style: every movement dot is still an
+    exact one-hot selection of hi/lo-split payloads, so the two layouts
+    are bit-identical up to (absent) reduction-order noise — observed
+    exactly 0.0 on this fixture."""
+    args, gt = _ring_problem()
+    from pgslam_tpu.optim.lm_pallas import host_loop_count
+    nl = host_loop_count(np.asarray(args[2]), np.asarray(args[3]),
+                         args[0].shape[0])
+    cfg = PGOConfig(max_iterations=3, cg_iterations=12, cg_tol=1e-3,
+                    solver="lm_pallas", robust=robust)
+    monkeypatch.setenv("PGSLAM_PGO_FORCE_CHAIN", "1")
+    monkeypatch.setenv("PGSLAM_PGO_FORCE_FACTORED", "1")
+    monkeypatch.setenv("PGSLAM_PGO_FORCE_RANGES", "1")
+    out_r, st_r = optimize_pose_graph(*args, config=cfg, n_loop=nl)
+    monkeypatch.setenv("PGSLAM_PGO_FORCE_RANGES", "0")
+    out_f, st_f = optimize_pose_graph(*args, config=cfg, n_loop=nl)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_f),
+                               atol=2e-3)
+    assert int(st_r["iterations"]) == int(st_f["iterations"])
+    assert float(st_r["final_cost"]) < 1e-2 * float(st_r["initial_cost"])
+
+
+@pytest.mark.slow
+def test_ranges_pure_chain(monkeypatch):
+    """Degenerate ranges input: a pure odometry chain (zero loop edges)
+    still routes (one dead 128-lane block per space) and matches the
+    factored path."""
+    args, gt = _ring_problem(V=40, E=39)      # chain only
+    from pgslam_tpu.optim.lm_pallas import host_loop_count
+    nl = host_loop_count(np.asarray(args[2]), np.asarray(args[3]), 40)
+    cfg = PGOConfig(max_iterations=3, cg_iterations=12, cg_tol=1e-3,
+                    solver="lm_pallas")
+    monkeypatch.setenv("PGSLAM_PGO_FORCE_CHAIN", "1")
+    monkeypatch.setenv("PGSLAM_PGO_FORCE_FACTORED", "1")
+    monkeypatch.setenv("PGSLAM_PGO_FORCE_RANGES", "1")
+    out_r, _ = optimize_pose_graph(*args, config=cfg, n_loop=nl)
+    monkeypatch.setenv("PGSLAM_PGO_FORCE_RANGES", "0")
+    out_f, _ = optimize_pose_graph(*args, config=cfg, n_loop=nl)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_f),
+                               atol=2e-3)
+
+
+def test_host_route_ranges_layout():
+    """Unit pins on the host router: claimed chain edges land on their
+    vertex lane, every valid loop edge occupies exactly one from-sorted
+    lane inside its from-tile's range, and the TO-sorted companion
+    (tw/qsrc) inverts back to the same edge."""
+    from pgslam_tpu.optim.lm_pallas import (RangesPlan, host_route_ranges)
+
+    V = 300
+    ef = np.array([0, 1, 2, 260, 10, 200, 0], np.int64)
+    et = np.array([1, 2, 3, 20, 260, 150, 1], np.int64)   # last = dup pair
+    E = len(ef)
+    eT = np.tile(np.eye(4, dtype=np.float32), (E, 1, 1))
+    for e in range(E):
+        eT[e, 0, 3] = 10.0 + e                 # tag rows by edge id
+    ec = np.tile(np.eye(6, dtype=np.float32) * 0.5, (E, 1, 1))
+    em = np.ones(E, bool)
+    rm = np.ones(E, np.float32)
+    plan = RangesPlan(s=256, trips=2, capF=128, capT=128)
+    routedT, routedCov, rem, rrm, fw, tw, qsrc = host_route_ranges(
+        ef, et, eT, ec, em, rm, V, plan)
+    Vp = plan.s * plan.trips
+    # chain edges 0,1,2 claim vertex lanes 0,1,2 (min-index rule; the
+    # duplicate (0,1) edge 6 is a loop edge).
+    for e, lane in ((0, 0), (1, 1), (2, 2)):
+        assert routedT[lane, 0, 3] == 10.0 + e
+        assert rem[lane] == 1.0
+    assert rem[3] == 0.0                        # unclaimed chain lane
+    # loop edges: 3 (from 250 -> tile 1), 4 (from 10 -> tile 0),
+    # 5 (from 200 -> tile 0... 200//256=0), 6 (from 0 -> tile 0).
+    lanes = {}
+    for lane in range(plan.Lq):
+        if fw[lane] >= 0:
+            tag = routedT[Vp + lane, 0, 3]
+            lanes[int(round(tag - 10.0))] = lane
+    assert set(lanes) == {3, 4, 5, 6}
+    assert lanes[3] >= plan.capF                # tile-1 range
+    assert max(lanes[4], lanes[5], lanes[6]) < plan.capF
+    for e, lane in lanes.items():
+        assert fw[lane] == ef[e] % plan.s
+    # TO-sorted inversion: each valid q names a lane; tw matches that
+    # edge's to-endpoint and q sits in the to-tile's range.
+    seen = set()
+    for q in range(plan.Tq):
+        if qsrc[q] >= 0:
+            lane = int(qsrc[q])
+            e = [k for k, v in lanes.items() if v == lane][0]
+            assert tw[q] == et[e] % plan.s
+            assert q // plan.capT == et[e] // plan.s
+            seen.add(e)
+    assert seen == {3, 4, 5, 6}
+
+
+def test_ranges_plan_sparse_beats_fori_model():
+    """At the sparse-16k regime the ranges plan must exist, fit VMEM,
+    and model fewer movement weight-tiles than the masked-overlay fori
+    tier (the whole point of the layout)."""
+    from pgslam_tpu.optim.lm_pallas import (_pad128, factored_plan,
+                                            ranges_plan)
+
+    rng = np.random.default_rng(0)
+    V, n_loops = 16384, 1024
+    lf = rng.integers(0, V, n_loops)
+    lt = (lf + V // 2 + rng.integers(-V // 8, V // 8)) % V
+    rp = ranges_plan(V, lf, lt)
+    assert rp is not None
+    assert rp.capF % 128 == 0 and rp.capT % 128 == 0
+    fs, ft, _ = factored_plan(V, V - 1 + n_loops, n_loops)
+    fori_tiles = (fs * ft // 128) * (2 * _pad128(n_loops) // 128)
+    assert rp.movement_tiles() < 0.5 * fori_tiles
+
+
+@pytest.mark.slow
+def test_scatter_routing_matches_matmul_routing(monkeypatch):
+    """The two chain-routing prologues (matmul one-hot for small V*E,
+    cumsum-rank scatter for large — argsort-FREE: a large argsort in
+    the graph compiles >580 s over the relay) must route identically."""
+    args, gt = _ring_problem()
+    from pgslam_tpu.optim.lm_pallas import host_loop_count
+    nl = host_loop_count(np.asarray(args[2]), np.asarray(args[3]),
+                         args[0].shape[0])
+    cfg = PGOConfig(max_iterations=3, cg_iterations=12, cg_tol=1e-3,
+                    solver="lm_pallas")
+    monkeypatch.setenv("PGSLAM_PGO_FORCE_CHAIN", "1")
+    monkeypatch.setenv("PGSLAM_PGO_FORCE_RANGES", "0")
+    out_m, st_m = optimize_pose_graph(*args, config=cfg, n_loop=nl)
+    monkeypatch.setenv("PGSLAM_PGO_FORCE_SCATTER_ROUTING", "1")
+    out_s, st_s = optimize_pose_graph(*args, config=cfg, n_loop=nl)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_m),
+                               atol=1e-6)
+    assert int(st_s["iterations"]) == int(st_m["iterations"])
+
+
 def test_layout_plan_tiling_decision():
     """The fits_vmem gate is now a tiling DECISION (VERDICT r3 item 2):
     plain one-hot while it fits, factored as the capacity extension for

@@ -134,6 +134,10 @@ def run_ranges(name, args, gt, cg=30, m=4):
     claimed, _ = _host_claim(ef, et, V)
     le = np.nonzero(~claimed & em)[0]
     rp = ranges_plan(V, ef[le], et[le])
+    if rp is None:
+        print(f"SKIP [{name}] no fitting ranges plan (dense graphs: the "
+              f"Pt permute is O(L^2) — expected)", flush=True)
+        return
     cfg = PGOConfig(max_iterations=m, cg_iterations=cg, cg_tol=1e-3,
                     solver="lm_pallas")
     rT, rC, rem_, rrm_, fw, tw, qsrc = [

@@ -51,6 +51,10 @@ def main():
     n_loops = int(sys.argv[2]) if len(sys.argv) > 2 else V // 16
     print(f"devices={jax.devices()}  V={V} loops={n_loops}", flush=True)
     args, gt = sparse(V, n_loops)
+    # numpy args: host-readable ids let the dispatcher take the
+    # sorted-RANGES path exactly like production (h2d of the routed
+    # arrays lands inside the timed loop — the honest per-call cost).
+    args = tuple(np.asarray(a) for a in args)
     from pgslam_tpu.optim.lm_pallas import host_loop_count
     nl = host_loop_count(np.asarray(args[2]), np.asarray(args[3]), V)
     # cg_tol=0 disables the cdone early exit so c is the EXACT per-LM

@@ -380,6 +380,26 @@ def test_scatter_routing_matches_matmul_routing(monkeypatch):
     assert int(st_s["iterations"]) == int(st_m["iterations"])
 
 
+def test_scatter_routing_is_sort_free(monkeypatch):
+    """The large-graph routing prologue must lower WITHOUT any sort op:
+    XLA graphs containing a big argsort compile >580 s over the relay
+    (chip-observed twice — VoxelGrid lexsort, then this routing at 16k).
+    Pin the lowered HLO so a refactor can't reintroduce it."""
+    from pgslam_tpu.optim import lm_pallas
+
+    monkeypatch.setenv("PGSLAM_PGO_FORCE_SCATTER_ROUTING", "1")
+    monkeypatch.setenv("PGSLAM_PGO_FORCE_RANGES", "0")
+    args, gt = _ring_problem()
+    nl = lm_pallas._pad128(lm_pallas.host_loop_count(
+        np.asarray(args[2]), np.asarray(args[3]), args[0].shape[0]))
+    cfg = PGOConfig(max_iterations=1, cg_iterations=2,
+                    solver="lm_pallas")
+    hlo = lm_pallas._lm_optimize_jit.lower(
+        *args, config=cfg, n_loop=nl, incidence="factored").as_text()
+    assert " sort(" not in hlo and " sort." not in hlo, \
+        "sort op found in the routing prologue lowering"
+
+
 def test_dispatcher_ranges_autopick(monkeypatch):
     """Production-shaped input (numpy arrays, sparse 16k, n_loop passed
     like Optimizer.prepare_for_optimization does) must auto-pick the

@@ -314,19 +314,18 @@ def host_loop_count(edge_from, edge_to, n_vertices: int) -> int | None:
 def _host_claim(ef, et, V):
     """Numpy claim rule, identical to the traced routing and
     ``host_loop_count``: the min-index edge per chain pair (i, i+1)
-    claims chain lane i. Returns (claimed bool [E], claim_lane int [E]
-    valid where claimed)."""
+    claims chain lane i. Returns claimed bool [E]."""
     E = len(ef)
     is_pair = (et == ef + 1) & (ef >= 0) & (et < V)
     claim_tbl = np.full(V, E, np.int64)
     np.minimum.at(claim_tbl, np.where(is_pair, ef, 0),
                   np.where(is_pair, np.arange(E), E))
-    claimed = is_pair & (claim_tbl[np.clip(ef, 0, V - 1)]
-                         == np.arange(E))
-    return claimed, ef
+    return is_pair & (claim_tbl[np.clip(ef, 0, V - 1)]
+                      == np.arange(E))
 
 
-def host_route_ranges(ef, et, eT, ec, em, rm, V, plan: RangesPlan):
+def host_route_ranges(ef, et, eT, ec, em, rm, V, plan: RangesPlan,
+                      claimed=None):
     """Numpy routing for the sorted-RANGES layout: chain rows scattered
     to vertex lanes (claim rule), valid non-claimed edges laid out in
     from-tile-sorted loop lanes (per-tile 128-padded ranges), plus the
@@ -338,14 +337,20 @@ def host_route_ranges(ef, et, eT, ec, em, rm, V, plan: RangesPlan):
     either way, and dropping them keeps per-tile capacities honest.
 
     Returns (routedT [Vp+Lq,4,4], routedCov [Vp+Lq,6,6], em/rm
-    [Vp+Lq], fw [Lq], tw [Tq], qsrc [Tq]) — all numpy."""
+    [Vp+Lq], fw [Lq], tw [Tq], qsrc [Tq]) — all numpy.
+
+    ``claimed``: optional precomputed ``_host_claim`` result (the
+    dispatcher already computed it to build the plan)."""
     s, trips = plan.s, plan.trips
     capF, capT, Lq, Tq = plan.capF, plan.capT, plan.Lq, plan.Tq
     Vp = s * trips
-    ef = np.asarray(ef, np.int64)
-    et = np.asarray(et, np.int64)
+    # Same id clip as the traced prologue (_lm_optimize_jit): a masked
+    # slot with an out-of-range endpoint must not mis-route into lane 0.
+    ef = np.clip(np.asarray(ef, np.int64), 0, V - 1)
+    et = np.clip(np.asarray(et, np.int64), 0, V - 1)
     em = np.asarray(em, bool)
-    claimed, _ = _host_claim(ef, et, V)
+    if claimed is None:
+        claimed = _host_claim(ef, et, V)
 
     # Dead lanes carry IDENTITY (not the traced path's zeros): log stays
     # finite everywhere and em=0 masks the contribution either way.
@@ -364,14 +369,12 @@ def host_route_ranges(ef, et, eT, ec, em, rm, V, plan: RangesPlan):
     tt = et[le] // s
     # from-tile-sorted lane per loop edge (stable within tile)
     orderF = np.lexsort((le, tf))
-    rankF = np.zeros(len(le), np.int64)
     lanes = np.zeros(len(le), np.int64)
     for t in range(trips):
         sel = tf[orderF] == t
         n = int(sel.sum())
         if n > capF:
             raise ValueError("ranges plan capacity overflow (from)")
-        rankF[orderF[sel]] = np.arange(n)
         lanes[orderF[sel]] = t * capF + np.arange(n)
     routedT[Vp + lanes] = np.asarray(eT, np.float32)[le]
     routedCov[Vp + lanes] = np.asarray(ec, np.float32)[le]
@@ -939,38 +942,53 @@ def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
     # tier keeps small/dense graphs (its amortized weight loads beat
     # ranges there and the Pt permute is O(L^2)).
     force = os.environ.get("PGSLAM_PGO_FORCE_RANGES", "")
-    if (incidence == "factored" and n_loop is not None and force != "0"
-            and all(_host_np(a) for a in (edge_from, edge_to, edge_T,
-                                          edge_cov, emask))):
+    if incidence == "factored" and n_loop is not None and force != "0":
         V, E = poses.shape[0], edge_from.shape[0]
-        ef = np.asarray(edge_from, np.int64)
-        et = np.asarray(edge_to, np.int64)
-        em = np.asarray(emask, bool)
-        claimed, _ = _host_claim(ef, et, V)
-        le = np.nonzero(~claimed & em)[0]
-        rp = ranges_plan(V, ef[le], et[le])
+        # Cheap pure-arithmetic gate FIRST: when the stacked overlay
+        # tier keeps the graph (small/dense — the common case), skip the
+        # O(E) host claim/bincount work entirely (the single shared host
+        # core is the budget; CLAUDE.md).
         fp = factored_plan(V, E, n_loop)
-        take = force == "1"
-        if rp is not None and not take:
-            if fp is None or not fp[2]:          # no plan, or fori tier
+        hostable = all(_host_np(a) for a in
+                       (edge_from, edge_to, edge_T, edge_cov, emask)
+                       ) and (robust_emask is None
+                              or _host_np(robust_emask))
+        if force == "1" and not hostable:
+            raise ValueError(
+                "PGSLAM_PGO_FORCE_RANGES=1 but edge inputs are "
+                "device-resident — the host-routed ranges layout needs "
+                "numpy/CPU arrays (pass them like "
+                "Optimizer.prepare_for_optimization does); refusing to "
+                "silently measure a different layout")
+        if hostable and (force == "1" or fp is None or not fp[2]):
+            ef = np.asarray(edge_from, np.int64)
+            et = np.asarray(edge_to, np.int64)
+            em = np.asarray(emask, bool)
+            claimed = _host_claim(ef, et, V)
+            le = np.nonzero(~claimed & em)[0]
+            rp = ranges_plan(V, ef[le], et[le])
+            take = rp is not None and force == "1"
+            if rp is not None and not take:
                 fori_s, fori_t = (fp[0], fp[1]) if fp else \
                     (128, _pad128(V) // 128)
                 fori_tiles = (fori_s * fori_t // 128) \
                     * (2 * _pad128(max(int(len(le)), 1)) // 128)
                 take = rp.movement_tiles() < 0.7 * fori_tiles
-        if take and rp is not None:
-            if os.environ.get("PGSLAM_PGO_DEBUG", "") == "1":
-                print(f"[lm_pallas] RANGES {rp} Lq={rp.Lq} Tq={rp.Tq} "
-                      f"tiles={rp.movement_tiles()}", flush=True)
-            rm = np.ones(E, np.float32) if robust_emask is None \
-                else np.asarray(robust_emask, np.float32)
-            routedT, routedCov, rem, rrm, fw, tw, qsrc = \
-                host_route_ranges(ef, et, np.asarray(edge_T),
-                                  np.asarray(edge_cov), em, rm, V, rp)
-            return _lm_optimize_ranges_jit(
-                poses, vmask, routedT, routedCov, rem, rrm, fixed_id,
-                fw, tw, qsrc, config=config, s_tile=rp.s, trips=rp.trips,
-                capF=rp.capF, capT=rp.capT)
+            if take:
+                if os.environ.get("PGSLAM_PGO_DEBUG", "") == "1":
+                    print(f"[lm_pallas] RANGES {rp} Lq={rp.Lq} "
+                          f"Tq={rp.Tq} tiles={rp.movement_tiles()}",
+                          flush=True)
+                rm = np.ones(E, np.float32) if robust_emask is None \
+                    else np.asarray(robust_emask, np.float32)
+                routedT, routedCov, rem, rrm, fw, tw, qsrc = \
+                    host_route_ranges(ef, et, np.asarray(edge_T),
+                                      np.asarray(edge_cov), em, rm, V,
+                                      rp, claimed=claimed)
+                return _lm_optimize_ranges_jit(
+                    poses, vmask, routedT, routedCov, rem, rrm,
+                    fixed_id, fw, tw, qsrc, config=config, s_tile=rp.s,
+                    trips=rp.trips, capF=rp.capF, capT=rp.capT)
     return _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T,
                             edge_cov, emask, fixed_id, robust_emask,
                             config=config, n_loop=n_loop,

@@ -138,18 +138,10 @@ def _jr_inv(e: jax.Array) -> jax.Array:
     return I + 0.5 * a + (1.0 / 12.0) * (a @ a)
 
 
-def _host_readable(a) -> bool:
-    """True when reading ``a`` into numpy costs no accelerator sync:
-    numpy inputs, or concrete jax arrays whose storage is host memory
-    (CPU backend). Tracers and accelerator-resident arrays -> False."""
-    if isinstance(a, np.ndarray):
-        return True
-    if isinstance(a, jax.core.Tracer):
-        return False
-    try:
-        return all(d.platform == "cpu" for d in a.devices())
-    except Exception:
-        return False
+# Canonical host-readability predicate lives in lm_pallas (_host_np);
+# keep one definition so the n_loop auto-detect gate and the ranges
+# upgrade gate can never disagree about the same input.
+from .lm_pallas import _host_np as _host_readable  # noqa: E402
 
 
 def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values

@@ -131,7 +131,7 @@ def run_ranges(name, args, gt, cg=30, m=4):
     ef = np.asarray(args[2], np.int64)
     et = np.asarray(args[3], np.int64)
     em = np.asarray(args[6], bool)
-    claimed, _ = _host_claim(ef, et, V)
+    claimed = _host_claim(ef, et, V)
     le = np.nonzero(~claimed & em)[0]
     rp = ranges_plan(V, ef[le], et[le])
     if rp is None:

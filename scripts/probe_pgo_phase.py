@@ -26,7 +26,11 @@ from probe_pgo_factored import sparse
 
 
 def run(name, args, m, c, robust="none", nl="auto"):
+    # cg_tol=0 AND the LM-level early stops zeroed: the decomposition
+    # divides by assumed trip counts, so every configured iteration must
+    # actually run (the printed iters= confirms).
     cfg = PGOConfig(max_iterations=m, cg_iterations=c, cg_tol=0.0,
+                    min_cost_decrease=0.0, min_step_norm=0.0,
                     solver="lm_pallas", robust=robust)
     t0 = time.perf_counter()
     out, st = optimize_pose_graph(*args, config=cfg, n_loop=nl)

@@ -248,6 +248,56 @@ class RangesPlan:
             + 2 * (self.Tq * self.Lq) // (128 * 128)
 
 
+def vmem_estimate_ranges_hbm(Vp: int, Lq: int, Tq: int, s: int,
+                             capF: int, capT: int) -> int:
+    """Resident VMEM for the HBM-STREAMED ranges style: the W/Pt panels
+    stay in HBM and only double-buffered tiles live in VMEM."""
+    bufs = 2 * (s * capF + s * capT + capT * Lq) * 2
+    scratch = 96 * (Vp + 2 * Lq + Tq) * 4
+    W = Vp + Lq
+    edge_rows = (36 * 3 + 16 * 4 + 60) * W * 4
+    vert_rows = (36 + 16 * 3 + 8 * 8) * Vp * 4
+    return bufs + scratch + edge_rows + vert_rows
+
+
+def ranges_plan_hbm(n_vertices: int, loop_from, loop_to,
+                    budget_bytes: int | None = None) -> RangesPlan | None:
+    """Capacity tier above ``ranges_plan``: same sorted-ranges layout,
+    but the movement panels (WfT/WtT/Pt) stream from HBM through
+    double-buffered VMEM tiles inside the movement fori — chip-probed
+    (scripts/probe_dma_stream.py) bit-exact at 0.12 ms per [32,1024]x
+    [1024,4096] streamed movement pass. Extends the fused path to
+    sparse ~32k poses, where the resident panels alone bust VMEM.
+    Returns the minimum-movement-tile plan that fits, or None."""
+    if budget_bytes is None:
+        budget_bytes = VMEM_LIMIT_BYTES - 8 * 1024 * 1024
+    Vp0 = _pad128(n_vertices)
+    lf = np.asarray(loop_from, np.int64)
+    lt = np.asarray(loop_to, np.int64)
+    best = None
+    trips = 2
+    while True:
+        s = -(-Vp0 // (128 * trips)) * 128
+        cntF = np.bincount(np.minimum(lf // s, trips - 1),
+                           minlength=trips) if lf.size else \
+            np.zeros(trips, np.int64)
+        cntT = np.bincount(np.minimum(lt // s, trips - 1),
+                           minlength=trips) if lt.size else \
+            np.zeros(trips, np.int64)
+        capF = _pad128(int(cntF.max()) if lf.size else 1)
+        capT = _pad128(int(cntT.max()) if lt.size else 1)
+        plan = RangesPlan(s, trips, capF, capT)
+        if vmem_estimate_ranges_hbm(s * trips, plan.Lq, plan.Tq, s,
+                                    capF, capT) <= budget_bytes:
+            if best is None or plan.movement_tiles() \
+                    < best.movement_tiles():
+                best = plan
+        if s == 128:
+            break
+        trips *= 2
+    return best
+
+
 def ranges_plan(n_vertices: int, loop_from, loop_to,
                 budget_bytes: int | None = None) -> RangesPlan | None:
     """Pick (s, trips, capF, capT) for the ranges style from CONCRETE
@@ -406,7 +456,7 @@ from ..ops.rowmath import (_add, _adjoint_of_inv, _ad6, _dotn, _eye6_plus,
 
 
 def _lm_kernel(fixed_ref, *refs, n_edges, chain, factored, fstacked,
-               franges=False,
+               franges=False, fhbm=False,
                cg_iterations,
                cg_tol, max_iterations, lambda_init, lambda_up, lambda_down,
                min_step_norm, min_cost_decrease, prior_info, robust,
@@ -431,7 +481,12 @@ def _lm_kernel(fixed_ref, *refs, n_edges, chain, factored, fstacked,
     # whole VMEM (Mosaic hoists every independent dot; 129 MB of spill
     # slots at dense 4k; optimization_barrier has no Mosaic lowering),
     # and a fori_loop per tile is spill-safe but weight-load bound.
-    if franges:
+    if franges and fhbm:
+        (WfT_ref, WtT_ref, Pt_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref,
+         em_ref, rm_ref, priorT_ref, PT_out_ref, stats_ref,
+         sA_ref, sB_ref, sC_ref, wfb_ref, wtb_ref, ptb_ref,
+         sems_ref) = refs
+    elif franges:
         (WfT_ref, WtT_ref, Pt_ref, PT0_ref, vm_ref, ZinvT_ref, covT_ref,
          em_ref, rm_ref, priorT_ref, PT_out_ref, stats_ref,
          sA_ref, sB_ref, sC_ref) = refs
@@ -450,7 +505,131 @@ def _lm_kernel(fixed_ref, *refs, n_edges, chain, factored, fstacked,
     f32 = jnp.float32
     fixed = fixed_ref[0]
 
-    if franges:
+    if franges and fhbm:
+        # HBM-STREAMED sorted-ranges: identical layout/math to the
+        # resident franges branch below, but the one-hot panels
+        # (WfT/WtT [s, Lq|Tq], Pt [Tq, Lq]) live in HBM (ANY space) and
+        # only double-buffered tiles touch VMEM — the capacity tier for
+        # ~32k-pose sparse graphs where the resident panels alone bust
+        # the budget. DMA per movement is ~tens of MB at ~800 GB/s —
+        # well under the dot time (chip: probe_dma_stream, bit-exact).
+        s_tile = WfT_ref.shape[0]
+        Lq = WfT_ref.shape[1]
+        Tq = WtT_ref.shape[1]
+        trips = V // s_tile
+        capF = Lq // trips
+        capT = Tq // trips
+
+        def _dma(ref, rows, cols, buf, slot, sem_i):
+            return pltpu.make_async_copy(
+                ref.at[rows, cols] if rows is not None else ref.at[cols],
+                buf.at[slot], sems_ref.at[sem_i])
+
+        def _w_dma(t, slot):
+            # wf tile [s, capF] + wt tile [s, capT] for trip t
+            return (
+                _dma(WfT_ref, slice(None), pl.ds(t * capF, capF),
+                     wfb_ref, slot, slot),
+                _dma(WtT_ref, slice(None), pl.ds(t * capT, capT),
+                     wtb_ref, slot, 2 + slot))
+
+        def _pt_dma(u, slot):
+            return pltpu.make_async_copy(
+                Pt_ref.at[pl.ds(u * capT, capT), :], ptb_ref.at[slot],
+                sems_ref.at[4 + slot])
+
+        def _w_loop(body_fn):
+            for d in _w_dma(0, 0):
+                d.start()
+
+            def body(t, _):
+                slot = jax.lax.rem(t, 2)
+
+                @pl.when(t + 1 < trips)
+                def _():
+                    for d in _w_dma(t + 1, jax.lax.rem(t + 1, 2)):
+                        d.start()
+
+                for d in _w_dma(t, slot):
+                    d.wait()
+                body_fn(t, wfb_ref[slot], wtb_ref[slot])
+                return 0
+
+            jax.lax.fori_loop(0, trips, body, 0)
+
+        def _pt_loop(body_fn):
+            _pt_dma(0, 0).start()
+
+            def body(u, _):
+                slot = jax.lax.rem(u, 2)
+
+                @pl.when(u + 1 < trips)
+                def _():
+                    _pt_dma(u + 1, jax.lax.rem(u + 1, 2)).start()
+
+                _pt_dma(u, slot).wait()
+                body_fn(u, ptb_ref[slot])
+                return 0
+
+            jax.lax.fori_loop(0, trips, body, 0)
+
+        def incid_gather(Xs):
+            """[R, V] split rows -> [R, 2*Lq] endpoint lanes."""
+            R = Xs.shape[0]
+            sA_ref[0:R, :] = Xs.astype(f32)
+
+            def wbody(t, wf, wt):
+                Xt = sA_ref[0:R, pl.ds(t * s_tile, s_tile)] \
+                    .astype(jnp.bfloat16)
+                sB_ref[0:R, pl.ds(t * capF, capF)] = jax.lax.dot_general(
+                    Xt, wf, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32, precision=_DEFAULT)
+                sC_ref[0:R, pl.ds(t * capT, capT)] = jax.lax.dot_general(
+                    Xt, wt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32, precision=_DEFAULT)
+
+            _w_loop(wbody)
+            sB_ref[0:R, Lq:] = jnp.zeros((R, Lq), f32)
+
+            def pbody(u, pt):
+                sB_ref[0:R, Lq:] = sB_ref[0:R, Lq:] + jax.lax.dot_general(
+                    sC_ref[0:R, pl.ds(u * capT, capT)]
+                    .astype(jnp.bfloat16), pt,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32, precision=_DEFAULT)
+
+            _pt_loop(pbody)
+            return sB_ref[0:R, :]
+
+        def incid_scatter(Xs):
+            """[R, 2*Lq] split edge rows -> [R, V] vertex sums."""
+            R = Xs.shape[0]
+            sB_ref[0:R, :] = Xs.astype(f32)
+
+            def pbody(u, pt):
+                sC_ref[0:R, pl.ds(u * capT, capT)] = jax.lax.dot_general(
+                    sB_ref[0:R, Lq:].astype(jnp.bfloat16), pt,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32, precision=_DEFAULT)
+
+            _pt_loop(pbody)
+
+            def wbody(t, wf, wt):
+                Zf = sB_ref[0:R, pl.ds(t * capF, capF)] \
+                    .astype(jnp.bfloat16)
+                Zt = sC_ref[0:R, pl.ds(t * capT, capT)] \
+                    .astype(jnp.bfloat16)
+                Yf = jax.lax.dot_general(
+                    Zf, wf, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32, precision=_DEFAULT)
+                Yt = jax.lax.dot_general(
+                    Zt, wt, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32, precision=_DEFAULT)
+                sA_ref[0:R, pl.ds(t * s_tile, s_tile)] = Yf + Yt
+
+            _w_loop(wbody)
+            return sA_ref[0:R, :]
+    elif franges:
         # Sorted-RANGES style: loop lanes grouped by FROM-endpoint tile
         # (lane range [t*capF, (t+1)*capF) <-> vertex tile t), so each
         # trip's dot only touches ITS lane range — weight loads carry no
@@ -967,6 +1146,14 @@ def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
             claimed = _host_claim(ef, et, V)
             le = np.nonzero(~claimed & em)[0]
             rp = ranges_plan(V, ef[le], et[le])
+            hbm = False
+            if rp is None or os.environ.get(
+                    "PGSLAM_PGO_FORCE_RANGES_HBM", "") == "1":
+                # Capacity tier: stream the panels from HBM (see
+                # ranges_plan_hbm) — covers ~32k-pose sparse graphs.
+                rph = ranges_plan_hbm(V, ef[le], et[le])
+                if rph is not None:
+                    rp, hbm = rph, True
             take = rp is not None and force == "1"
             if rp is not None and not take:
                 fori_s, fori_t = (fp[0], fp[1]) if fp else \
@@ -976,9 +1163,9 @@ def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
                 take = rp.movement_tiles() < 0.7 * fori_tiles
             if take:
                 if os.environ.get("PGSLAM_PGO_DEBUG", "") == "1":
-                    print(f"[lm_pallas] RANGES {rp} Lq={rp.Lq} "
-                          f"Tq={rp.Tq} tiles={rp.movement_tiles()}",
-                          flush=True)
+                    print(f"[lm_pallas] RANGES{' HBM' if hbm else ''} "
+                          f"{rp} Lq={rp.Lq} Tq={rp.Tq} "
+                          f"tiles={rp.movement_tiles()}", flush=True)
                 rm = np.ones(E, np.float32) if robust_emask is None \
                     else np.asarray(robust_emask, np.float32)
                 routedT, routedCov, rem, rrm, fw, tw, qsrc = \
@@ -988,7 +1175,8 @@ def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
                 return _lm_optimize_ranges_jit(
                     poses, vmask, routedT, routedCov, rem, rrm,
                     fixed_id, fw, tw, qsrc, config=config, s_tile=rp.s,
-                    trips=rp.trips, capF=rp.capF, capT=rp.capT)
+                    trips=rp.trips, capF=rp.capF, capT=rp.capT,
+                    hbm=hbm)
     return _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T,
                             edge_cov, emask, fixed_id, robust_emask,
                             config=config, n_loop=n_loop,
@@ -1206,10 +1394,10 @@ def _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
 
 @functools.partial(jax.jit,
                    static_argnames=("config", "s_tile", "trips",
-                                    "capF", "capT"))
+                                    "capF", "capT", "hbm"))
 def _lm_optimize_ranges_jit(poses, vmask, routedT, routedCov, rem, rrm,
                             fixed_id, fw, tw, qsrc, *, config, s_tile,
-                            trips, capF, capT):
+                            trips, capF, capT, hbm=False):
     """Whole-LM kernel over HOST-ROUTED lane data (the sorted-RANGES
     style, chain layout required): no traced routing prologue at all —
     the caller did the claim/sort in numpy (``host_route_ranges``) and
@@ -1241,7 +1429,7 @@ def _lm_optimize_ranges_jit(poses, vmask, routedT, routedCov, rem, rrm,
                      ((0, 0), (0, 127)))
     kern = functools.partial(
         _lm_kernel, n_edges=Lq, chain=True, factored=True,
-        fstacked=False, franges=True,
+        fstacked=False, franges=True, fhbm=hbm,
         cg_iterations=config.cg_iterations, cg_tol=config.cg_tol,
         max_iterations=config.max_iterations,
         lambda_init=config.lambda_init, lambda_up=config.lambda_up,
@@ -1253,20 +1441,30 @@ def _lm_optimize_ranges_jit(poses, vmask, routedT, routedCov, rem, rrm,
     scratch = [pltpu.VMEM((96, Vp), jnp.float32),
                pltpu.VMEM((96, 2 * Lq), jnp.float32),
                pltpu.VMEM((96, Tq), jnp.float32)]
+    if hbm:
+        scratch += [pltpu.VMEM((2, s_tile, capF), jnp.bfloat16),
+                    pltpu.VMEM((2, s_tile, capT), jnp.bfloat16),
+                    pltpu.VMEM((2, capT, Lq), jnp.bfloat16),
+                    pltpu.SemaphoreType.DMA((6,))]
+        panel_space = pl.ANY
+        vmem_req = vmem_estimate_ranges_hbm(Vp, Lq, Tq, s_tile,
+                                            capF, capT)
+    else:
+        panel_space = pltpu.VMEM
+        vmem_req = vmem_estimate_ranges(Vp, Lq, Tq, s_tile)
     PT_out, stats = pl.pallas_call(
         kern,
         scratch_shapes=scratch,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        + [pl.BlockSpec(memory_space=panel_space)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=[jax.ShapeDtypeStruct((16, Vp), jnp.float32),
                    jax.ShapeDtypeStruct((4,), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(VMEM_LIMIT_BYTES, max(
-                32 * 1024 * 1024,
-                vmem_estimate_ranges(Vp, Lq, Tq, s_tile)
-                + 24 * 1024 * 1024))),
+                32 * 1024 * 1024, vmem_req + 24 * 1024 * 1024))),
         interpret=jax.default_backend() == "cpu",
     )(jnp.asarray(fixed_id, jnp.int32)[None], WfT, WtT, Pt, PT0, vm,
       ZinvT, covT, em, rme, priorT)

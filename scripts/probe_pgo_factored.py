@@ -123,9 +123,11 @@ def run_ranges(name, args, gt, cg=30, m=4):
     """Time the sorted-RANGES path with the routed arrays PRE-STAGED on
     device (host routing outside the loop) — isolates kernel +
     panel-build exactly like the other cases (which pre-stage their
-    args and pay their routing in-graph)."""
+    args and pay their routing in-graph). Falls through to the
+    HBM-streamed tier when the resident panels do not fit."""
     from pgslam_tpu.optim.lm_pallas import (_host_claim, _lm_optimize_ranges_jit,
-                                            host_route_ranges, ranges_plan)
+                                            host_route_ranges, ranges_plan,
+                                            ranges_plan_hbm)
     V = args[0].shape[0]
     E = args[2].shape[0]
     ef = np.asarray(args[2], np.int64)
@@ -133,7 +135,11 @@ def run_ranges(name, args, gt, cg=30, m=4):
     em = np.asarray(args[6], bool)
     claimed = _host_claim(ef, et, V)
     le = np.nonzero(~claimed & em)[0]
+    hbm = False
     rp = ranges_plan(V, ef[le], et[le])
+    if rp is None:
+        rp = ranges_plan_hbm(V, ef[le], et[le])
+        hbm = rp is not None
     if rp is None:
         print(f"SKIP [{name}] no fitting ranges plan (dense graphs: the "
               f"Pt permute is O(L^2) — expected)", flush=True)
@@ -145,7 +151,7 @@ def run_ranges(name, args, gt, cg=30, m=4):
             ef, et, np.asarray(args[4]), np.asarray(args[5]), em,
             np.ones(E, np.float32), V, rp)]
     kw = dict(config=cfg, s_tile=rp.s, trips=rp.trips, capF=rp.capF,
-              capT=rp.capT)
+              capT=rp.capT, hbm=hbm)
 
     def call():
         return _lm_optimize_ranges_jit(args[0], args[1], rT, rC, rem_,
@@ -165,7 +171,7 @@ def run_ranges(name, args, gt, cg=30, m=4):
         dts.append((time.perf_counter() - t0) / n * 1e3)
     err = np.linalg.norm(np.asarray(out)[:, :3, 3]
                          - gt[:, :3, 3], axis=1).max()
-    print(f"OK [{name}] V={V} E={E} plan={rp} "
+    print(f"OK [{name}] V={V} E={E} plan={rp}{' HBM' if hbm else ''} "
           f"tiles={rp.movement_tiles()}: "
           f"{min(dts):.2f} ms (loops {dts[0]:.2f}/{dts[1]:.2f}, compile "
           f"{compile_s:.0f}s), max pose err {err*100:.1f} cm, "

@@ -288,6 +288,30 @@ def test_ranges_pure_chain(monkeypatch):
                                atol=2e-3)
 
 
+@pytest.mark.slow
+def test_ranges_hbm_matches_resident(monkeypatch):
+    """The HBM-STREAMED ranges tier (panels DMA'd through
+    double-buffered VMEM tiles) must be bit-identical to the resident
+    ranges style — same one-hot selections, only the panel residency
+    differs. Forced small so interpret mode covers the DMA path."""
+    args, gt = _ring_problem()
+    from pgslam_tpu.optim.lm_pallas import host_loop_count
+    nl = host_loop_count(np.asarray(args[2]), np.asarray(args[3]),
+                         args[0].shape[0])
+    cfg = PGOConfig(max_iterations=3, cg_iterations=12, cg_tol=1e-3,
+                    solver="lm_pallas")
+    monkeypatch.setenv("PGSLAM_PGO_FORCE_CHAIN", "1")
+    monkeypatch.setenv("PGSLAM_PGO_FORCE_FACTORED", "1")
+    monkeypatch.setenv("PGSLAM_PGO_FORCE_RANGES", "1")
+    monkeypatch.setenv("PGSLAM_PGO_FORCE_RANGES_HBM", "1")
+    out_h, st_h = optimize_pose_graph(*args, config=cfg, n_loop=nl)
+    monkeypatch.delenv("PGSLAM_PGO_FORCE_RANGES_HBM")
+    out_r, st_r = optimize_pose_graph(*args, config=cfg, n_loop=nl)
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(out_r),
+                               atol=1e-6)
+    assert int(st_h["iterations"]) == int(st_r["iterations"])
+
+
 def test_host_route_ranges_layout():
     """Unit pins on the host router: claimed chain edges land on their
     vertex lane, every valid loop edge occupies exactly one from-sorted

@@ -486,9 +486,11 @@ def bench_icp_64k():
         # lag is 16 scans. Chip sweep (scripts/probe_microbatch.py):
         # read=1024 x B=16 is the knee (560-576 regs/s; B=32/64 regress
         # — the vmapped prep pipeline has a ~25 ms per-dispatch floor
-        # that only amortizes at headline-scale B). Runs only with
-        # >=180 s of child budget left so it can never crowd out the
-        # headline phases above.
+        # that only amortizes at headline-scale B). Gated on elapsed
+        # child time < 240 s (i.e. the headline phases finished with
+        # time to spare under the supervisor's cap) so it can never
+        # crowd them out; the reported err is the LAST repeat's result
+        # only (the rate takes the best of the two repeats).
         try:
             if time.monotonic() - _CHILD_T0 < 240.0:
                 B16 = 16

@@ -61,7 +61,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.pg_components.argtypes = [ctypes.c_int, ctypes.c_int, i32p, i32p,
                                   i32p]
     lib.sl_open.restype = ctypes.c_int
-    lib.sl_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+    lib.sl_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+                            ctypes.c_int]
     lib.sl_count.restype = ctypes.c_int
     lib.sl_count.argtypes = [ctypes.c_int]
     lib.sl_max_points.restype = ctypes.c_long
@@ -72,6 +73,8 @@ def _load() -> Optional[ctypes.CDLL]:
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
     lib.sl_next_q.restype = ctypes.c_long
     lib.sl_next_q.argtypes = [ctypes.c_int, i16p, ctypes.c_long]
+    lib.sl_eos.restype = ctypes.c_int
+    lib.sl_eos.argtypes = [ctypes.c_int]
     lib.sl_close.restype = None
     lib.sl_close.argtypes = [ctypes.c_int]
     _lib = lib
@@ -143,13 +146,15 @@ class ScanLoader:
         the live-SLAM pipeline on relay/PCIe-bandwidth-bound hosts is
         transfer-floor-bound (BENCH_NOTES config-4 profile). Every
         jitted ingest path dequantizes int16 clouds in-graph
-        (``pgslam_tpu.cloud.MM_SCALE`` protocol)."""
+        (``pgslam_tpu.cloud.MM_SCALE`` protocol). The quantize flag is
+        plumbed into the loader: float-path consumers never pay the
+        per-scan int16 conversion on the shared host core (ADVICE r4)."""
         lib = _load()
         if lib is None:
             raise ImportError("native scan loader unavailable")
         self._lib = lib
         self._h = lib.sl_open(directory.encode(), ext.encode(),
-                              int(prefetch_depth))
+                              int(prefetch_depth), 1 if quantize_mm else 0)
         if self._h < 0:
             raise FileNotFoundError(
                 f"no '{ext}' scans under {directory!r}")
@@ -166,27 +171,38 @@ class ScanLoader:
         return self
 
     def __next__(self):
-        if self._h < 0:
-            raise StopIteration
-        if self._quant:
-            q = np.empty((self._cap, 3), np.int16)
-            n = self._lib.sl_next_q(self._h, q, self._cap)
-            if n <= 0:
+        # End-of-stream is the DISTINCT -3 code (and sl_eos); a failed
+        # read (-2) or a legitimately empty scan (0 points — e.g. every
+        # point dropped by the int16 envelope) is SKIPPED, never allowed
+        # to truncate the rest of the sequence mid-stream (ADVICE r4).
+        while True:
+            if self._h < 0:
+                raise StopIteration
+            if self._quant:
+                q = np.empty((self._cap, 3), np.int16)
+                n = self._lib.sl_next_q(self._h, q, self._cap)
+            else:
+                xyz = np.empty((self._cap, 3), np.float32)
+                refl = (np.empty(self._cap, np.float32)
+                        if self._with_refl else None)
+                refl_ptr = (refl.ctypes.data_as(ctypes.c_void_p)
+                            if refl is not None else None)
+                n = self._lib.sl_next(self._h, xyz, refl_ptr, self._cap)
+            if n == -3 or n == -1:          # end of stream / dead handle
                 self.close()
                 raise StopIteration
-            return np.ascontiguousarray(q[:n])
-        xyz = np.empty((self._cap, 3), np.float32)
-        refl = np.empty(self._cap, np.float32) if self._with_refl else None
-        refl_ptr = (refl.ctypes.data_as(ctypes.c_void_p)
-                    if refl is not None else None)
-        n = self._lib.sl_next(self._h, xyz, refl_ptr, self._cap)
-        if n <= 0:
-            self.close()
-            raise StopIteration
-        pts = np.ascontiguousarray(xyz[:n])
-        if self._with_refl:
-            return pts, np.ascontiguousarray(refl[:n])
-        return pts
+            if n == -4:
+                raise RuntimeError(
+                    "ScanLoader opened with quantize_mm=False cannot "
+                    "serve the int16 stream")
+            if n <= 0:                      # failed read or empty scan
+                continue
+            if self._quant:
+                return np.ascontiguousarray(q[:n])
+            pts = np.ascontiguousarray(xyz[:n])
+            if self._with_refl:
+                return pts, np.ascontiguousarray(refl[:n])
+            return pts
 
     def close(self) -> None:
         if self._h >= 0:

@@ -7,15 +7,32 @@
 // libpointmatcher's DataPoints IO.
 //
 // C ABI (ctypes-friendly):
-//   sl_open(dir, pattern_ext, prefetch_depth) -> handle (>=0) or -1
+//   sl_open(dir, pattern_ext, prefetch_depth, quantize)
+//                                             -> handle (>=0) or -1;
+//                                                quantize != 0 makes the IO
+//                                                worker also build the int16
+//                                                millimeter copy per scan
 //   sl_count(handle)                          -> number of scans found
 //   sl_max_points(handle)                     -> upper bound on points/scan
-//   sl_next(handle, out_xyz, out_refl, cap)   -> n points, 0 = end, -1 err
+//   sl_next(handle, out_xyz, out_refl, cap)   -> n points (0 = legitimately
+//                                                empty scan), -1 bad handle,
+//                                                -2 read failure, -3 end of
+//                                                stream
 //   sl_next_q(handle, out_xyz_q, cap)         -> n points as int16
 //                                                millimeters (quantized by
 //                                                the IO worker; points
-//                                                beyond +-32.7 m dropped)
+//                                                beyond +-32.7 m dropped);
+//                                                same -1/-2/-3 codes, plus
+//                                                -4 = loader opened without
+//                                                quantize
+//   sl_eos(handle)                            -> 1 when every scan has been
+//                                                consumed, else 0
 //   sl_close(handle)
+//
+// A scan whose points were ALL dropped by the int16 envelope (or a file
+// that failed to read) must NOT end the stream: end-of-stream is the
+// distinct -3 (and sl_eos), so consumers skip pathological scans instead
+// of silently truncating the sequence (ADVICE r4).
 //
 // The int16 path exists for relay-/PCIe-bandwidth-bound hosts: LiDAR
 // packets are fixed-point to begin with, a 1 mm grid adds 0.5 mm max
@@ -45,7 +62,8 @@ namespace {
 struct Scan {
   std::vector<float> xyz;      // 3 * n
   std::vector<float> refl;     // n
-  std::vector<int16_t> xyz_q;  // 3 * nq, 1 mm grid (filled on demand)
+  std::vector<int16_t> xyz_q;  // 3 * nq, 1 mm grid (quantize-enabled only)
+  bool failed = false;         // read error (distinct from a 0-point scan)
 };
 
 constexpr float kQuantScale = 1000.0f;            // 1 mm fixed point
@@ -75,6 +93,9 @@ struct Loader {
   size_t consumed = 0;        // scans handed to the caller
   size_t max_points = 0;
   size_t depth;
+  bool do_quantize = false;   // build xyz_q on the IO thread (sl_next_q
+                              // consumers); f32-path consumers skip the
+                              // per-scan conversion cost entirely
 
   std::deque<Scan> queue;     // produced, not yet consumed
   std::mutex mu;
@@ -127,10 +148,13 @@ void produce(Loader* L) {
     }
     Scan s;
     bool ok = read_bin(L->files[idx], &s);
-    if (ok) quantize(&s);  // off the consumer's critical path
+    if (ok && L->do_quantize) quantize(&s);  // off the consumer's path
     {
       std::unique_lock<std::mutex> lk(L->mu);
-      if (!ok) s = Scan{};  // empty scan marks a read failure
+      if (!ok) {
+        s = Scan{};
+        s.failed = true;
+      }
       L->queue.push_back(std::move(s));
     }
     L->cv_produced.notify_one();
@@ -141,7 +165,8 @@ void produce(Loader* L) {
 
 extern "C" {
 
-int sl_open(const char* dir, const char* ext, int prefetch_depth) {
+int sl_open(const char* dir, const char* ext, int prefetch_depth,
+            int quantize) {
   DIR* d = opendir(dir);
   if (!d) return -1;
   std::vector<std::string> files;
@@ -161,6 +186,7 @@ int sl_open(const char* dir, const char* ext, int prefetch_depth) {
   auto* L = new Loader();
   L->files = std::move(files);
   L->depth = prefetch_depth > 0 ? static_cast<size_t>(prefetch_depth) : 2;
+  L->do_quantize = quantize != 0;
   size_t max_bytes = 0;
   for (const auto& f : L->files) {
     struct stat st;
@@ -191,20 +217,27 @@ long sl_max_points(int h) {
   return L ? static_cast<long>(L->max_points) : -1;
 }
 
-long sl_next(int h, float* out_xyz, float* out_refl, long cap) {
-  Loader* L = get(h);
-  if (!L) return -1;
-  Scan s;
+// Pops the next produced scan. Returns false at true end-of-stream.
+static bool pop_scan(Loader* L, Scan* out) {
   {
     std::unique_lock<std::mutex> lk(L->mu);
-    if (L->consumed >= L->files.size()) return 0;  // true end of stream
+    if (L->consumed >= L->files.size()) return false;  // end of stream
     // A claimed-but-unread scan may still be in flight: wait on produced.
     L->cv_produced.wait(lk, [L] { return !L->queue.empty(); });
-    s = std::move(L->queue.front());
+    *out = std::move(L->queue.front());
     L->queue.pop_front();
     L->consumed++;
   }
   L->cv_consumed.notify_one();
+  return true;
+}
+
+long sl_next(int h, float* out_xyz, float* out_refl, long cap) {
+  Loader* L = get(h);
+  if (!L) return -1;
+  Scan s;
+  if (!pop_scan(L, &s)) return -3;  // end of stream (distinct from n=0)
+  if (s.failed) return -2;
   long n = static_cast<long>(s.refl.size());
   if (n > cap) n = cap;
   std::memcpy(out_xyz, s.xyz.data(), static_cast<size_t>(n) * 3
@@ -218,21 +251,24 @@ long sl_next(int h, float* out_xyz, float* out_refl, long cap) {
 long sl_next_q(int h, int16_t* out_xyz_q, long cap) {
   Loader* L = get(h);
   if (!L) return -1;
+  if (!L->do_quantize) return -4;  // opened without quantize
   Scan s;
-  {
-    std::unique_lock<std::mutex> lk(L->mu);
-    if (L->consumed >= L->files.size()) return 0;
-    L->cv_produced.wait(lk, [L] { return !L->queue.empty(); });
-    s = std::move(L->queue.front());
-    L->queue.pop_front();
-    L->consumed++;
-  }
-  L->cv_consumed.notify_one();
+  if (!pop_scan(L, &s)) return -3;  // end of stream (distinct from n=0:
+                                    // an all-dropped scan must not
+                                    // truncate the sequence)
+  if (s.failed) return -2;
   long n = static_cast<long>(s.xyz_q.size() / 3);
   if (n > cap) n = cap;
   std::memcpy(out_xyz_q, s.xyz_q.data(),
               static_cast<size_t>(n) * 3 * sizeof(int16_t));
   return n;
+}
+
+int sl_eos(int h) {
+  Loader* L = get(h);
+  if (!L) return 1;
+  std::lock_guard<std::mutex> lk(L->mu);
+  return L->consumed >= L->files.size() ? 1 : 0;
 }
 
 void sl_close(int h) {

@@ -96,15 +96,20 @@ def eps_dead_zone(cfg: ICPConfig) -> Optional[str]:
 
     The checker smooths the last ``smooth_length`` iteration deltas and
     the window starts ``inf``-filled (libpointmatcher semantics), so
-    ``converged`` is structurally unreachable until iteration
-    ``smooth_length`` — with ``max_iterations <= smooth_length`` every
-    registration reports ``max_iter_reached=True`` regardless of the data.
-    That flag is exactly what loop-closure acceptance rejects on
-    (``LoopCloser.hpp:317``), so such a profile silently rejects 100% of
-    closures (VERDICT r3 weak #3)."""
+    ``converged`` is structurally unreachable before the window fills.
+    The window holds L real deltas after the L-th loop body, and the body
+    computes ``converged`` AFTER pushing its delta — so at
+    ``max_iterations == smooth_length`` the checker can still fire on the
+    final iteration; only ``max_iterations < smooth_length`` is a true
+    dead zone (every registration reports ``max_iter_reached=True``
+    regardless of the data). That flag is exactly what loop-closure
+    acceptance rejects on (``LoopCloser.hpp:317``), so such a profile
+    silently rejects 100% of closures (VERDICT r3 weak #3). The equality
+    case is margin 0 — live but with exactly one iteration of room —
+    handled by callers' ``eps_margin`` warning tier."""
     L = max(1, cfg.smooth_length)
-    if cfg.max_iterations <= L:
-        return (f"max_iterations={cfg.max_iterations} <= smooth_length={L}: "
+    if cfg.max_iterations < L:
+        return (f"max_iterations={cfg.max_iterations} < smooth_length={L}: "
                 f"the smoothed eps window never fills, so converged can "
                 f"never be reported and max_iter_reached is unconditionally "
                 f"True")
@@ -115,11 +120,13 @@ def eps_dead_zone(cfg: ICPConfig) -> Optional[str]:
 
 
 def eps_margin(cfg: ICPConfig) -> int:
-    """Iterations in which the differential checker CAN fire
-    (``max_iterations - smooth_length``). Small positive values mean the
-    checker is live but has almost no room — fine for throughput
-    profiles (the localizer ignores ``max_iter_reached``), hazardous for
-    loop-closure verification profiles (which reject on it)."""
+    """Iterations of ROOM the differential checker has before the cap
+    (``max_iterations - smooth_length``; 0 means it can fire only on the
+    very last iteration, exactly when the window first fills). Small
+    values mean the checker is live but has almost no room — fine for
+    throughput profiles (the localizer ignores ``max_iter_reached``),
+    hazardous for loop-closure verification profiles (which reject on
+    it)."""
     return cfg.max_iterations - max(1, cfg.smooth_length)
 
 

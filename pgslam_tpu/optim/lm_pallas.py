@@ -120,14 +120,16 @@ def vmem_estimate(n_vertices: int, n_edges: int, n_loop: int | None = None,
 
 def factored_plan(n_vertices: int, n_edges: int, n_loop: int | None = None,
                   budget_bytes: int | None = None
-                  ) -> tuple[int, int] | None:
+                  ) -> tuple[int, int, bool] | None:
     """Tile plan for the tiled-overlay incidence: the one-hot S's column
     tiles are OR-overlaid into ONE resident ``W1 [2L, s]`` (tile
     membership recovered by a per-lane super-id mask), and the kernel
     stacks the V/s tiles along M into ONE MXU dot — total FLOPs
     identical to the unfactored one-hot matmul, weight loads trips-fold
-    fewer. Returns (s, trips) or None. s=V (trips=1) IS the plain
-    one-hot, so candidates start at trips=2."""
+    fewer. Returns (s, trips, stacked) — ``stacked`` True for the
+    one-dot-per-direction style, False for the per-tile fori capacity
+    style — or None. s=V (trips=1) IS the plain one-hot, so candidates
+    start at trips=2."""
     if budget_bytes is None:
         budget_bytes = VMEM_LIMIT_BYTES - 8 * 1024 * 1024
     Vp = _pad128(n_vertices)

@@ -2,9 +2,11 @@
 
 The differential checker smooths the last ``smooth_length`` deltas over
 an inf-initialized window, so ``converged`` is unreachable before the
-window fills: a profile with ``max_iterations <= smooth_length`` reports
+window fills: a profile with ``max_iterations < smooth_length`` reports
 ``max_iter_reached=True`` unconditionally — and loop-closure acceptance
-rejects on exactly that flag (``LoopCloser.hpp:317``). These tests pin
+rejects on exactly that flag (``LoopCloser.hpp:317``). Equality is the
+margin-0 warning tier: the window fills on the final body iteration and
+``converged`` is computed after the push, so it CAN still fire there. These tests pin
 the guard: structural dead zones ERROR at LoopCloser config time, the
 one-iteration-of-room flagship profile WARNS, and the localizer-side
 engine only logs (it never rejects on the flag).
@@ -23,7 +25,10 @@ from pgslam_tpu.optimizer import Optimizer
 
 
 def _dead_cfg():
-    return ICPConfig(max_iterations=4, smooth_length=4)
+    # Strictly below the window length: the checker structurally cannot
+    # fire. mi == smooth_length is NOT dead (the window fills, and
+    # converged is computed after the push, on the final body iteration).
+    return ICPConfig(max_iterations=3, smooth_length=4)
 
 
 def _flagship_like_cfg():
@@ -38,6 +43,11 @@ def test_dead_zone_detection():
     assert eps_dead_zone(ICPConfig(max_iterations=30)) is None
     assert eps_dead_zone(ICPConfig(max_iterations=10, trans_eps=0.0)) \
         is not None
+    # Equality is margin 0 — reachable on the final iteration, so it is
+    # NOT a structural dead zone (ADVICE r4: the off-by-one).
+    eq = ICPConfig(max_iterations=4, smooth_length=4)
+    assert eps_dead_zone(eq) is None
+    assert eps_margin(eq) == 0
     assert eps_margin(_flagship_like_cfg()) == 1
 
 
@@ -78,6 +88,23 @@ def test_set_icp_config_validates(tmp_path):
     lc = LoopCloser(mm, opt, LoopCloserConfig(icp=ICPConfig()))
     with pytest.raises(ValueError, match="never report convergence"):
         lc.set_icp_config(str(yaml))
+
+
+def test_equality_profile_can_converge():
+    # Behavioral pin for the boundary: at mi == smooth_length the window
+    # fully fills on the final body iteration and converged is computed
+    # after the push, so a trivially-converged registration (identical
+    # clouds, identity init) DOES report converged=True there.
+    from pgslam_tpu.cloud import make_cloud
+    from pgslam_tpu.ops.icp import icp_core
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+    cloud = make_cloud(pts)
+    cfg = ICPConfig(max_iterations=4, smooth_length=4,
+                    trans_eps=1e-3, rot_eps=1e-3)
+    res = icp_core(cloud, cloud, np.eye(4, dtype=np.float32), cfg)
+    assert bool(res.converged)
+    assert not bool(res.max_iter_reached)
 
 
 def test_engine_only_warns(caplog):

@@ -192,6 +192,51 @@ def test_int16_cloud_through_slam_facade(tmp_path):
     assert d < 0.02, f"int16 ingest diverged {d} m from f32"
 
 
+def test_native_scan_loader_skips_pathological_scans(tmp_path):
+    """A scan whose points are ALL dropped by the int16 envelope (or a
+    truncated file) must not truncate the stream: the iterator skips it
+    and the remaining scans are still served (ADVICE r4 — end-of-stream
+    is the distinct -3 code, not n==0)."""
+    from pgslam_tpu.datasets import save_kitti_bin
+    from pgslam_tpu.native import ScanLoader, native_available
+    if not native_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(2)
+    good0 = rng.uniform(-20, 20, (300, 3)).astype(np.float32)
+    all_out = np.full((50, 3), 40.0, np.float32)   # everything dropped
+    good1 = rng.uniform(-20, 20, (200, 3)).astype(np.float32)
+    save_kitti_bin(str(tmp_path / "000000.bin"), good0)
+    save_kitti_bin(str(tmp_path / "000001.bin"), all_out)
+    save_kitti_bin(str(tmp_path / "000002.bin"), good1)
+    with ScanLoader(str(tmp_path), quantize_mm=True) as loader:
+        out = list(loader)
+    assert [len(s) for s in out] == [300, 200]
+    # float path: a truncated (unreadable) file mid-stream is skipped too
+    (tmp_path / "000001.bin").write_bytes(b"\x00" * 7)  # not a multiple
+    # of a 4-float record -> fread count mismatch -> read failure
+    with ScanLoader(str(tmp_path)) as loader:
+        out = list(loader)
+    assert [len(s) for s in out] == [300, 200]
+
+
+def test_native_scan_loader_quantize_flag_required(tmp_path):
+    """sl_next_q on a loader opened without quantize is a hard error —
+    the IO thread never built the int16 copy (the f32 path no longer
+    pays the conversion; ADVICE r4)."""
+    from pgslam_tpu.datasets import save_kitti_bin
+    from pgslam_tpu.native import ScanLoader, native_available
+    if not native_available():
+        pytest.skip("no native toolchain")
+    pts = np.zeros((10, 3), np.float32)
+    save_kitti_bin(str(tmp_path / "000000.bin"), pts)
+    loader = ScanLoader(str(tmp_path), quantize_mm=False)
+    try:
+        q = np.empty((16, 3), np.int16)
+        assert loader._lib.sl_next_q(loader._h, q, 16) == -4
+    finally:
+        loader.close()
+
+
 def test_native_scan_loader_missing_dir(tmp_path):
     from pgslam_tpu.native import ScanLoader, native_available
     if not native_available():

@@ -343,6 +343,14 @@ class LocalizerConfig:
     # odometry-extrapolated from the last committed pose, and
     # :meth:`Localizer.flush` commits the tail. 0 = classic per-scan sync.
     sync_lag: int = 0
+    # Validation hook (VERDICT r4 item 5): route scans through the
+    # deferred machinery even at sync_lag=0. With an empty pipeline the
+    # deferred path reproduces the classic path BIT-IDENTICALLY by
+    # construction (fresh dispatches use the classic initial-guess /
+    # probe numerics and fresh commits the classic pose composition —
+    # see _process_data_deferred/_commit), and the golden test
+    # ``test_deferred_lag0_bitwise_matches_classic`` pins exactly that.
+    force_deferred: bool = False
 
 
 @dataclasses.dataclass
@@ -362,6 +370,11 @@ class _Inflight:
     probe_comp: Optional["Composition"]
     odom_pose: np.ndarray      # this scan's odometry world pose
     comp_items: Tuple[int, ...]  # composition the registration ran against
+    refkf_pose_at_dispatch: np.ndarray = None  # optimized_T_world_kf of
+    # refkf_vertex when the scan was dispatched; a commit that finds it
+    # bit-unchanged (and the composition unchanged) is FRESH — nothing
+    # landed in between — and uses the classic pose composition so the
+    # deferred path degrades to bit-identical classic behavior.
 
 
 class Localizer:
@@ -456,7 +469,7 @@ class Localizer:
             self._committed_odom = np.asarray(input_T_world_robot,
                                               np.float32)
             return
-        if self.config.sync_lag > 0:
+        if self.config.sync_lag > 0 or self.config.force_deferred:
             return self._process_data_deferred(
                 np.asarray(input_T_world_robot, np.float32),
                 np.asarray(input_T_robot_sensor, np.float32), input_cloud)
@@ -539,26 +552,49 @@ class Localizer:
         key = jax.random.PRNGKey(self.count)
         self.count += 1
 
-        # World-frame pose prediction: last committed pose composed with
-        # the odometry increment since the last committed scan. Pure
-        # odometry extrapolation across the in-flight gap — the ICP
-        # correction of the uncommitted scans (typically sub-cm) is the
-        # price of not syncing on them.
-        T_pred_world = (
-            np.asarray(self.T_world_robot, np.float64)
-            @ np.linalg.inv(np.asarray(self._committed_odom, np.float64))
-            @ np.asarray(input_T_world_robot, np.float64))
-        T_world_refkf = np.asarray(
-            self.local_map.reference_keyframe().optimized_T_world_kf,
-            np.float64)
-        R = T_world_refkf[:3, :3]
-        Tinv = np.eye(4, dtype=np.float64)
-        Tinv[:3, :3] = R.T
-        Tinv[:3, 3] = -R.T @ T_world_refkf[:3, 3]
-        T0 = _orthonormalize((Tinv @ T_pred_world).astype(np.float32))
+        if not self._inflight:
+            # FRESH dispatch (every prior scan committed — always the
+            # case at sync_lag=0/force_deferred, and right after a flush
+            # at any lag): use the classic path's EXACT initial-guess and
+            # probe-pose numerics. Mathematically this equals the
+            # extrapolation below (with nothing in flight the committed
+            # pose IS the refkf composition), and taking the identical
+            # float ops makes the deferred machinery bit-identical to
+            # the classic path whenever nothing is stale (VERDICT r4
+            # item 5; pinned by the lag-0 golden test).
+            input_dT_robot = (
+                np.linalg.inv(np.asarray(self.last_input_T_world_robot,
+                                         np.float64))
+                @ np.asarray(input_T_world_robot, np.float64)
+            ).astype(np.float32)
+            T0 = self.T_refkf_robot @ input_dT_robot
+            T_world_refkf32 = np.asarray(
+                self.local_map.reference_keyframe().optimized_T_world_kf,
+                np.float32)
+            T_pred32 = T_world_refkf32 @ T0
+        else:
+            # World-frame pose prediction: last committed pose composed
+            # with the odometry increment since the last committed scan.
+            # Pure odometry extrapolation across the in-flight gap — the
+            # ICP correction of the uncommitted scans (typically sub-cm)
+            # is the price of not syncing on them.
+            T_pred_world = (
+                np.asarray(self.T_world_robot, np.float64)
+                @ np.linalg.inv(np.asarray(self._committed_odom,
+                                           np.float64))
+                @ np.asarray(input_T_world_robot, np.float64))
+            T_world_refkf = np.asarray(
+                self.local_map.reference_keyframe().optimized_T_world_kf,
+                np.float64)
+            R = T_world_refkf[:3, :3]
+            Tinv = np.eye(4, dtype=np.float64)
+            Tinv[:3, :3] = R.T
+            Tinv[:3, 3] = -R.T @ T_world_refkf[:3, 3]
+            T0 = _orthonormalize((Tinv @ T_pred_world).astype(np.float32))
+            T_world_refkf32 = T_world_refkf.astype(np.float32)
+            T_pred32 = T_pred_world.astype(np.float32)
 
-        probe_comp = self.neighbor_probe_request(
-            T_world_robot=T_pred_world.astype(np.float32))
+        probe_comp = self.neighbor_probe_request(T_world_robot=T_pred32)
         probe_map = (self._cached_probe_map(probe_comp)
                      if probe_comp is not None else None)
 
@@ -568,7 +604,6 @@ class Localizer:
                 jnp.asarray(input_T_robot_sensor, jnp.float32), key,
                 self.icp_engine.reference, jnp.asarray(T0),
                 self.icp_engine._index)
-        T_world_refkf32 = T_world_refkf.astype(np.float32)
         if probe_map is not None:
             cloud, reading, packed = _prepare_register_probe(
                 *args, probe_map, jnp.asarray(T_world_refkf32))
@@ -592,7 +627,10 @@ class Localizer:
             refkf_vertex=self.local_map.reference_vertex(),
             probe_comp=probe_comp,
             odom_pose=np.asarray(input_T_world_robot, np.float32),
-            comp_items=tuple(self.local_map.get_composition().as_list())))
+            comp_items=tuple(self.local_map.get_composition().as_list()),
+            refkf_pose_at_dispatch=np.array(
+                self.local_map.reference_keyframe().optimized_T_world_kf,
+                np.float32, copy=True)))
         self.last_input_T_world_robot = np.asarray(input_T_world_robot,
                                                    np.float32)
         while len(self._inflight) > self.config.sync_lag:
@@ -604,24 +642,45 @@ class Localizer:
         (identical logic to the sync path, one sync_lag later)."""
         result, ov = _unpack_result_vec(jax.device_get(inflight.packed))
         self.last_result = result
-        # World pose: result.T is relative to the reference KEYFRAME —
-        # compose with that vertex's CURRENT optimized pose so closure
-        # writebacks that landed since dispatch pull the live pose (see
-        # _Inflight.refkf_vertex).
-        T_ref_now = np.asarray(
-            self.mm.get_graph().optimized_poses[inflight.refkf_vertex],
-            np.float64)
-        self.T_world_robot = _orthonormalize(
-            (T_ref_now @ np.asarray(result.T, np.float64))
-            .astype(np.float32))
-        # Re-anchor to the CURRENT reference keyframe (the composition may
-        # have moved since dispatch — the accepted sync_lag staleness).
-        self.update_refkf_robot_pose()
+        comp_unchanged = inflight.comp_items == tuple(
+            self.local_map.get_composition().as_list())
+        fresh = (
+            comp_unchanged
+            and inflight.refkf_vertex == self.local_map.reference_vertex()
+            and inflight.refkf_pose_at_dispatch is not None
+            and np.array_equal(
+                inflight.refkf_pose_at_dispatch,
+                np.asarray(self.local_map.reference_keyframe()
+                           .optimized_T_world_kf, np.float32)))
+        if fresh:
+            # Nothing landed between dispatch and commit (no writeback,
+            # no composition change): take the classic path's EXACT pose
+            # composition so the deferred machinery is bit-identical to
+            # classic whenever it is not actually stale (VERDICT r4
+            # item 5; the lag-0 golden test pins per-scan equality).
+            self.T_refkf_robot = _orthonormalize(np.asarray(result.T))
+            self.T_world_robot = _orthonormalize(
+                self.local_map.reference_keyframe().optimized_T_world_kf
+                @ self.T_refkf_robot)
+        else:
+            # World pose: result.T is relative to the reference KEYFRAME
+            # — compose with that vertex's CURRENT optimized pose so
+            # closure writebacks that landed since dispatch pull the
+            # live pose (see _Inflight.refkf_vertex).
+            T_ref_now = np.asarray(
+                self.mm.get_graph().optimized_poses[inflight.refkf_vertex],
+                np.float64)
+            self.T_world_robot = _orthonormalize(
+                (T_ref_now @ np.asarray(result.T, np.float64))
+                .astype(np.float32))
+            # Re-anchor to the CURRENT reference keyframe (the
+            # composition may have moved since dispatch — the accepted
+            # sync_lag staleness).
+            self.update_refkf_robot_pose()
         self.input_cloud = inflight.cloud
         self._last_reading = inflight.reading
         self._committed_odom = inflight.odom_pose
-        if inflight.comp_items != tuple(
-                self.local_map.get_composition().as_list()):
+        if not comp_unchanged:
             # The composition changed between dispatch and commit (an
             # earlier commit spawned a keyframe or swapped the map), so
             # this scan's overlap was measured against the OLD map —

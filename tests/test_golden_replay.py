@@ -170,6 +170,35 @@ def _truth_errs(per_scan, truth, lag=0):
     return np.linalg.norm(per_scan[:, :3, 3] - t[idx, :3, 3], axis=1)
 
 
+def test_deferred_lag0_bitwise_matches_classic(golden):
+    """VERDICT r4 item 5: the deferred machinery run at lag 0
+    (``force_deferred`` with ``sync_lag=0`` — dispatch + immediate
+    commit, empty pipeline throughout) must be BIT-IDENTICAL to the
+    classic per-scan-sync path, per scan. Fresh dispatches take the
+    classic initial-guess/probe numerics and fresh commits the classic
+    pose composition, so any divergence here is a real code-path split
+    the envelope pins of the lag>=1 tests cannot see. The comparison is
+    a same-session classic replay (assert_array_equal, zero tolerance),
+    not the stored fixture — the fixture pin carries a 1e-5 tolerance
+    for cross-version float drift, which would mask exactly the small
+    splits this test exists to catch."""
+    import dataclasses
+
+    from golden_replay import _replay
+
+    classic_per_scan, classic_traj, classic_stats = _replay(
+        golden_sequence(), golden_config())
+    cfg = golden_config()
+    cfg = dataclasses.replace(
+        cfg, localizer=dataclasses.replace(cfg.localizer,
+                                           force_deferred=True))
+    per_scan, trajectory, stats = _replay(golden_sequence(), cfg)
+    np.testing.assert_array_equal(per_scan, classic_per_scan)
+    np.testing.assert_array_equal(trajectory, classic_traj)
+    assert stats == classic_stats
+    assert stats["n_loops"] == golden["n_loops"]
+
+
 @pytest.mark.slow
 def test_deferred_matches_golden(golden):
     """The deferred-commit ST path (sync_lag, r4) replays the golden

@@ -63,6 +63,13 @@ class PoseGraph:
         self.edge_cov = np.zeros((ec, 6, 6), np.float32)
         self.edge_type = np.zeros((ec,), np.int32)
         self.edge_weight = np.zeros((ec,), np.float32)
+        # Device-mirror bookkeeping (optim/resident.py): poses written
+        # through update_keyframe_transform land here so the resident
+        # optimizer uploads only what changed; any NON-append mutation
+        # (e.g. checkpoint restore) must bump mutation_epoch, which
+        # invalidates every mirror.
+        self.pose_dirty: set = set()
+        self.mutation_epoch = 0
 
     # -- growth ------------------------------------------------------------
 
@@ -243,6 +250,21 @@ class MapManager:
         """``MapManager.hpp:130-134``: optimizer writeback."""
         self.graph.optimized_poses[v] = np.asarray(T, np.float32)
         self.graph.update_times[v] = update_time
+        self.graph.pose_dirty.add(int(v))
+
+    def update_keyframe_transforms_bulk(self, poses: np.ndarray,
+                                        update_time: int,
+                                        mark_dirty: bool = True) -> None:
+        """Vectorized writeback of vertices ``0..len(poses)`` — the
+        optimizer's batch path (the per-vertex loop is O(V) Python per
+        optimize: ~tens of ms at 16k poses on the shared host core).
+        ``mark_dirty=False`` is for the device-resident optimizer, whose
+        writes come FROM the device mirror and need no re-upload."""
+        n = len(poses)
+        self.graph.optimized_poses[:n] = np.asarray(poses, np.float32)
+        self.graph.update_times[:n] = update_time
+        if mark_dirty:
+            self.graph.pose_dirty.update(range(n))
 
     def notify_keyframe_update(self) -> None:
         """``MapManager.hpp:150-157``: tell the Localizer poses moved."""

@@ -92,6 +92,11 @@ def load_checkpoint(path: str, map_manager: MapManager,
     g.edge_type[:ne] = data["edge_type"]
     g.edge_weight[:ne] = data["edge_weight"]
     g.clouds = [_cloud_from(f"cloud/{v}", data) for v in range(nv)]
+    # Restore is a non-append mutation: any device-resident optimizer
+    # mirror of the old graph object must not survive it (a fresh
+    # PoseGraph starts at epoch 0 with an empty mirror anyway; the bump
+    # covers callers that kept the old graph alive).
+    g.mutation_epoch += 1
     map_manager.graph = g
     fixed = int(data["fixed_vertex"])
     map_manager.fixed_vertex = None if fixed < 0 else fixed

@@ -1,0 +1,665 @@
+"""Device-resident pose-graph mirror for the production optimize path.
+
+VERDICT r4 item 1: at sparse 16k poses the production optimize call cost
+101-135 ms, of which ~90 ms was re-uploading the whole padded graph
+(poses 4.2 MB + covs 2.7 MB + transforms 1.2 MB) around an 11 ms solve,
+plus the ~4 MB full-pose d2h writeback. GTSAM pays zero upload — it
+operates on an in-process factor graph (`Optimizer.hpp:68`); this module
+is the TPU-native equivalent: the padded pose/edge arrays stay RESIDENT
+on device across optimize calls, and per call only the DELTAS move —
+
+* appended vertices and edges (the graph is single-writer append-only
+  between optimizes; `MapManager.hpp:46-127`),
+* host-written poses (tracked by ``PoseGraph.pose_dirty`` — in practice
+  only the optimizer itself writes poses, and its writes come FROM the
+  device, so the set is empty),
+* the pending loop constraints of this batch,
+
+and the writeback downloads a PACKED pose vector: the exact [V, 12]
+row-major top-3x4 rows (bit-identical round-trip — the bottom row of an
+SE(3) product is exactly [0,0,0,1] in f32) for small graphs, or [V, 7]
+quaternion+translation for large ones (~9x fewer bytes; ~1e-7 rotation
+round-off, orders below the solver tolerance — gated to V >= QUAT_MIN_V
+so bit-tight golden fixtures, which use small graphs, are untouched).
+
+The delta-apply is FUSED into the solve dispatch (one jit per call: the
+relay's per-dispatch floor is ~1.5-2.5 ms), and the solve reuses the
+exact jitted paths of the classic dispatcher (`_optimize_xla`,
+`_lm_optimize_jit`, `_lm_optimize_ranges_jit`) so the resident path is
+bit-identical to a full rebuild given the same inputs. Stats ride the
+packed vector — the classic path's per-scalar ``float(np.asarray(v))``
+fetches paid one device round-trip EACH.
+
+Layout bookkeeping mirrors the classic dispatcher's gates
+(``pgo.optimize_pose_graph`` + ``lm_pallas.lm_optimize_pallas``); the
+sorted-RANGES routing is maintained INCREMENTALLY — lane assignment is
+append-stable (lanes are per-from-tile in edge-index order and the claim
+rule is first-edge-per-pair, so appended edges never move existing
+lanes) — with a full re-route only when a tile's 128-padded capacity
+overflows or the layout decision changes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import se3
+from .lm_pallas import (RangesPlan, _host_claim, _lm_optimize_jit,
+                        _lm_optimize_ranges_jit, _pad128, factored_plan,
+                        fits_vmem, host_loop_count, host_route_ranges,
+                        layout_plan, ranges_plan, ranges_plan_hbm)
+
+# Graphs at or above this padded-V bucket use the [V, 7] quat+translation
+# writeback under pack="auto" (0.45 MB vs 3.1 MB at 16k); below it the
+# exact [V, 12] pack keeps host poses bit-identical to the device result.
+QUAT_MIN_V = 4096
+
+
+# --------------------------------------------------------------------------
+# Packing
+# --------------------------------------------------------------------------
+
+def _pack_poses(final: jax.Array, pack: str) -> jax.Array:
+    if pack == "quat7":
+        q = se3.quaternion_from_matrix(final[:, :3, :3])
+        return jnp.concatenate([final[:, :3, 3], q], axis=1).reshape(-1)
+    return final[:, :3, :].reshape(-1)          # [V*12], bit-exact rows
+
+
+def _unpack_poses_host(vec: np.ndarray, V: int, pack: str) -> np.ndarray:
+    out = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))
+    if pack == "quat7":
+        arr = vec.reshape(V, 7)
+        out[:, :3, 3] = arr[:, :3]
+        w, x, y, z = (arr[:, 3], arr[:, 4], arr[:, 5], arr[:, 6])
+        xx, yy, zz = x * x, y * y, z * z
+        xy, xz, yz = x * y, x * z, y * z
+        wx, wy, wz = w * x, w * y, w * z
+        R = np.empty((V, 3, 3), np.float32)
+        R[:, 0, 0] = 1 - 2 * (yy + zz)
+        R[:, 0, 1] = 2 * (xy - wz)
+        R[:, 0, 2] = 2 * (xz + wy)
+        R[:, 1, 0] = 2 * (xy + wz)
+        R[:, 1, 1] = 1 - 2 * (xx + zz)
+        R[:, 1, 2] = 2 * (yz - wx)
+        R[:, 2, 0] = 2 * (xz - wy)
+        R[:, 2, 1] = 2 * (yz + wx)
+        R[:, 2, 2] = 1 - 2 * (xx + yy)
+        out[:, :3, :3] = R
+        return out
+    out[:, :3, :] = vec.reshape(V, 3, 4)
+    return out
+
+
+def _stats_vec(stats: dict) -> jax.Array:
+    return jnp.stack([stats["initial_cost"], stats["final_cost"],
+                      stats["iterations"].astype(jnp.float32),
+                      stats["lambda"]])
+
+
+def _stats_dict(tail: np.ndarray) -> dict:
+    return {"initial_cost": float(tail[0]), "final_cost": float(tail[1]),
+            "iterations": float(tail[2]), "lambda": float(tail[3])}
+
+
+# --------------------------------------------------------------------------
+# Masked delta application (host padding + in-jit scatter)
+# --------------------------------------------------------------------------
+
+def _bucket_k(n: int, lo: int = 8) -> int:
+    return max(lo, 1 << max(0, int(n) - 1).bit_length())
+
+
+def _pad_delta(idx, vals: List[np.ndarray]):
+    """Pad a delta batch to a power-of-two bucket. Padding repeats the
+    FIRST real entry (duplicate scatter writes of IDENTICAL values are
+    deterministic); with zero real entries the mask is all-False and the
+    in-jit ``where`` writes back current values at index 0 (a no-op)."""
+    idx = np.asarray(idx, np.int32)
+    k = len(idx)
+    K = _bucket_k(k)
+    out_idx = np.zeros(K, np.int32)
+    mask = np.zeros(K, bool)
+    out_vals = []
+    for v in vals:
+        v = np.asarray(v)
+        pv = np.zeros((K,) + v.shape[1:], v.dtype)
+        if k:
+            pv[:k] = v
+            pv[k:] = v[0]
+        out_vals.append(pv)
+    if k:
+        out_idx[:k] = idx
+        out_idx[k:] = idx[0]
+        mask[:] = True
+    return out_idx, out_vals, mask
+
+
+def _upd(a: jax.Array, idx: jax.Array, val: jax.Array,
+         m: jax.Array) -> jax.Array:
+    """a[idx] = val where m else a[idx] (padding-safe scatter-set)."""
+    cur = a[idx]
+    mm = m.reshape((-1,) + (1,) * (a.ndim - 1))
+    return a.at[idx].set(jnp.where(mm, val, cur))
+
+
+# --------------------------------------------------------------------------
+# Fused delta-apply + solve + pack steps (one dispatch per optimize)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("config", "kind", "n_loop",
+                                             "incidence", "pack"))
+def _step_raw(poses, ef, et, eT, ec, rm, nv, ne, fixed_id,
+              pidx, pval, pmask,
+              eidx, d_ef, d_et, d_eT, d_ec, d_rm, emask_d, *,
+              config, kind, n_loop, incidence, pack):
+    """Resident step over RAW edge arrays: scatter the deltas, run the
+    classic jitted solver (`_optimize_xla` or `_lm_optimize_jit` — they
+    inline here, so the whole optimize is ONE dispatch), pack the result."""
+    from .pgo import _optimize_xla
+    V, E = poses.shape[0], ef.shape[0]
+    poses = _upd(poses, pidx, pval, pmask)
+    ef = _upd(ef, eidx, d_ef, emask_d)
+    et = _upd(et, eidx, d_et, emask_d)
+    eT = _upd(eT, eidx, d_eT, emask_d)
+    ec = _upd(ec, eidx, d_ec, emask_d)
+    rm = _upd(rm, eidx, d_rm, emask_d)
+    vmask = jnp.arange(V) < nv
+    em = jnp.arange(E) < ne
+    rm_arg = rm.astype(bool) if config.robust != "none" else None
+    if kind == "xla":
+        final, stats = _optimize_xla(poses, vmask, ef, et, eT, ec, em,
+                                     fixed_id, rm_arg, config=config)
+    else:
+        final, stats = _lm_optimize_jit(poses, vmask, ef, et, eT, ec, em,
+                                        fixed_id, rm_arg, config=config,
+                                        n_loop=n_loop, incidence=incidence)
+    packed = jnp.concatenate([_pack_poses(final, pack), _stats_vec(stats)])
+    return final, ef, et, eT, ec, rm, packed
+
+
+@functools.partial(jax.jit, static_argnames=("config", "s_tile", "trips",
+                                             "capF", "capT", "hbm", "pack"))
+def _step_ranges(poses, routedT, routedCov, rem, rrm, fw, tw, qsrc,
+                 nv, fixed_id,
+                 pidx, pval, pmask,
+                 cidx, c_T, c_cov, c_rm, cmask,
+                 lidx, l_T, l_cov, l_rm, l_fw, lmask,
+                 qidx, q_tw, q_qsrc, qmask, *,
+                 config, s_tile, trips, capF, capT, hbm, pack):
+    """Resident step over HOST-ROUTED (sorted-RANGES) lane arrays: chain
+    deltas land at vertex lanes, loop deltas at their per-tile appended
+    lanes (+ fw/tw/qsrc movement-panel index updates), then the classic
+    ranges kernel runs — one dispatch total."""
+    V = poses.shape[0]
+    Vp = s_tile * trips
+    poses = _upd(poses, pidx, pval, pmask)
+    # Chain-edge deltas (lane == from-vertex id, < Vp).
+    routedT = _upd(routedT, cidx, c_T, cmask)
+    routedCov = _upd(routedCov, cidx, c_cov, cmask)
+    rem = _upd(rem, cidx, jnp.ones_like(c_rm), cmask)
+    rrm = _upd(rrm, cidx, c_rm, cmask)
+    # Loop-edge deltas (lane in [0, Lq); rows live at Vp + lane).
+    routedT = _upd(routedT, Vp + lidx, l_T, lmask)
+    routedCov = _upd(routedCov, Vp + lidx, l_cov, lmask)
+    rem = _upd(rem, Vp + lidx, jnp.ones_like(l_rm), lmask)
+    rrm = _upd(rrm, Vp + lidx, l_rm, lmask)
+    fw = _upd(fw, lidx, l_fw, lmask)
+    tw = _upd(tw, qidx, q_tw, qmask)
+    qsrc = _upd(qsrc, qidx, q_qsrc, qmask)
+    vmask = jnp.arange(V) < nv
+    final, stats = _lm_optimize_ranges_jit(
+        poses, vmask, routedT, routedCov, rem, rrm, fixed_id, fw, tw,
+        qsrc, config=config, s_tile=s_tile, trips=trips, capF=capF,
+        capT=capT, hbm=hbm)
+    packed = jnp.concatenate([_pack_poses(final, pack), _stats_vec(stats)])
+    return final, routedT, routedCov, rem, rrm, fw, tw, qsrc, packed
+
+
+# --------------------------------------------------------------------------
+# The mirror
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _Prep:
+    """Host snapshot collected under the graph lock (MT safety: device
+    work runs unlocked on these copies, like the classic path's padded
+    arrays)."""
+    nv: int                       # vertex count at prepare time
+    ne_graph: int                 # graph edge count at prepare time
+    n_pending: int
+    fixed: int
+    rebuild: bool
+    decision: tuple               # (kind, incidence, n_loop, hbm)
+    pack: str
+    # deltas (vertex poses to (re)upload: appended + host-dirty)
+    pose_idx: np.ndarray
+    pose_val: np.ndarray
+    # new edges (graph-appended since last sync + this batch's pending),
+    # in final graph order: [ne_synced..ne_graph) then pending.
+    e_idx: np.ndarray             # destination slots in the padded arrays
+    e_from: np.ndarray
+    e_to: np.ndarray
+    e_T: np.ndarray
+    e_cov: np.ndarray
+    e_rm: np.ndarray              # robust-mask value per new edge
+    # full rebuild payload (None on the delta path)
+    full: Optional[dict] = None
+
+
+class ResidentPGO:
+    """Keeps the optimizer's padded graph arrays resident on device and
+    feeds per-call deltas into one fused dispatch. One instance per
+    Optimizer; NOT thread-safe by itself (the Optimizer[MT] serializes
+    optimize calls — one worker drains the queue)."""
+
+    def __init__(self, pgo_config, shape_bucket: int = 64,
+                 pack: str = "auto"):
+        self.config = pgo_config
+        self.shape_bucket = shape_bucket
+        self.pack_mode = pack
+        self._st: Optional[dict] = None
+        self.last_upload_bytes = 0
+        self.last_download_bytes = 0
+        self.last_rebuild_bytes = 0
+
+    # -- public ------------------------------------------------------------
+
+    def invalidate(self) -> None:
+        self._st = None
+
+    def prepare(self, graph, fixed: int,
+                pending: List[Tuple[int, int, np.ndarray, np.ndarray]],
+                ) -> _Prep:
+        """Collect the host-side delta snapshot (call under the graph
+        lock in MT mode). Consumes ``graph.pose_dirty``."""
+        from .. import optimizer as _opt
+        nv, ne = graph.n_vertices, graph.n_edges
+        k = len(pending)
+        V = _opt._bucket(nv, self.shape_bucket)
+        E = _opt._bucket(ne + k, self.shape_bucket)
+        pack = self.pack_mode
+        if pack == "auto":
+            pack = "quat7" if V >= QUAT_MIN_V else "exact12"
+
+        st = self._st
+        rebuild = (st is None or st["V"] != V or st["E"] != E
+                   or st["epoch"] != graph.mutation_epoch
+                   or st["graph_id"] != id(graph)
+                   or st["pack"] != pack)
+
+        # Delta population (host copies; cheap — a handful of rows).
+        ne_synced = 0 if rebuild else st["ne"]
+        nv_synced = 0 if rebuild else st["nv"]
+        dirty = sorted(graph.pose_dirty & set(range(nv_synced)))
+        graph.pose_dirty.clear()
+        pose_idx = list(range(nv_synced, nv)) + dirty
+        if not rebuild and len(pose_idx) > max(512, V // 2):
+            rebuild = True   # bulk host writes: re-upload beats scatter
+        pose_idx = np.asarray(pose_idx, np.int32)
+        pose_val = graph.optimized_poses[pose_idx].copy() \
+            if len(pose_idx) else np.zeros((0, 4, 4), np.float32)
+
+        n_new_g = ne - ne_synced
+        e_idx = np.arange(ne_synced, ne + k, dtype=np.int32)
+        e_from = np.concatenate([graph.edge_from[ne_synced:ne],
+                                 np.asarray([p[0] for p in pending],
+                                            np.int32)]).astype(np.int32)
+        e_to = np.concatenate([graph.edge_to[ne_synced:ne],
+                               np.asarray([p[1] for p in pending],
+                                          np.int32)]).astype(np.int32)
+        e_T = np.concatenate(
+            [graph.edge_T[ne_synced:ne]]
+            + [np.asarray(p[2], np.float32)[None] for p in pending]) \
+            if (n_new_g + k) else np.zeros((0, 4, 4), np.float32)
+        e_cov = np.concatenate(
+            [graph.edge_cov[ne_synced:ne]]
+            + [np.asarray(p[3], np.float32)[None] for p in pending]) \
+            if (n_new_g + k) else np.zeros((0, 6, 6), np.float32)
+        from ..graph.pose_graph import LOOP_CONSTRAINT
+        e_rm = np.concatenate([
+            (graph.edge_type[ne_synced:ne] == LOOP_CONSTRAINT
+             ).astype(np.float32),
+            np.ones(k, np.float32)])
+
+        # Padded host id arrays (the layout decision + ranges routing
+        # need concrete ids; the graph IS host memory, so this is free
+        # of any d2h — exactly why production passes n_loop explicitly,
+        # BENCH_NOTES "PGO sorted-RANGES layout").
+        ef_h = np.zeros(E, np.int32)
+        et_h = np.zeros(E, np.int32)
+        ef_h[:ne] = graph.edge_from[:ne]
+        et_h[:ne] = graph.edge_to[:ne]
+        ef_h[ne:ne + k] = [p[0] for p in pending]
+        et_h[ne:ne + k] = [p[1] for p in pending]
+        decision = self._decide(V, E, ne + k, ef_h, et_h)
+
+        if not rebuild and st is not None:
+            if decision[0] != st["kind"]:
+                # Hysteresis: keep a working ranges layout when the tile
+                # model flips marginally (a kind switch is a full
+                # re-upload); switch TO ranges eagerly (better steady
+                # state), away from it only on rebuild.
+                if not (st["kind"] == "ranges" and decision[0] == "jit"):
+                    rebuild = True
+            elif decision[0] == "ranges" and not self._ranges_fits(
+                    st, e_from, e_to):
+                rebuild = True
+
+        full = None
+        if rebuild:
+            # The full arrays already carry every edge and pose —
+            # empty the delta sets so execute() doesn't double-apply
+            # (and, on the ranges path, doesn't double-route lanes).
+            full = self._full_arrays(graph, fixed, pending, V, E)
+            pose_idx = np.zeros(0, np.int32)
+            pose_val = np.zeros((0, 4, 4), np.float32)
+            e_idx = np.zeros(0, np.int32)
+            e_from = np.zeros(0, np.int32)
+            e_to = np.zeros(0, np.int32)
+            e_T = np.zeros((0, 4, 4), np.float32)
+            e_cov = np.zeros((0, 6, 6), np.float32)
+            e_rm = np.zeros(0, np.float32)
+        prep = _Prep(nv=nv, ne_graph=ne, n_pending=k, fixed=int(fixed),
+                     rebuild=rebuild, decision=decision, pack=pack,
+                     pose_idx=pose_idx, pose_val=pose_val,
+                     e_idx=e_idx, e_from=e_from, e_to=e_to, e_T=e_T,
+                     e_cov=e_cov, e_rm=e_rm, full=full)
+        prep._V, prep._E = V, E
+        prep._epoch = graph.mutation_epoch
+        prep._graph_id = id(graph)
+        prep._ef_h, prep._et_h = ef_h, et_h
+        return prep
+
+    def execute(self, prep: _Prep):
+        """Device work (no lock needed): apply deltas + solve + fetch the
+        packed writeback. Returns (poses [nv, 4, 4] np, stats dict)."""
+        if prep.rebuild:
+            self._do_rebuild(prep)
+        st = self._st
+        kind = st["kind"]
+        up = 0
+        pidx, (pval,), pmask = _pad_delta(prep.pose_idx, [prep.pose_val])
+        up += pval.nbytes + pidx.nbytes
+        if kind == "ranges":
+            packed = self._execute_ranges(prep, pidx, pval, pmask)
+            up += self._ranges_delta_bytes
+        else:
+            eidx, evals, emask_d = _pad_delta(
+                prep.e_idx, [prep.e_from, prep.e_to, prep.e_T,
+                             prep.e_cov, prep.e_rm])
+            up += sum(v.nbytes for v in evals) + eidx.nbytes
+            # The jit statics follow the PER-CALL decision (the n_loop
+            # 128-bucket and onehot/factored choice drift as the graph
+            # grows, exactly like the classic dispatcher — same arrays,
+            # new executable); the kind itself can only differ from the
+            # decision under the ranges hysteresis, which this branch
+            # never is.
+            _, incidence, n_loop_b, _, _ = prep.decision
+            st["incidence"], st["n_loop"] = incidence, n_loop_b
+            final, ef, et, eT, ec, rm, packed = _step_raw(
+                st["poses"], st["ef"], st["et"], st["eT"], st["ec"],
+                st["rm"], jnp.int32(prep.nv),
+                jnp.int32(prep.ne_graph + prep.n_pending),
+                jnp.int32(prep.fixed),
+                jnp.asarray(pidx), jnp.asarray(pval), jnp.asarray(pmask),
+                jnp.asarray(eidx), *[jnp.asarray(v) for v in evals],
+                jnp.asarray(emask_d),
+                config=self.config, kind=kind, n_loop=n_loop_b,
+                incidence=incidence, pack=prep.pack)
+            st.update(poses=final, ef=ef, et=et, eT=eT, ec=ec, rm=rm)
+        st["nv"] = prep.nv
+        st["ne"] = prep.ne_graph + prep.n_pending
+        self.last_upload_bytes = up if not prep.rebuild else \
+            self.last_rebuild_bytes
+        vec = np.asarray(jax.device_get(packed))
+        self.last_download_bytes = vec.nbytes
+        poses = _unpack_poses_host(vec[:-4], st["V"], prep.pack)
+        return poses[:prep.nv], _stats_dict(vec[-4:])
+
+    def confirm_inserts(self, graph) -> None:
+        """Called after the pending loop edges were inserted into the
+        graph (writeback-then-insert, Optimizer.hpp:135-157): verify the
+        graph landed where the mirror thinks it is; invalidate if not
+        (e.g. an insert raised mid-batch)."""
+        if self._st is not None and (graph.n_edges != self._st["ne"]
+                                     or id(graph) != self._st["graph_id"]
+                                     or graph.mutation_epoch
+                                     != self._st["epoch"]):
+            # Also covers the MT interleave: a keyframe spawned between
+            # prepare (locked) and this insert (locked) shifts the
+            # pending edges' graph indices off the mirror's slots — the
+            # mirror rebuilds on the next optimize (rare, one re-upload).
+            self.invalidate()
+
+    # -- layout decision (mirrors pgo.optimize_pose_graph +
+    #    lm_pallas.lm_optimize_pallas gate-for-gate) -------------------------
+
+    def _decide(self, V, E, ne_total, ef_h, et_h):
+        cfg = self.config
+        n_loop = host_loop_count(ef_h, et_h, V)
+        if n_loop is not None and n_loop > 0.8 * E:
+            n_loop = None
+        if (n_loop is not None and fits_vmem(V, E, None)
+                and os.environ.get("PGSLAM_PGO_FORCE_CHAIN", "") != "1"):
+            n_loop = None
+        plan = layout_plan(V, E, n_loop)
+        if os.environ.get("PGSLAM_PGO_FORCE_FACTORED", "") == "1" \
+                and plan is not None:
+            plan = "factored"
+        eligible = (jax.default_backend() not in ("cpu",)
+                    and plan is not None)
+        if not (cfg.solver == "lm_pallas"
+                or (cfg.solver == "pcg" and eligible)):
+            return ("xla", None, None, False, None)
+        nb = _pad128(max(int(n_loop), 1)) if n_loop is not None else None
+        incidence = plan or "factored"
+        force = os.environ.get("PGSLAM_PGO_FORCE_RANGES", "")
+        if incidence == "factored" and nb is not None and force != "0":
+            fp = factored_plan(V, E, nb)
+            if force == "1" or fp is None or not fp[2]:
+                claimed = _host_claim(ef_h, et_h, V)
+                em = np.zeros(E, bool)
+                em[:ne_total] = True
+                le = np.nonzero(~claimed & em)[0]
+                rp = ranges_plan(V, ef_h[le], et_h[le])
+                hbm = False
+                if rp is None or os.environ.get(
+                        "PGSLAM_PGO_FORCE_RANGES_HBM", "") == "1":
+                    rph = ranges_plan_hbm(V, ef_h[le], et_h[le])
+                    if rph is not None:
+                        rp, hbm = rph, True
+                take = rp is not None and force == "1"
+                if rp is not None and not take:
+                    fori_s, fori_t = (fp[0], fp[1]) if fp else \
+                        (128, _pad128(V) // 128)
+                    fori_tiles = (fori_s * fori_t // 128) \
+                        * (2 * _pad128(max(int(len(le)), 1)) // 128)
+                    take = rp.movement_tiles() < 0.7 * fori_tiles
+                if take:
+                    return ("ranges", None, nb, hbm, rp)
+        return ("jit", incidence, nb, False, None)
+
+    # -- ranges incremental routing ------------------------------------------
+
+    def _ranges_fits(self, st, e_from, e_to) -> bool:
+        """Do the new edges fit the frozen plan's per-tile capacities?
+        (Dry-run of the incremental routing; no state mutation.)"""
+        plan: RangesPlan = st["plan"]
+        fillsF = st["fillsF"].copy()
+        fillsT = st["fillsT"].copy()
+        claimed = st["claimed_pairs"]
+        V = st["V"]
+        for f, t in zip(e_from, e_to):
+            f, t = int(f), int(t)
+            if t == f + 1 and 0 <= f and t < V and not claimed[f]:
+                claimed = claimed  # chain lane: no capacity consumed
+                # NOTE: the dry run must not mutate claimed; a second
+                # (duplicate) chain pair in the same batch is impossible
+                # (duplicate-edge guard), so not marking it is safe.
+                continue
+            tf = min(f // plan.s, plan.trips - 1)
+            tt = min(t // plan.s, plan.trips - 1)
+            fillsF[tf] += 1
+            fillsT[tt] += 1
+            if fillsF[tf] > plan.capF or fillsT[tt] > plan.capT:
+                return False
+        return True
+
+    def _route_new_edges(self, st, prep):
+        """Assign lanes to the new edges under the frozen plan (mutates
+        fills/claims — call once per executed batch). Lane assignment is
+        append-stable vs ``host_route_ranges``: within a from-tile, lanes
+        are in edge-index order, and appended edges have the largest
+        indices."""
+        plan: RangesPlan = st["plan"]
+        V = st["V"]
+        c_idx, cT, cC, cR = [], [], [], []
+        l_idx, lT, lC, lR, lF = [], [], [], [], []
+        q_idx, qT, qS = [], [], []
+        for j in range(len(prep.e_from)):
+            f, t = int(prep.e_from[j]), int(prep.e_to[j])
+            if t == f + 1 and 0 <= f and t < V \
+                    and not st["claimed_pairs"][f]:
+                st["claimed_pairs"][f] = True
+                c_idx.append(f)
+                cT.append(prep.e_T[j])
+                cC.append(prep.e_cov[j])
+                cR.append(prep.e_rm[j])
+                continue
+            tf = min(f // plan.s, plan.trips - 1)
+            tt = min(t // plan.s, plan.trips - 1)
+            lane = tf * plan.capF + st["fillsF"][tf]
+            st["fillsF"][tf] += 1
+            q = tt * plan.capT + st["fillsT"][tt]
+            st["fillsT"][tt] += 1
+            if st["fillsF"][tf] > plan.capF or st["fillsT"][tt] > plan.capT:
+                raise RuntimeError("ranges capacity overflow after dry "
+                                   "run — mirror bookkeeping bug")
+            l_idx.append(lane)
+            lT.append(prep.e_T[j])
+            lC.append(prep.e_cov[j])
+            lR.append(prep.e_rm[j])
+            lF.append(f % plan.s)
+            q_idx.append(q)
+            qT.append(t % plan.s)
+            qS.append(lane)
+        chain = (np.asarray(c_idx, np.int32),
+                 np.asarray(cT, np.float32).reshape(-1, 4, 4),
+                 np.asarray(cC, np.float32).reshape(-1, 6, 6),
+                 np.asarray(cR, np.float32))
+        loop = (np.asarray(l_idx, np.int32),
+                np.asarray(lT, np.float32).reshape(-1, 4, 4),
+                np.asarray(lC, np.float32).reshape(-1, 6, 6),
+                np.asarray(lR, np.float32),
+                np.asarray(lF, np.int32))
+        qup = (np.asarray(q_idx, np.int32), np.asarray(qT, np.int32),
+               np.asarray(qS, np.int32))
+        return chain, loop, qup
+
+    def _execute_ranges(self, prep, pidx, pval, pmask):
+        st = self._st
+        plan: RangesPlan = st["plan"]
+        chain, loop, qup = self._route_new_edges(st, prep)
+        cidx, (cT, cC, cR), cmask = _pad_delta(chain[0], list(chain[1:]))
+        lidx, (lT, lC, lR, lF), lmask = _pad_delta(loop[0], list(loop[1:]))
+        qidx, (qT, qS), qmask = _pad_delta(qup[0], list(qup[1:]))
+        self._ranges_delta_bytes = sum(
+            a.nbytes for a in (cidx, cT, cC, cR, lidx, lT, lC, lR, lF,
+                               qidx, qT, qS))
+        out = _step_ranges(
+            st["poses"], st["routedT"], st["routedCov"], st["rem"],
+            st["rrm"], st["fw"], st["tw"], st["qsrc"],
+            jnp.int32(prep.nv), jnp.int32(prep.fixed),
+            jnp.asarray(pidx), jnp.asarray(pval), jnp.asarray(pmask),
+            jnp.asarray(cidx), jnp.asarray(cT), jnp.asarray(cC),
+            jnp.asarray(cR), jnp.asarray(cmask),
+            jnp.asarray(lidx), jnp.asarray(lT), jnp.asarray(lC),
+            jnp.asarray(lR), jnp.asarray(lF), jnp.asarray(lmask),
+            jnp.asarray(qidx), jnp.asarray(qT), jnp.asarray(qS),
+            jnp.asarray(qmask),
+            config=self.config, s_tile=plan.s, trips=plan.trips,
+            capF=plan.capF, capT=plan.capT, hbm=st["hbm"], pack=prep.pack)
+        (final, routedT, routedCov, rem, rrm, fw, tw, qsrc, packed) = out
+        st.update(poses=final, routedT=routedT, routedCov=routedCov,
+                  rem=rem, rrm=rrm, fw=fw, tw=tw, qsrc=qsrc)
+        return packed
+
+    # -- full (re)build -------------------------------------------------------
+
+    def _full_arrays(self, graph, fixed, pending, V, E) -> dict:
+        """Classic prepare_for_optimization array build (host copies)."""
+        nv, ne = graph.n_vertices, graph.n_edges
+        poses = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))
+        poses[:nv] = graph.optimized_poses[:nv]
+        ef = np.zeros(E, np.int32)
+        et = np.zeros(E, np.int32)
+        eT = np.tile(np.eye(4, dtype=np.float32), (E, 1, 1))
+        ec = np.tile(np.eye(6, dtype=np.float32), (E, 1, 1))
+        ef[:ne] = graph.edge_from[:ne]
+        et[:ne] = graph.edge_to[:ne]
+        eT[:ne] = graph.edge_T[:ne]
+        ec[:ne] = graph.edge_cov[:ne]
+        from ..graph.pose_graph import LOOP_CONSTRAINT
+        rm = np.zeros(E, np.float32)
+        rm[:ne] = (graph.edge_type[:ne] == LOOP_CONSTRAINT)
+        for j, (f, t, T, c) in enumerate(pending):
+            ef[ne + j], et[ne + j] = f, t
+            eT[ne + j], ec[ne + j] = T, c
+            rm[ne + j] = 1.0
+        return {"poses": poses, "ef": ef, "et": et, "eT": eT, "ec": ec,
+                "rm": rm}
+
+    def _do_rebuild(self, prep: _Prep) -> None:
+        kind, incidence, n_loop, hbm, rp = prep.decision
+        fa = prep.full
+        V, E = prep._V, prep._E
+        st = {"V": V, "E": E, "epoch": prep._epoch,
+              "graph_id": prep._graph_id, "pack": prep.pack,
+              "kind": kind, "incidence": incidence, "n_loop": n_loop,
+              "hbm": hbm, "nv": 0, "ne": 0,
+              "poses": jnp.asarray(fa["poses"])}
+        bytes_up = fa["poses"].nbytes
+        ne_total = prep.ne_graph + prep.n_pending
+        if kind == "ranges":
+            em = np.zeros(E, bool)
+            em[:ne_total] = True
+            claimed = _host_claim(prep._ef_h, prep._et_h, V)
+            routedT, routedCov, rem, rrm, fw, tw, qsrc = host_route_ranges(
+                prep._ef_h, prep._et_h, fa["eT"], fa["ec"], em, fa["rm"],
+                V, rp, claimed=claimed)
+            le_f = prep._ef_h[~claimed & em]
+            le_t = prep._et_h[~claimed & em]
+            fillsF = np.bincount(np.minimum(le_f // rp.s, rp.trips - 1),
+                                 minlength=rp.trips).astype(np.int64)
+            fillsT = np.bincount(np.minimum(le_t // rp.s, rp.trips - 1),
+                                 minlength=rp.trips).astype(np.int64)
+            claimed_pairs = np.zeros(V, bool)
+            claimed_pairs[prep._ef_h[claimed]] = True
+            st.update(plan=rp,
+                      fillsF=fillsF, fillsT=fillsT,
+                      claimed_pairs=claimed_pairs,
+                      routedT=jnp.asarray(routedT),
+                      routedCov=jnp.asarray(routedCov),
+                      rem=jnp.asarray(rem), rrm=jnp.asarray(rrm),
+                      fw=jnp.asarray(fw), tw=jnp.asarray(tw),
+                      qsrc=jnp.asarray(qsrc))
+            bytes_up += (routedT.nbytes + routedCov.nbytes + rem.nbytes
+                         + rrm.nbytes + fw.nbytes + tw.nbytes
+                         + qsrc.nbytes)
+        else:
+            st.update(ef=jnp.asarray(fa["ef"]), et=jnp.asarray(fa["et"]),
+                      eT=jnp.asarray(fa["eT"]), ec=jnp.asarray(fa["ec"]),
+                      rm=jnp.asarray(fa["rm"]))
+            bytes_up += (fa["ef"].nbytes + fa["et"].nbytes
+                         + fa["eT"].nbytes + fa["ec"].nbytes
+                         + fa["rm"].nbytes)
+        self.last_rebuild_bytes = bytes_up
+        self._st = st

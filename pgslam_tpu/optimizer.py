@@ -60,6 +60,20 @@ def _bucket(n: int, bucket: int) -> int:
 class OptimizerConfig:
     pgo: PGOConfig = PGOConfig()
     shape_bucket: int = 64
+    # Device-resident graph mirror (optim/resident.py, VERDICT r4 item 1):
+    # keep the padded pose/edge arrays on device across optimize calls and
+    # upload only deltas (appended vertices/edges + this batch's pending
+    # constraints); the writeback downloads a packed pose vector. "auto"
+    # enables it everywhere (the solve paths are the same jitted
+    # functions, so results are bit-identical to a rebuild); "off"
+    # restores the full re-upload path. PGSLAM_PGO_RESIDENT=0 is the env
+    # kill switch.
+    resident: str = "auto"
+    # Packed-writeback format: "exact12" ([V, 12] top-3x4 rows,
+    # bit-identical round-trip), "quat7" ([V, 7] quat+translation, ~9x
+    # fewer d2h bytes, ~1e-7 rotation round-off), or "auto" (exact12
+    # below resident.QUAT_MIN_V padded vertices, quat7 at/above it).
+    writeback_pack: str = "auto"
 
 
 class Optimizer:
@@ -76,6 +90,11 @@ class Optimizer:
         # drain (OptimizerMT.hpp:59-62 drains ALL pending constraints per
         # optimization batch, vs the single-item ST path Optimizer.hpp:27-28).
         self.queue_mode = False
+        self._mirror = None          # lazy ResidentPGO (see optim/resident)
+        self._nv_snapshot = None     # vertex count at prepare time — the
+        # writeback must not touch vertices appended mid-solve (the MT LM
+        # runs unlocked, OptimizerMT.hpp:71-82; the padded result rows for
+        # them are identity and would clobber real keyframe poses)
 
     # -- entry (Optimizer.hpp:25-30): single-item batch per call -----------
 
@@ -98,16 +117,37 @@ class Optimizer:
         if self.data_buffer:
             self.process_data()
 
+    def _resident_enabled(self) -> bool:
+        import os
+        if os.environ.get("PGSLAM_PGO_RESIDENT", "") == "0":
+            return False
+        return self.config.resident != "off"
+
     def process_data(self) -> None:
         log.info("[Optimizer] Building factor graph with %d new loop "
                  "closing factors", len(self.data_buffer))
-        poses, vmask, ef, et, eT, ec, emask, fixed, rmask, n_loop = \
-            self.prepare_for_optimization()
-        log.info("[Optimizer] Optimizing using the factor graph")
-        new_poses, stats = optimize_pose_graph(
-            poses, vmask, ef, et, eT, ec, emask, fixed,
-            robust_emask=rmask, config=self.config.pgo, n_loop=n_loop)
-        self.last_stats = {k: float(np.asarray(v)) for k, v in stats.items()}
+        if self._resident_enabled():
+            # Device-resident path: delta prepare (locked in MT via the
+            # prepare_for_optimization_resident override), one fused
+            # delta-apply + solve dispatch, ONE packed d2h for poses +
+            # stats (the classic path's per-stat float() fetches each
+            # paid a device round-trip).
+            prep = self.prepare_for_optimization_resident()
+            log.info("[Optimizer] Optimizing using the factor graph")
+            try:
+                new_poses, self.last_stats = self._mirror.execute(prep)
+            except Exception:
+                self._mirror.invalidate()
+                raise
+        else:
+            poses, vmask, ef, et, eT, ec, emask, fixed, rmask, n_loop = \
+                self.prepare_for_optimization()
+            log.info("[Optimizer] Optimizing using the factor graph")
+            new_poses, stats = optimize_pose_graph(
+                poses, vmask, ef, et, eT, ec, emask, fixed,
+                robust_emask=rmask, config=self.config.pgo, n_loop=n_loop)
+            self.last_stats = {k: float(np.asarray(v))
+                               for k, v in stats.items()}
         log.info("[Optimizer] Updating graph poses and adding loop closing "
                  "edges (cost %.3e -> %.3e in %d iters)",
                  self.last_stats["initial_cost"],
@@ -120,9 +160,24 @@ class Optimizer:
 
     # -- factor assembly (Optimizer.hpp:80-132) ----------------------------
 
+    def prepare_for_optimization_resident(self):
+        """Delta snapshot for the device-resident mirror (graph reads
+        only — the MT override takes the graph lock, exactly like
+        prepare_for_optimization)."""
+        if self._mirror is None:
+            from .optim.resident import ResidentPGO
+            self._mirror = ResidentPGO(self.config.pgo,
+                                       shape_bucket=self.config.shape_bucket,
+                                       pack=self.config.writeback_pack)
+        g = self.mm.get_graph()
+        self._nv_snapshot = g.n_vertices
+        return self._mirror.prepare(g, self.mm.get_fixed_vertex(),
+                                    self.data_buffer)
+
     def prepare_for_optimization(self):
         g = self.mm.get_graph()
         nv, ne = g.n_vertices, g.n_edges
+        self._nv_snapshot = nv
         n_pending = len(self.data_buffer)
         V = _bucket(nv, self.config.shape_bucket)
         E = _bucket(ne + n_pending, self.config.shape_bucket)
@@ -176,9 +231,22 @@ class Optimizer:
     def update_after_optimization(self, new_poses: np.ndarray) -> None:
         g = self.mm.get_graph()
         t_opt = self.mm.now()   # one stamp for the whole batch (:69)
-        for v in range(g.n_vertices):
-            self.mm.update_keyframe_transform(v, new_poses[v], t_opt)
+        # Write back ONLY the prepare-time vertex snapshot: vertices
+        # appended mid-solve (MT: the LM runs unlocked) have identity
+        # padding rows in new_poses — writing those would clobber real
+        # keyframe poses with identity. The reference's GTSAM values map
+        # has the same scope (it only contains prepare-time vertices,
+        # Optimizer.hpp:115-121,140-143).
+        n = min(len(new_poses), g.n_vertices)
+        if self._nv_snapshot is not None:
+            n = min(n, self._nv_snapshot)
+        # mark_dirty=False: these values ARE the device result (or its
+        # packed round-trip) — the mirror needs no re-upload for them.
+        self.mm.update_keyframe_transforms_bulk(new_poses[:n], t_opt,
+                                                mark_dirty=False)
         for (f, t, T, c) in self.data_buffer:
             self.mm.add_loop_closing_constraint(f, t, T, c)
         self.data_buffer = []
+        if self._mirror is not None:
+            self._mirror.confirm_inserts(g)
         self.mm.notify_keyframe_update()

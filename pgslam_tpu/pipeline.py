@@ -221,6 +221,13 @@ class OptimizerMT(Optimizer, _Worker):
         with self.mm.get_graph_lock():
             return Optimizer.prepare_for_optimization(self)
 
+    def prepare_for_optimization_resident(self):
+        # Same locking discipline as prepare_for_optimization: the delta
+        # snapshot reads the graph; the fused solve that follows runs
+        # unlocked (OptimizerMT.hpp:71-82).
+        with self.mm.get_graph_lock():
+            return Optimizer.prepare_for_optimization_resident(self)
+
     def update_after_optimization(self, new_poses) -> None:
         with self.mm.get_graph_lock():
             Optimizer.update_after_optimization(self, new_poses)

@@ -61,6 +61,11 @@ def velodyne_config(sync_lag: int = 0) -> SlamConfig:
     # Verification runs once per keyframe, not per scan — iteration
     # budget is cheap there.
     verify_icp = dataclasses.replace(icp, max_iterations=24)
+    # deferred_verification rides the spawn-time verification's ~30 ms
+    # packed d2h behind the NEXT scan's window (same staleness class as
+    # sync_lag; it is only enabled alongside it) — keyframe-event
+    # commits were the dominant term of the r4 live loop (BENCH_NOTES
+    # config-4 lag-2 profile: events 60-140 ms vs 4-23 ms steady scans).
     return SlamConfig(
         localizer=LocalizerConfig(icp=icp, keyframe_cloud_capacity=65536,
                                   overlap_threshold=0.8,
@@ -68,7 +73,8 @@ def velodyne_config(sync_lag: int = 0) -> SlamConfig:
         loop_closer=LoopCloserConfig(icp=verify_icp,
                                      topo_dist_threshold=30.0,
                                      geom_dist_threshold=10.0,
-                                     overlap_threshold=0.6),
+                                     overlap_threshold=0.6,
+                                     deferred_verification=sync_lag > 0),
         sensor_cloud_capacity=65536)
 
 

@@ -271,6 +271,15 @@ class MapManager:
         for localizer in self._localizers:
             localizer.update_from_graph()
 
+    def drain_loop_closer(self) -> None:
+        """Consume any deferred loop-closure verifications (the
+        LoopCloser's ``deferred_verification`` mode). Called by the
+        localizer at the start of the next scan's window so the
+        verification's d2h sync overlaps fresh device work."""
+        lc = self._loop_closer
+        if lc is not None and getattr(lc, "_deferred", None):
+            lc.drain_deferred()
+
     # -- export ------------------------------------------------------------
 
     def write_graphviz(self, path: str) -> None:

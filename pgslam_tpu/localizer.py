@@ -512,6 +512,9 @@ class Localizer:
                 *args, probe_map, jnp.asarray(T_world_refkf))
         else:
             cloud, reading, packed = _prepare_and_register(*args)
+        # Deferred loop-closure verifications from the previous scan's
+        # spawn drain here, behind this scan's in-flight dispatch.
+        self.mm.drain_loop_closer()
         self.input_cloud = cloud
         self._last_reading = reading
         # The scan's single sync: ONE packed buffer carries the result
@@ -633,6 +636,11 @@ class Localizer:
                 np.float32, copy=True)))
         self.last_input_T_world_robot = np.asarray(input_T_world_robot,
                                                    np.float32)
+        # Deferred loop-closure verifications dispatched by an earlier
+        # commit's keyframe spawn drain HERE — after this scan's
+        # registration dispatch went out, so their packed-result d2h
+        # overlaps it instead of serializing inside the spawn event.
+        self.mm.drain_loop_closer()
         while len(self._inflight) > self.config.sync_lag:
             self._commit(self._inflight.popleft())
 
@@ -698,11 +706,14 @@ class Localizer:
         self.apply_composition(build=True)
 
     def flush(self) -> None:
-        """Commit every in-flight scan (sync_lag > 0). Call before reading
+        """Commit every in-flight scan (sync_lag > 0) and drain any
+        deferred loop-closure verifications. Call before reading
         localizer/graph state that must reflect ALL submitted scans — the
         facade's trajectory/error queries and end-of-stream handling do."""
         while self._inflight:
             self._commit(self._inflight.popleft())
+            self.mm.drain_loop_closer()
+        self.mm.drain_loop_closer()
 
     def prepare_scan(self, input_T_world_robot, input_T_robot_sensor,
                      input_cloud: Cloud, key=None, prepared: Cloud = None,

@@ -121,6 +121,19 @@ class LoopCloserConfig:
     residual_error_threshold: float = 5000.0
     candidate_local_map_size: int = 3
     icp: ICPConfig = ICPConfig()
+    # Deferred verification (r5, VERDICT r4 item 4): a keyframe spawn
+    # dispatches the candidate-map build + verification ICP immediately
+    # but consumes the packed result at the NEXT scan's drain — the
+    # ~25-30 ms payload-independent d2h sync then overlaps the next
+    # scan's transfer+compute instead of serializing inside the spawn
+    # event (the dominant term of config-4 keyframe commits). Same
+    # snapshot discipline as the MT variant, which runs verification
+    # unlocked on snapshot data (LoopCloserMT.hpp:71-75); acceptance and
+    # the optimizer run land one scan later. Grid-matcher configs fall
+    # back to synchronous verification (their index builds inside
+    # set_map). Off by default: the ST golden fixtures pin the
+    # synchronous cascade.
+    deferred_verification: bool = False
 
 
 class LoopCloser:
@@ -144,6 +157,9 @@ class LoopCloser:
         self.queue_mode = False
         self.batch_pad_to = 0
         self._pending = []
+        # Deferred-verification records (config.deferred_verification):
+        # dispatched-but-unconsumed verifications, oldest first.
+        self._deferred = []
 
     # -- entry (LoopCloser.hpp:77-110) -------------------------------------
 
@@ -151,7 +167,20 @@ class LoopCloser:
         if self.queue_mode:
             self._pending.append(int(v))
             return
+        if self.config.deferred_verification \
+                and self.config.icp.matcher != "grid":
+            rec = self._dispatch_verification(int(v))
+            if rec is not None:
+                self._deferred.append(rec)
+            return
         self.process_vertex(v)
+
+    def drain_deferred(self) -> None:
+        """Consume every dispatched-but-unconsumed verification (deferred
+        mode). Called at the next scan's window by the localizer (via
+        ``MapManager.drain_loop_closer``) and by ``flush``."""
+        while self._deferred:
+            self._commit_verification(self._deferred.pop(0))
 
     # -- batched verification (multi-agent path) ---------------------------
 
@@ -267,76 +296,130 @@ class LoopCloser:
     def process_vertex(self, input_vertex: int) -> None:
         self.input_vertex = input_vertex
 
-        if not self.process_local_map_candidate():
+        cfg = self.config.icp
+        if cfg.matcher == "grid":
+            if not self.process_local_map_candidate():
+                return
+            # Grid indices build per-reference inside set_map; keep the
+            # engine's split path for that matcher.
+            input_T_refkf_kf = self._verification_init()
+            self.icp_engine.set_map(self.candidate_local_map.cloud())
+            result = jax.device_get(self.icp_engine(
+                self.input_cloud, jnp.asarray(input_T_refkf_kf)))
+            self.last_result = result
+            self.T_refkf_kf = np.asarray(result.T)
+            self._accept_or_reject(input_vertex,
+                                   self.candidate_local_map, result,
+                                   residual=None)
             return
+        rec = self._dispatch_verification(input_vertex)
+        if rec is not None:
+            self._commit_verification(rec)
 
-        # Initial guess: input keyframe pose in the candidate reference
-        # keyframe's frame (LoopCloser.hpp:95).
-        # Host numpy 4x4 rigid inverse + compose: the eager-device form
-        # (jnp se3.inverse + matmul + d2h) costs ~250 ms per call on the
-        # relay chip (op-by-op dispatch, localizer.update_refkf_robot_pose
-        # had the same pathology, chip-measured in probe_config4_stages).
+    def _verification_init(self) -> np.ndarray:
+        """Initial guess: input keyframe pose in the candidate reference
+        keyframe's frame (LoopCloser.hpp:95).
+        Host numpy 4x4 rigid inverse + compose: the eager-device form
+        (jnp se3.inverse + matmul + d2h) costs ~250 ms per call on the
+        relay chip (op-by-op dispatch, localizer.update_refkf_robot_pose
+        had the same pathology, chip-measured in probe_config4_stages)."""
         ref_kf = self.candidate_local_map.reference_keyframe()
         Tr = np.asarray(ref_kf.optimized_T_world_kf, np.float64)
         Tinv = np.eye(4, dtype=np.float64)
         Tinv[:3, :3] = Tr[:3, :3].T
         Tinv[:3, 3] = -Tr[:3, :3].T @ Tr[:3, 3]
-        input_T_refkf_kf = (
-            Tinv @ np.asarray(self.input_T_world_kf, np.float64)
-        ).astype(np.float32)
+        return (Tinv @ np.asarray(self.input_T_world_kf, np.float64)
+                ).astype(np.float32)
 
-        # Verification ICP against the candidate map (LoopCloser.hpp:98).
+    def _dispatch_verification(self, input_vertex: int):
+        """Candidate search + ONE verification dispatch; NO device sync.
+        Returns the in-flight record (consumed by
+        :meth:`_commit_verification`) or None when no candidate exists.
+        The synchronous path is dispatch + immediate commit — identical
+        numerics; the deferred path commits at the next scan's drain."""
+        self.input_vertex = input_vertex
+        if not self.process_local_map_candidate():
+            return None
+        input_T_refkf_kf = self._verification_init()
+
+        # Verification ICP against the candidate map (LoopCloser.hpp:98):
+        # ONE dispatch, and result + fresh residual ride ONE packed d2h
+        # (the split set_map/engine/residual sequence paid three
+        # dispatches and two ~25-30 ms d2h syncs per spawned keyframe).
+        # Fused-kernel routing mirrors the fleet path
+        # (PGSLAM_FUSED_BATCHED escape hatch included).
         cfg = self.config.icp
-        residual = None
-        if cfg.matcher == "grid":
-            # Grid indices build per-reference inside set_map; keep the
-            # engine's split path for that matcher.
-            self.icp_engine.set_map(self.candidate_local_map.cloud())
-            result = jax.device_get(self.icp_engine(
-                self.input_cloud, jnp.asarray(input_T_refkf_kf)))
-        else:
-            # ONE dispatch + ONE packed d2h for reference prep +
-            # verification registration + the fresh residual recompute
-            # (the split set_map/engine/residual sequence paid three
-            # dispatches and two ~25-30 ms d2h syncs per spawned
-            # keyframe). Fused-kernel routing mirrors the fleet path
-            # (PGSLAM_FUSED_BATCHED escape hatch included).
-            from .localizer import _unpack_result_vec
-            from .ops import filters as F
-            from .ops.icp_pallas import fused_eligible
-            ref_cloud = self.candidate_local_map.cloud()
-            ref_chain = cfg.reference_filters
-            if cfg.error == "point_to_plane" and not any(
-                    isinstance(f, F.SurfaceNormal) for f in ref_chain):
-                if "normals" not in ref_cloud.descriptors:
-                    ref_chain = ref_chain + (F.SurfaceNormal(),)
-            env = os.environ.get("PGSLAM_FUSED_BATCHED", "")
-            mode = {"1": "on", "0": "off"}.get(env, "auto")
-            use_fused = fused_eligible(cfg) and (
-                mode == "on"
-                or (mode == "auto"
-                    and jax.default_backend() not in ("cpu",)))
-            packed, prepared_ref = _verify_one(
-                self.input_cloud, ref_cloud,
-                jnp.asarray(input_T_refkf_kf), cfg,
-                cfg.reading_filters, ref_chain, use_fused)
-            result, residual = _unpack_result_vec(jax.device_get(packed))
-            self.icp_engine._reference = prepared_ref
-            self.icp_engine._index = None
+        from .ops import filters as F
+        from .ops.icp_pallas import fused_eligible
+        ref_cloud = self.candidate_local_map.cloud()
+        ref_chain = cfg.reference_filters
+        if cfg.error == "point_to_plane" and not any(
+                isinstance(f, F.SurfaceNormal) for f in ref_chain):
+            if "normals" not in ref_cloud.descriptors:
+                ref_chain = ref_chain + (F.SurfaceNormal(),)
+        env = os.environ.get("PGSLAM_FUSED_BATCHED", "")
+        mode = {"1": "on", "0": "off"}.get(env, "auto")
+        use_fused = fused_eligible(cfg) and (
+            mode == "on"
+            or (mode == "auto"
+                and jax.default_backend() not in ("cpu",)))
+        packed, prepared_ref = _verify_one(
+            self.input_cloud, ref_cloud,
+            jnp.asarray(input_T_refkf_kf), cfg,
+            cfg.reading_filters, ref_chain, use_fused)
+        try:
+            # start the d2h now: by commit time (the next scan's drain in
+            # deferred mode) the bytes are already host-side
+            packed.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+        rec = {"vertex": input_vertex, "lm": self.candidate_local_map,
+               "cloud": self.input_cloud,
+               "T_world_kf": self.input_T_world_kf,
+               "packed": packed, "ref": prepared_ref}
+        # hand the map object to the record; the next dispatch gets a
+        # fresh one (deferred mode can hold several records in flight)
+        self.candidate_local_map = LocalMap(
+            self.config.candidate_local_map_size)
+        return rec
+
+    def _commit_verification(self, rec) -> None:
+        """Fetch one dispatched verification and run acceptance
+        (LoopCloser.hpp:308-340) + the optimizer feed."""
+        from .localizer import _unpack_result_vec
+        self.input_vertex = rec["vertex"]
+        self.input_cloud = rec["cloud"]
+        self.input_T_world_kf = rec["T_world_kf"]
+        self.candidate_local_map = rec["lm"]
+        result, residual = _unpack_result_vec(
+            jax.device_get(rec["packed"]))
+        self.icp_engine._reference = rec["ref"]
+        self.icp_engine._index = None
         self.last_result = result
         self.T_refkf_kf = np.asarray(result.T)
+        self._accept_or_reject(rec["vertex"], rec["lm"], result, residual)
 
+    def _accept_or_reject(self, input_vertex: int, lm, result,
+                          residual) -> None:
         from .utils import counters
-        if self.check_icp_result(result, residual=residual):
+        ref_v = lm.reference_vertex()
+        g = self.mm.get_graph()
+        if g.has_edge(ref_v, input_vertex) \
+                or g.has_edge(input_vertex, ref_v):
+            # Deferred-commit race: another closure inserted this pair
+            # between dispatch and drain (the synchronous path can never
+            # hit this — candidate search re-runs after every insert and
+            # the new edge makes the pair topologically close).
+            counters["loopcloser/rejected_duplicate"] += 1
+            log.info("[LoopCloser] Loop closure %d -> %d dropped: "
+                     "edge already exists", ref_v, input_vertex)
+        elif self.check_icp_result(result, residual=residual):
             counters["loopcloser/accepted"] += 1
             log.info("[LoopCloser] Loop closure accepted: %d -> %d",
-                     self.candidate_local_map.reference_vertex(),
-                     input_vertex)
-            self.optimizer.add_new_data(
-                self.candidate_local_map.reference_vertex(),
-                input_vertex,
-                self.T_refkf_kf,
-                np.asarray(result.cov))
+                     ref_v, input_vertex)
+            self.optimizer.add_new_data(ref_v, input_vertex,
+                                        self.T_refkf_kf,
+                                        np.asarray(result.cov))
         else:
             counters["loopcloser/rejected"] += 1
             log.info("[LoopCloser] Loop closure rejected for vertex %d",

@@ -64,6 +64,14 @@ def _pad128(n: int) -> int:
     return max(128, -(-n // 128) * 128)
 
 
+def _on_accelerator() -> bool:
+    """Whether the fused-kernel tiers are live (non-CPU backend). A
+    function (not a cached constant) so tests can monkeypatch it to
+    exercise accelerator-only dispatch decisions; the interpret-mode
+    fallback inside the pallas_call reads the real backend either way."""
+    return jax.default_backend() not in ("cpu",)
+
+
 def _host_np(a) -> bool:
     """True when reading ``a`` into numpy costs no accelerator sync
     (numpy input or CPU-backed concrete jax array) — mirrors
@@ -1094,7 +1102,7 @@ def _lm_kernel(fixed_ref, *refs, n_edges, chain, factored, fstacked,
 
 def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
                        emask, fixed_id, robust_emask=None, *, config,
-                       n_loop=None, incidence="onehot"):
+                       n_loop=None, incidence="onehot", rescue=False):
     """Single-dispatch LM optimize. Same contract as the LM loop inside
     ``pgo.optimize_pose_graph`` incl. the robust IRLS kernels; returns
     (poses, stats). Jitted WHOLE (routing + incidence build + kernel +
@@ -1112,7 +1120,17 @@ def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
     keying on the raw count would recompile the whole Mosaic kernel
     (seconds-to-minutes over the relay) per keyframe instead of once
     per 128 new chain claims. A fixed (V, E, n_loop bucket) never
-    recompiles as edge ids change between calls."""
+    recompiles as edge ids change between calls.
+
+    ``rescue=True``: the caller has NO fitting resident plan
+    (``layout_plan`` returned None — e.g. right after an edge-bucket
+    growth, where padding slots inflate the emask-blind loop count past
+    every overlay plan) and is offering this call as a last chance
+    before the XLA fallback: take the host-routed sorted-RANGES layout
+    (emask-AWARE — padding never consumes lanes) whenever a plan fits,
+    and return None instead of falling through to the traced layouts
+    (whose lane population includes the padding and genuinely does not
+    fit)."""
     if n_loop is not None:
         # max(.,1): a pure-chain graph (0 loop edges) still gets one
         # 128-lane block so the loop-lane arrays are never zero-sized.
@@ -1123,7 +1141,8 @@ def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
     # tier keeps small/dense graphs (its amortized weight loads beat
     # ranges there and the Pt permute is O(L^2)).
     force = os.environ.get("PGSLAM_PGO_FORCE_RANGES", "")
-    if incidence == "factored" and n_loop is not None and force != "0":
+    if (incidence == "factored" and n_loop is not None and force != "0") \
+            or (rescue and n_loop is not None and force != "0"):
         V, E = poses.shape[0], edge_from.shape[0]
         # Cheap pure-arithmetic gate FIRST: when the stacked overlay
         # tier keeps the graph (small/dense — the common case), skip the
@@ -1156,7 +1175,7 @@ def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
                 rph = ranges_plan_hbm(V, ef[le], et[le])
                 if rph is not None:
                     rp, hbm = rph, True
-            take = rp is not None and force == "1"
+            take = rp is not None and (force == "1" or rescue)
             if rp is not None and not take:
                 fori_s, fori_t = (fp[0], fp[1]) if fp else \
                     (128, _pad128(V) // 128)
@@ -1179,6 +1198,11 @@ def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
                     fixed_id, fw, tw, qsrc, config=config, s_tile=rp.s,
                     trips=rp.trips, capF=rp.capF, capT=rp.capT,
                     hbm=hbm)
+    if rescue:
+        # No fitting ranges plan: report failure — the traced layouts'
+        # lane population includes the bucket padding and genuinely does
+        # not fit (that is why the caller is here).
+        return None
     return _lm_optimize_jit(poses, vmask, edge_from, edge_to, edge_T,
                             edge_cov, emask, fixed_id, robust_emask,
                             config=config, n_loop=n_loop,

@@ -187,6 +187,7 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
     V = poses.shape[0]
     E = edge_from.shape[0]
 
+    from .lm_pallas import _on_accelerator
     from .lm_pallas import fits_vmem as lm_fits
     from .lm_pallas import host_loop_count, layout_plan, lm_optimize_pallas
     if n_loop == "auto":
@@ -213,8 +214,7 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
             and plan is not None:
         plan = "factored"
 
-    lm_kernel_eligible = (jax.default_backend() not in ("cpu",)
-                          and plan is not None)
+    lm_kernel_eligible = _on_accelerator() and plan is not None
     if config.solver == "lm_pallas" or (config.solver == "pcg"
                                         and lm_kernel_eligible):
         # Single-dispatch whole-LM kernel (see optim/lm_pallas.py):
@@ -226,6 +226,23 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
             # A forced solver with no fitting plan still gets the
             # smallest-footprint layout rather than a guaranteed OOM.
             incidence=plan or "factored")
+    if (plan is None and n_loop is not None and config.solver == "pcg"
+            and _on_accelerator()):
+        # RESCUE tier (r5): no resident overlay plan fits — typically
+        # right after an edge-bucket growth, where padding slots inflate
+        # the emask-BLIND loop-lane count (host_loop_count must bound the
+        # traced routing's compacted population, padding included) past
+        # every traced layout. The host-routed sorted-RANGES layout is
+        # emask-AWARE — padding never consumes lanes — so it usually
+        # still fits (resident panels, or HBM-streamed above ~24k); the
+        # alternative is the 10-50x slower XLA fallback loop, which a
+        # freshly-doubled bucket otherwise pays for thousands of calls.
+        out = lm_optimize_pallas(
+            poses, vmask, edge_from, edge_to, edge_T, edge_cov, emask,
+            fixed_id, robust_emask, config=config, n_loop=n_loop,
+            incidence="factored", rescue=True)
+        if out is not None:
+            return out
     return _optimize_xla(poses, vmask, edge_from, edge_to, edge_T,
                          edge_cov, emask, fixed_id, robust_emask,
                          config=config)

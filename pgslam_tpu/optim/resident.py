@@ -51,10 +51,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import se3
-from .lm_pallas import (RangesPlan, _host_claim, _lm_optimize_jit,
-                        _lm_optimize_ranges_jit, _pad128, factored_plan,
-                        fits_vmem, host_loop_count, host_route_ranges,
-                        layout_plan, ranges_plan, ranges_plan_hbm)
+from .lm_pallas import (RangesPlan, _host_claim, _lm_optimize_jit,  # noqa: E501
+                        _lm_optimize_ranges_jit, _on_accelerator,
+                        _pad128, factored_plan, fits_vmem,
+                        host_loop_count, host_route_ranges, layout_plan,
+                        ranges_plan, ranges_plan_hbm)
 
 # Graphs at or above this padded-V bucket use the [V, 7] quat+translation
 # writeback under pack="auto" (0.45 MB vs 3.1 MB at 16k); below it the
@@ -454,15 +455,17 @@ class ResidentPGO:
         if os.environ.get("PGSLAM_PGO_FORCE_FACTORED", "") == "1" \
                 and plan is not None:
             plan = "factored"
-        eligible = (jax.default_backend() not in ("cpu",)
-                    and plan is not None)
+        eligible = _on_accelerator() and plan is not None
+        rescue = (plan is None and cfg.solver == "pcg"
+                  and _on_accelerator() and n_loop is not None)
         if not (cfg.solver == "lm_pallas"
-                or (cfg.solver == "pcg" and eligible)):
+                or (cfg.solver == "pcg" and eligible) or rescue):
             return ("xla", None, None, False, None)
         nb = _pad128(max(int(n_loop), 1)) if n_loop is not None else None
         incidence = plan or "factored"
         force = os.environ.get("PGSLAM_PGO_FORCE_RANGES", "")
-        if incidence == "factored" and nb is not None and force != "0":
+        if (incidence == "factored" or rescue) and nb is not None \
+                and force != "0":
             fp = factored_plan(V, E, nb)
             if force == "1" or fp is None or not fp[2]:
                 claimed = _host_claim(ef_h, et_h, V)
@@ -476,7 +479,7 @@ class ResidentPGO:
                     rph = ranges_plan_hbm(V, ef_h[le], et_h[le])
                     if rph is not None:
                         rp, hbm = rph, True
-                take = rp is not None and force == "1"
+                take = rp is not None and (force == "1" or rescue)
                 if rp is not None and not take:
                     fori_s, fori_t = (fp[0], fp[1]) if fp else \
                         (128, _pad128(V) // 128)
@@ -485,6 +488,9 @@ class ResidentPGO:
                     take = rp.movement_tiles() < 0.7 * fori_tiles
                 if take:
                     return ("ranges", None, nb, hbm, rp)
+        if rescue:
+            # no fitting ranges plan either — the XLA loop it is
+            return ("xla", None, None, False, None)
         return ("jit", incidence, nb, False, None)
 
     # -- ranges incremental routing ------------------------------------------

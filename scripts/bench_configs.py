@@ -101,7 +101,12 @@ def config2_corridor():
     # ~30 ms sync floor every scan.
     cfg2 = small_config()
     cfg2 = dataclasses.replace(
-        cfg2, localizer=dataclasses.replace(cfg2.localizer, sync_lag=2))
+        cfg2, localizer=dataclasses.replace(cfg2.localizer, sync_lag=2),
+        # r5: spawn-time loop-closure verification commits at the next
+        # scan's drain (no closures fire on this corridor, but the
+        # config mirrors the deployable deferred profile)
+        loop_closer=dataclasses.replace(cfg2.loop_closer,
+                                        deferred_verification=True))
     slam = PoseGraphSlam(cfg2)
     T_rs = np.eye(4, dtype=np.float32)
     # warm up compiles (incl. composition growth) on the first scans

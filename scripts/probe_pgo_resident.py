@@ -143,10 +143,22 @@ def main():
         w = build_world(4096, 256)
         run_case("s4k", 4096, 256, resident=True, world=w)
     if "s16k" in want:
+        # stays INSIDE the 16384 V-bucket through the timed window
+        # (the timed phase appends ~36 keyframes)
+        w = build_world(16384 - 64, 1024)
+        run_case("s16k", 16384 - 64, 1024, resident=False, world=w)
+        w = build_world(16384 - 64, 1024)
+        run_case("s16k", 16384 - 64, 1024, resident=True, world=w)
+    if "s16kx" in want:
+        # CROSSES the V/E bucket immediately (V=16384 + appended
+        # keyframes -> bucket 32768): the padded-bucket case where the
+        # emask-blind loop count used to knock production onto the XLA
+        # fallback (~587 ms/call measured r5) until the ranges rescue
+        # tier landed. Also the de-facto 32k-bucket capacity datapoint.
         w = build_world(16384, 1024)
-        run_case("s16k", 16384, 1024, resident=False, world=w)
+        run_case("s16kx", 16384, 1024, resident=False, world=w)
         w = build_world(16384, 1024)
-        run_case("s16k", 16384, 1024, resident=True, world=w)
+        run_case("s16kx", 16384, 1024, resident=True, world=w)
 
 
 if __name__ == "__main__":

@@ -302,6 +302,13 @@ def config5_multi_agent():
         clouds = [scans[i + b % 3] for b in range(B)]
         slam.add_data_batch(i, "world", Ts, T_rs, clouds)
 
+    # Bring-up trace pre-warm (r5, VERDICT r4 item 6): the first
+    # closure drain's verification + optimize traces (~1.65 s/shape of
+    # HOST tracing the compile cache cannot cover) move out of the
+    # serving window into bring-up, where deployment pays them once.
+    t_pw = time.perf_counter()
+    slam.prewarm()
+    prewarm_s = time.perf_counter() - t_pw
     step(0)
     step(1)   # warm
     # 60-step horizon: the first loop-closure drain + optimize pay
@@ -323,6 +330,7 @@ def config5_multi_agent():
          warm_ms_per_batch_step=round(float(np.mean(warm)) * 1e3, 1),
          warm_agent_scans_per_sec=round(B / float(np.mean(warm)), 1),
          max_agent_err_m=round(float(np.max(errs)), 3),
+         prewarm_s=round(prewarm_s, 1),
          keyframes=int(slam.get_graph().n_vertices))
 
 

@@ -38,6 +38,32 @@ def test_two_agents_share_graph():
     assert slam.trajectory().shape == (g.n_vertices, 4, 4)
 
 
+def test_prewarm_then_run_matches_cold():
+    """Bring-up trace pre-warm (VERDICT r4 item 6) must be a pure
+    warm-up: identical trajectories to a cold fleet, and no leakage of
+    its throwaway graphs into the real one."""
+    rng = np.random.default_rng(7)
+    scans, odom, truth = corridor_sequence(
+        rng, n_scans=10, scan_points=512, step=0.4, noise=0.003,
+        odom_noise=0.005, length=30.0)
+    T_rs = np.eye(4, dtype=np.float32)
+
+    def run(prewarm):
+        slam = MultiAgentSlam(small_config(), n_agents=2)
+        if prewarm:
+            slam.prewarm()
+        for i in range(9):
+            Ts = np.stack([odom[i], odom[i + 1]])
+            slam.add_data_batch(i, "world", Ts, T_rs,
+                                [scans[i], scans[i + 1]])
+        return slam.poses(), slam.get_graph().n_vertices
+
+    cold_poses, cold_nv = run(False)
+    warm_poses, warm_nv = run(True)
+    np.testing.assert_array_equal(cold_poses, warm_poses)
+    assert cold_nv == warm_nv
+
+
 def test_agents_with_first_scans_only():
     rng = np.random.default_rng(1)
     scans, odom, _ = corridor_sequence(rng, n_scans=3, scan_points=512,

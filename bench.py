@@ -560,46 +560,104 @@ def bench_icp_64k():
         log(f"batched x{B} device-resident (same scans, h2d excluded): "
             f"{kdt*1e3:.2f} ms/batch = {B/kdt:.1f} regs/sec")
 
-        # Micro-batched STREAM line (VERDICT r3 item 6): a single
-        # robot's scans dispatched B=16 at a time against persistent
-        # maps — the lag-B analog of the facade's sync_lag path; commit
-        # lag is 16 scans. Chip sweep (scripts/probe_microbatch.py):
-        # read=1024 x B=16 is the knee (560-576 regs/s; B=32/64 regress
-        # — the vmapped prep pipeline has a ~25 ms per-dispatch floor
-        # that only amortizes at headline-scale B). Gated on elapsed
-        # child time < 240 s (i.e. the headline phases finished with
-        # time to spare under the supervisor's cap) so it can never
-        # crowd them out; the reported err is the LAST repeat's result
-        # only (the rate takes the best of the two repeats).
+        # STREAMING-MODE line (VERDICT r4 item 8): a single robot's
+        # scans through the PRODUCT micro-batch machinery
+        # (LocalizerConfig.micro_batch -> _prepare_register_stream, the
+        # exact jit the localizer dispatches): B=16 buffered 1024-pt
+        # int16 packets register against ONE persistent reference map in
+        # one dispatch, and the per-scan packed result vectors are
+        # fetched like the commit path does. Commit lag is 16 scans —
+        # the documented sync_lag-style semantics contract
+        # (MIGRATION.md "Streaming mode"). Gated on elapsed child time
+        # < 240 s so it can never crowd out the headline phases.
         try:
             if time.monotonic() - _CHILD_T0 < 240.0:
+                from pgslam_tpu.localizer import (_prepare_register_stream,
+                                                  _unpack_result_vec)
                 B16 = 16
-                refs16 = jax.tree_util.tree_map(lambda x: x[:B16], refs)
-                fref16 = jax.tree_util.tree_map(lambda x: x[:B16], fref)
+                ref1 = jax.tree_util.tree_map(lambda x: x[0], refs)
                 Ts16 = Ts[:B16]
-                pk16 = np.ascontiguousarray(packets[0][:B16])
-                mres = fused_step(jax.device_put(pk16), refs16, fref16,
-                                  Ts16)
-                jax.block_until_ready(mres.T)
+                seeds16 = np.arange(B16, dtype=np.int32)
+                T_rs16 = jnp.asarray(np.stack(
+                    [np.eye(4, dtype=np.float32)] * B16))
+
+                def stream_cloud(pkt16):
+                    return Cloud(points=jnp.asarray(pkt16),
+                                 mask=jnp.ones(pkt16.shape[:2], bool),
+                                 descriptors={})
+
+                # Single-robot stream: 32 fresh scans of agent 0's map
+                # (the product path broadcasts ONE persistent reference;
+                # feeding other agents' scans would register against the
+                # wrong map). Rendered pre-window like every other
+                # packetization.
+                s_off = []
+                s_pkts = []
+                for _ in range(2):
+                    raw16 = np.stack([
+                        render_scan(world, agent_pose(0), brng, 65536,
+                                    max_range=30.0, noise=0.01)
+                        for _ in range(B16)])
+                    tw = (brng.normal(size=(B16, 6))
+                          * [0.15, 0.15, 0.03, 0.005, 0.005, 0.02]
+                          ).astype(np.float32)
+                    offs16 = np.asarray(jax.vmap(se3.exp)(jnp.asarray(tw)))
+                    inv16 = np.linalg.inv(offs16)
+                    rr16 = (np.einsum("bij,bnj->bni", inv16[:, :3, :3],
+                                      raw16)
+                            + inv16[:, None, :3, 3]).astype(np.float32)
+                    s_pkts.append(np.ascontiguousarray(np.clip(
+                        np.round(rr16[:, ::64] * QSCALE), -32767, 32767
+                    ).astype(np.int16)))
+                    s_off.append(offs16)
+                stream_batches = s_pkts
+                warm = _prepare_register_stream(
+                    (), 1024, cfg_b, stream_cloud(stream_batches[0]),
+                    T_rs16, seeds16, ref1, Ts16)
+                jax.block_until_ready(warm[1][0])
+                def start_async(out):
+                    for v in out[1]:
+                        try:
+                            v.copy_to_host_async()
+                        except (AttributeError, RuntimeError):
+                            pass
+
                 mrates = []
                 for _ in range(2):
+                    prev = None
                     t0 = time.perf_counter()
-                    for _ in range(8):
-                        mres = fused_step(jax.device_put(pk16), refs16,
-                                          fref16, Ts16)
-                    jax.block_until_ready(mres.T)
-                    mrates.append(8 * B16
+                    for sb in stream_batches:
+                        out = _prepare_register_stream(
+                            (), 1024, cfg_b, stream_cloud(sb),
+                            T_rs16, seeds16, ref1, Ts16)
+                        start_async(out)
+                        if prev is not None:
+                            # commit the previous batch while this one
+                            # is in flight (the localizer's drain)
+                            for v in prev[1]:
+                                _unpack_result_vec(jax.device_get(v))
+                        prev = out
+                    for v in prev[1]:
+                        _unpack_result_vec(jax.device_get(v))
+                    mrates.append(len(stream_batches) * B16
                                   / (time.perf_counter() - t0))
+                # accuracy: last run's final batch vs its offsets
+                errs = []
+                for j, v in enumerate(prev[1]):
+                    r, _ = _unpack_result_vec(jax.device_get(v))
+                    errs.append(r.T)
                 men = np.asarray(pose_errs(
-                    mres.T, jnp.asarray(offsets[:B16])))
-                log(f"micro-batched stream (B=16 scans in flight, h2d + "
-                    f"dequant + prep + register): "
+                    jnp.asarray(np.stack(errs)),
+                    jnp.asarray(s_off[len(stream_batches) - 1])))
+                log(f"STREAMING mode (product micro_batch=16 path; h2d + "
+                    f"dequant + fused register vs one persistent map, "
+                    f"{len(stream_batches) * B16} scans/loop): "
                     f"{max(mrates):.1f} regs/sec, err max "
                     f"{men.max():.3f} m")
             else:
-                log("micro-batched stream skipped (child budget)")
+                log("streaming-mode line skipped (child budget)")
         except Exception as e:
-            log(f"micro-batched stream failed (non-fatal): {e}")
+            log(f"streaming-mode line failed (non-fatal): {e}")
     except Exception as e:
         log(f"batched bench failed: {e}")
     return regs_per_sec, batched_rate

@@ -191,6 +191,35 @@ def _prepare_input_batched(chain, capacity: int, clouds: Cloud,
     return prepped, readings, slices
 
 
+@functools.partial(jax.jit, static_argnames=("chain", "capacity", "cfg"))
+def _prepare_register_stream(chain, capacity: int, cfg, raw: Cloud,
+                             T_robot_sensors, seeds, reference: Cloud,
+                             T0s):
+    """Micro-batched single-robot scan path
+    (``LocalizerConfig.micro_batch``): B buffered scans' input pipelines
+    + reading chains + registrations against ONE persistent reference
+    map in ONE device dispatch. The relay's per-dispatch floor
+    (~1.5-2.5 ms) and its payload-independent d2h sync (~25-30 ms)
+    amortize B-fold — which is what takes a single-robot stream past the
+    dispatch-bound ~400 regs/s single-dispatch ceiling (BENCH_NOTES
+    "Known costs"; the micro-batched bench line measured 1,536 regs/s at
+    B=16 on this machinery's protocol). Returns per-scan
+    ``(cloud, reading)`` slices and per-scan packed result vectors, all
+    cut INSIDE the jit (eager row slices would pay the dispatch floor
+    each)."""
+    from .parallel.batched import batched_register
+    prepped, readings, slices = _prepare_input_batched(
+        chain, capacity, raw, T_robot_sensors, seeds,
+        reading_chain=cfg.reading_filters)
+    B = T0s.shape[0]
+    refs = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), reference)
+    results = batched_register(readings, refs, T0s, cfg)
+    packed = jax.vmap(_pack_result_vec)(results)
+    pvecs = [packed[j] for j in range(B)]
+    return slices, pvecs
+
+
 def _prepare_and_register_impl(chain, capacity: int, cfg, raw: Cloud,
                                T_robot_sensor, key, reference: Cloud, T0,
                                index):
@@ -351,6 +380,20 @@ class LocalizerConfig:
     # see _process_data_deferred/_commit), and the golden test
     # ``test_deferred_lag0_bitwise_matches_classic`` pins exactly that.
     force_deferred: bool = False
+    # STREAMING mode (r5, VERDICT r4 item 8): buffer scans and register
+    # micro_batch of them against the current local map in ONE fused
+    # dispatch (see _prepare_register_stream). Commit lag is up to
+    # micro_batch + sync_lag scans — the same semantics contract as
+    # sync_lag, stretched: all scans in a batch register against the
+    # same map snapshot with odometry-extrapolated initial guesses, and
+    # the keyframe/composition decisions run at commit (decisions after
+    # a spawn within the batch are muted, exactly like sync_lag's
+    # stale-composition discipline). The speculative neighbor-probe is
+    # skipped in this mode (composition swaps to neighbor maps don't
+    # fire; closest-vertex re-referencing and keyframe spawns still do)
+    # — a forward-moving robot rarely swaps, and a revisit-heavy user
+    # should run the per-scan path. 0/1 disables.
+    micro_batch: int = 0
 
 
 @dataclasses.dataclass
@@ -412,6 +455,10 @@ class Localizer:
         import collections
         self._inflight: "collections.deque[_Inflight]" = collections.deque()
         self._committed_odom = np.eye(4, dtype=np.float32)
+        # Streaming-mode scan buffer (config.micro_batch > 1):
+        # (odom_pose, T_robot_sensor, cloud, count) awaiting the fused
+        # batch dispatch.
+        self._microbuf: list = []
         # The current scan's prepared reading (set by process_data /
         # prepare_scan) — reused by the inline overlap probe instead of
         # re-running the reading filters.
@@ -469,6 +516,10 @@ class Localizer:
             self._committed_odom = np.asarray(input_T_world_robot,
                                               np.float32)
             return
+        if self.config.micro_batch > 1:
+            return self._process_data_stream(
+                np.asarray(input_T_world_robot, np.float32),
+                np.asarray(input_T_robot_sensor, np.float32), input_cloud)
         if self.config.sync_lag > 0 or self.config.force_deferred:
             return self._process_data_deferred(
                 np.asarray(input_T_world_robot, np.float32),
@@ -705,11 +756,92 @@ class Localizer:
                                     None if ov is None else float(ov)))
         self.apply_composition(build=True)
 
+    # -- streaming micro-batch path (config.micro_batch > 1) ---------------
+
+    def _process_data_stream(self, input_T_world_robot: np.ndarray,
+                             input_T_robot_sensor: np.ndarray,
+                             input_cloud: Cloud) -> None:
+        """Buffer the scan; dispatch when ``micro_batch`` scans are
+        queued (ONE fused dispatch for the whole batch — see
+        ``_prepare_register_stream``), then feed the deferred commit
+        machinery. Commit lag: up to micro_batch + sync_lag scans."""
+        log.info("[Localizer] Buffering cloud #%d (stream)", self.count)
+        from .utils import counters
+        counters["localizer/scans"] += 1
+        self._microbuf.append((
+            np.asarray(input_T_world_robot, np.float32),
+            np.asarray(input_T_robot_sensor, np.float32),
+            input_cloud, self.count))
+        self.count += 1
+        self.last_input_T_world_robot = np.asarray(input_T_world_robot,
+                                                   np.float32)
+        if len(self._microbuf) >= self.config.micro_batch:
+            self._flush_microbatch()
+
+    def _flush_microbatch(self) -> None:
+        from .cloud import stack_clouds
+        buf, self._microbuf = self._microbuf, []
+        if not buf:
+            return
+        n = len(buf)
+        B = self.config.micro_batch
+        buf_p = buf + [buf[-1]] * (B - n)   # pad partial batch (flush)
+
+        # Odometry-extrapolated initial guesses from the last COMMITTED
+        # pose (every scan in the batch predicts against the same
+        # reference keyframe snapshot — the accepted staleness).
+        T_world_refkf = np.asarray(
+            self.local_map.reference_keyframe().optimized_T_world_kf,
+            np.float64)
+        R = T_world_refkf[:3, :3]
+        Tinv = np.eye(4, dtype=np.float64)
+        Tinv[:3, :3] = R.T
+        Tinv[:3, 3] = -R.T @ T_world_refkf[:3, 3]
+        base = (np.asarray(self.T_world_robot, np.float64)
+                @ np.linalg.inv(np.asarray(self._committed_odom,
+                                           np.float64)))
+        T0s = np.stack([
+            _orthonormalize((Tinv @ base
+                             @ np.asarray(odomT, np.float64)
+                             ).astype(np.float32))
+            for odomT, _, _, _ in buf_p])
+        raw = stack_clouds([c for _, _, c, _ in buf_p])
+        T_rs = np.stack([t for _, t, _, _ in buf_p])
+        seeds = np.asarray([cnt for _, _, _, cnt in buf_p], np.int32)
+
+        slices, pvecs = _prepare_register_stream(
+            self.config.input_filters,
+            self.config.keyframe_cloud_capacity,
+            self.icp_engine.config, raw, jnp.asarray(T_rs), seeds,
+            self.icp_engine.reference, jnp.asarray(T0s))
+        comp_items = tuple(self.local_map.get_composition().as_list())
+        refkf_v = self.local_map.reference_vertex()
+        refkf_pose = np.array(
+            self.local_map.reference_keyframe().optimized_T_world_kf,
+            np.float32, copy=True)
+        for j in range(n):                   # real scans only, in order
+            cloud_j, reading_j = slices[j]
+            try:
+                pvecs[j].copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+            self._inflight.append(_Inflight(
+                packed=pvecs[j], cloud=cloud_j, reading=reading_j,
+                refkf_vertex=refkf_v, probe_comp=None,
+                odom_pose=buf[j][0], comp_items=comp_items,
+                refkf_pose_at_dispatch=refkf_pose))
+        self.mm.drain_loop_closer()
+        while len(self._inflight) > self.config.sync_lag:
+            self._commit(self._inflight.popleft())
+
     def flush(self) -> None:
-        """Commit every in-flight scan (sync_lag > 0) and drain any
-        deferred loop-closure verifications. Call before reading
-        localizer/graph state that must reflect ALL submitted scans — the
-        facade's trajectory/error queries and end-of-stream handling do."""
+        """Commit every in-flight scan (sync_lag / micro_batch modes) and
+        drain any deferred loop-closure verifications. Call before
+        reading localizer/graph state that must reflect ALL submitted
+        scans — the facade's trajectory/error queries and end-of-stream
+        handling do."""
+        if self._microbuf:
+            self._flush_microbatch()
         while self._inflight:
             self._commit(self._inflight.popleft())
             self.mm.drain_loop_closer()

@@ -237,10 +237,20 @@ def optimize_pose_graph(poses: jax.Array,        # [V, 4, 4] initial values
         # still fits (resident panels, or HBM-streamed above ~24k); the
         # alternative is the 10-50x slower XLA fallback loop, which a
         # freshly-doubled bucket otherwise pays for thousands of calls.
-        out = lm_optimize_pallas(
-            poses, vmask, edge_from, edge_to, edge_T, edge_cov, emask,
-            fixed_id, robust_emask, config=config, n_loop=n_loop,
-            incidence="factored", rescue=True)
+        try:
+            out = lm_optimize_pallas(
+                poses, vmask, edge_from, edge_to, edge_T, edge_cov, emask,
+                fixed_id, robust_emask, config=config, n_loop=n_loop,
+                incidence="factored", rescue=True)
+        except Exception as e:  # fail-soft: a rescue must never be worse
+            # than the fallback it rescues from (chip r5: the HBM-
+            # streamed ranges kernel can OOM scoped VMEM at the 32k
+            # bucket — the estimate is a model, the compiler the truth)
+            import logging
+            logging.getLogger("pgslam_tpu.pgo").warning(
+                "[PGO] ranges rescue failed (%s: %s) — falling back to "
+                "the XLA loop", type(e).__name__, e)
+            out = None
         if out is not None:
             return out
     return _optimize_xla(poses, vmask, edge_from, edge_to, edge_T,

@@ -126,6 +126,7 @@ class Optimizer:
     def process_data(self) -> None:
         log.info("[Optimizer] Building factor graph with %d new loop "
                  "closing factors", len(self.data_buffer))
+        resident_failed = False
         if self._resident_enabled():
             # Device-resident path: delta prepare (locked in MT via the
             # prepare_for_optimization_resident override), one fused
@@ -136,10 +137,19 @@ class Optimizer:
             log.info("[Optimizer] Optimizing using the factor graph")
             try:
                 new_poses, self.last_stats = self._mirror.execute(prep)
-            except Exception:
+            except Exception as e:
+                # Fail-soft (chip r5: a fused-tier kernel can OOM scoped
+                # VMEM at bucket-growth shapes the estimates mispredict):
+                # invalidate the mirror and run this batch through the
+                # classic path — a slower optimize beats a crashed SLAM
+                # loop. The dirty-pose snapshot the prepare consumed is
+                # re-covered by the full rebuild either path does next.
+                log.warning("[Optimizer] resident optimize failed "
+                            "(%s: %s) — falling back to the classic "
+                            "path for this batch", type(e).__name__, e)
                 self._mirror.invalidate()
-                raise
-        else:
+                resident_failed = True
+        if not self._resident_enabled() or resident_failed:
             poses, vmask, ef, et, eT, ec, emask, fixed, rmask, n_loop = \
                 self.prepare_for_optimization()
             log.info("[Optimizer] Optimizing using the factor graph")

@@ -125,7 +125,7 @@ def _replay(seq, config, sync_lag: int = 0):
             swaps += 1
         prev_comp = comp
     slam.flush()
-    if sync_lag:
+    if sync_lag or config.localizer.micro_batch > 1:
         per_scan[-1] = slam.localizer.T_world_robot.copy()
     g = slam.get_graph()
     stats = {

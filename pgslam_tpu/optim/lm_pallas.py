@@ -58,6 +58,13 @@ _DEFAULT = jax.lax.Precision.DEFAULT
 # helper, so do not raise this without re-probing (scripts/probe_pgo2k.py).
 VMEM_LIMIT_BYTES = int(os.environ.get("PGSLAM_PGO_VMEM_LIMIT",
                                       94 * 1024 * 1024))
+# The HBM-streamed ranges tier runs close to the physical VMEM (v5e:
+# 128M): chip-verified r5 that a 120M scoped request compiles and runs
+# (the 32k-bucket kernel actually needs 106.57M — the default 94M limit
+# OOMed it). Kept separate from VMEM_LIMIT_BYTES so the resident-layout
+# plans (chip-calibrated against 94M) don't re-tune.
+VMEM_LIMIT_HBM_BYTES = int(os.environ.get("PGSLAM_PGO_VMEM_LIMIT_HBM",
+                                          120 * 1024 * 1024))
 
 
 def _pad128(n: int) -> int:
@@ -261,13 +268,20 @@ class RangesPlan:
 def vmem_estimate_ranges_hbm(Vp: int, Lq: int, Tq: int, s: int,
                              capF: int, capT: int) -> int:
     """Resident VMEM for the HBM-STREAMED ranges style: the W/Pt panels
-    stay in HBM and only double-buffered tiles live in VMEM."""
+    stay in HBM and only double-buffered tiles live in VMEM.
+
+    The ``Tq*Lq`` term: chip-calibrated r5 — the compiler's actual
+    scoped demand at the 32k bucket was 106.57M vs the ~74M this
+    estimate previously returned, and the ~33M gap matches one full Pt
+    panel (Mosaic materializes a VMEM copy around the DMA source at
+    this shape despite the ANY memory-space annotation)."""
     bufs = 2 * (s * capF + s * capT + capT * Lq) * 2
+    pt_copy = Tq * Lq * 2
     scratch = 96 * (Vp + 2 * Lq + Tq) * 4
     W = Vp + Lq
     edge_rows = (36 * 3 + 16 * 4 + 60) * W * 4
     vert_rows = (36 + 16 * 3 + 8 * 8) * Vp * 4
-    return bufs + scratch + edge_rows + vert_rows
+    return bufs + pt_copy + scratch + edge_rows + vert_rows
 
 
 def ranges_plan_hbm(n_vertices: int, loop_from, loop_to,
@@ -280,7 +294,7 @@ def ranges_plan_hbm(n_vertices: int, loop_from, loop_to,
     sparse ~32k poses, where the resident panels alone bust VMEM.
     Returns the minimum-movement-tile plan that fits, or None."""
     if budget_bytes is None:
-        budget_bytes = VMEM_LIMIT_BYTES - 8 * 1024 * 1024
+        budget_bytes = VMEM_LIMIT_HBM_BYTES - 8 * 1024 * 1024
     Vp0 = _pad128(n_vertices)
     lf = np.asarray(loop_from, np.int64)
     lt = np.asarray(loop_to, np.int64)
@@ -1475,9 +1489,11 @@ def _lm_optimize_ranges_jit(poses, vmask, routedT, routedCov, rem, rrm,
         panel_space = pl.ANY
         vmem_req = vmem_estimate_ranges_hbm(Vp, Lq, Tq, s_tile,
                                             capF, capT)
+        vmem_cap = VMEM_LIMIT_HBM_BYTES   # chip-verified 120M grant (r5)
     else:
         panel_space = pltpu.VMEM
         vmem_req = vmem_estimate_ranges(Vp, Lq, Tq, s_tile)
+        vmem_cap = VMEM_LIMIT_BYTES
     PT_out, stats = pl.pallas_call(
         kern,
         scratch_shapes=scratch,
@@ -1489,7 +1505,7 @@ def _lm_optimize_ranges_jit(poses, vmask, routedT, routedCov, rem, rrm,
         out_shape=[jax.ShapeDtypeStruct((16, Vp), jnp.float32),
                    jax.ShapeDtypeStruct((4,), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(VMEM_LIMIT_BYTES, max(
+            vmem_limit_bytes=min(vmem_cap, max(
                 32 * 1024 * 1024, vmem_req + 24 * 1024 * 1024))),
         interpret=jax.default_backend() == "cpu",
     )(jnp.asarray(fixed_id, jnp.int32)[None], WfT, WtT, Pt, PT0, vm,

@@ -1,11 +1,12 @@
 """Chip probe: the 32k-bucket HBM-streamed ranges tier (VERDICT r4
-item 3). r5 chip finding: at the 32768 bucket the kernel's actual scoped
-VMEM (106.57M) exceeds both the estimate (~74M) and the 94M limit the
-wrapper requests — this probe A/Bs a raised request to learn whether the
-chip can grant it (v5e VMEM is 128M) or the tier must decline at this
-shape.
+item 3). r5 chip history: the default 94M scoped-VMEM request OOMed
+(actual demand 106.57M — the estimate missed a full Pt panel copy); the
+raised-request A/B measured 123.3 ms at the 32768 bucket. The library
+now requests up to VMEM_LIMIT_HBM_BYTES (120M, chip-verified grant) for
+the hbm tier and its estimate carries the Pt term — this probe runs the
+clean production path.
 
-Usage: python scripts/probe_hbm32k.py [limit_mb]
+Usage: python scripts/probe_hbm32k.py [limit_mb_override]
 """
 import os
 import sys
@@ -15,8 +16,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
-limit_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 120
-os.environ["PGSLAM_PGO_VMEM_LIMIT"] = str(limit_mb * 1024 * 1024)
+if len(sys.argv) > 1:
+    os.environ["PGSLAM_PGO_VMEM_LIMIT_HBM"] = str(
+        int(sys.argv[1]) * 1024 * 1024)
 
 import numpy as np
 import jax
@@ -24,16 +26,10 @@ import jax
 from pgslam_tpu.optim import lm_pallas
 from pgslam_tpu.optim.pgo import PGOConfig, optimize_pose_graph
 
-# Make the wrapper REQUEST the full raised limit (the estimate
-# under-predicts at this shape; the request formula caps at
-# estimate+24M otherwise).
-_orig = lm_pallas.vmem_estimate_ranges_hbm
-lm_pallas.vmem_estimate_ranges_hbm = \
-    lambda *a, **k: _orig(*a, **k) + 34 * 1024 * 1024
-
 
 def main():
-    print(f"devices={jax.devices()} limit={limit_mb}M", flush=True)
+    print(f"devices={jax.devices()} "
+          f"hbm_limit={lm_pallas.VMEM_LIMIT_HBM_BYTES >> 20}M", flush=True)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from probe_pgo_factored import sparse
     args, gt = sparse(16420, 1036)

@@ -178,6 +178,48 @@ def test_mt_interleave_invalidates():
     assert opt._mirror._st is None  # invalidated — rebuild next call
 
 
+def test_resident_failure_falls_back_to_classic(monkeypatch):
+    """A fused-tier failure inside the resident execute (r5 chip case:
+    scoped-VMEM OOM at a bucket-growth shape) must invalidate the mirror
+    and run the batch through the classic path — never crash the SLAM
+    loop — and the NEXT optimize rebuilds a fresh mirror."""
+    from pgslam_tpu.optim import resident
+
+    rng = np.random.default_rng(5)
+    mm = MapManager()
+    opt = Optimizer(mm, OptimizerConfig(resident="auto"))
+    poses = _chain_world(mm, 20, rng)
+
+    calls = {"n": 0}
+    orig = resident.ResidentPGO.execute
+
+    def flaky(self, prep):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("synthetic scoped-vmem OOM")
+        return orig(self, prep)
+
+    monkeypatch.setattr(resident.ResidentPGO, "execute", flaky)
+    opt.add_new_data(2, 15, _closure(poses, 2, 15),
+                     np.eye(6, dtype=np.float32) * 0.01)   # classic fallback
+    assert opt.last_stats is not None
+    assert opt._mirror._st is None            # invalidated
+    opt.add_new_data(1, 18, _closure(poses, 1, 18),
+                     np.eye(6, dtype=np.float32) * 0.01)   # mirror rebuilds
+    assert opt._mirror._st is not None
+    # same history through pure classic agrees bitwise
+    mm2 = MapManager()
+    opt2 = Optimizer(mm2, OptimizerConfig(resident="off"))
+    poses2 = _chain_world(mm2, 20, np.random.default_rng(5))
+    opt2.add_new_data(2, 15, _closure(poses2, 2, 15),
+                      np.eye(6, dtype=np.float32) * 0.01)
+    opt2.add_new_data(1, 18, _closure(poses2, 1, 18),
+                      np.eye(6, dtype=np.float32) * 0.01)
+    g, g2 = mm.get_graph(), mm2.get_graph()
+    np.testing.assert_array_equal(g.optimized_poses[:g.n_vertices],
+                                  g2.optimized_poses[:g2.n_vertices])
+
+
 def test_quat7_pack_roundtrip():
     from pgslam_tpu import se3
     from pgslam_tpu.optim.resident import (_pack_poses,

@@ -26,6 +26,17 @@ _CHILD_T0 = time.monotonic()
 
 BASELINE_REGS_PER_SEC = 5.0
 
+# Smoke mode (PGSLAM_BENCH_SMOKE=1): tiny shapes, CPU-feasible — runs
+# every phase's CODE PATH (incl. the batched/lean/stream protocols) so
+# logic bugs surface in CI instead of burning a chip session (an r5
+# reshape typo cost one). Numbers produced in smoke mode are meaningless.
+SMOKE = os.environ.get("PGSLAM_BENCH_SMOKE", "") == "1"
+NPTS = 4096 if SMOKE else 65536        # points per rendered scan
+BATCH = 16 if SMOKE else 128           # fleet batch
+NBAT = 2 if SMOKE else 8               # distinct timed blocks
+RSTRIDE = NPTS // 2048                 # full-prep packet stride
+LSTRIDE = NPTS // 1024                 # lean packet stride
+
 # Set when the batched bench had to reroute off the fused kernel onto
 # the vmapped XLA loop (compile/execute failure); surfaces in the JSON
 # so a broken kernel reads as a flagged fallback, not an unexplained
@@ -144,13 +155,13 @@ def bench_icp_64k():
                            height=5.0)
     pose = np.eye(4, dtype=np.float32)
     pose[:3, 3] = [20.0, 0.0, 1.8]
-    pts = render_scan(world, pose, rng, 65536, max_range=30.0, noise=0.01)
-    reading_pts = render_scan(world, pose, rng, 65536, max_range=30.0,
+    pts = render_scan(world, pose, rng, NPTS, max_range=30.0, noise=0.01)
+    reading_pts = render_scan(world, pose, rng, NPTS, max_range=30.0,
                               noise=0.01)
 
     t0 = time.perf_counter()
     engine = ICPEngine(cfg)
-    engine.set_map(make_cloud(pts, capacity=65536))
+    engine.set_map(make_cloud(pts, capacity=NPTS))
     jax.block_until_ready(engine.reference.points)
     log(f"set_map (voxel+normals over 64k): {time.perf_counter()-t0:.2f}s "
         f"(includes compile); working reference = "
@@ -160,7 +171,7 @@ def bench_icp_64k():
                                  jnp.float32))
     reading = make_cloud(
         np.asarray(se3.apply(se3.inverse(offset), jnp.asarray(reading_pts))),
-        capacity=65536)
+        capacity=NPTS)
     T0 = se3.identity()
 
     # Warmup / compile.
@@ -181,7 +192,7 @@ def bench_icp_64k():
     log(f"recovered-transform error norm: {np.linalg.norm(err):.2e}")
 
     # Timed runs (pipelined async dispatch, one final sync).
-    n_reps = 50
+    n_reps = 5 if SMOKE else 50
     t0 = time.perf_counter()
     for _ in range(n_reps):
         res = engine(reading, T0)
@@ -236,7 +247,7 @@ def bench_icp_64k():
             # the CPU-probe matmul-count argument did not survive
             # Mosaic; see BENCH_NOTES "matcher-epilogue elimination".
             max_iterations=5, trans_eps=1e-4, rot_eps=1e-4)
-        B = 128
+        B = BATCH
         brng = np.random.default_rng(42)
 
         prep_chain = (F.VoxelGrid(voxel_size=0.4, hash_size=1 << 15),
@@ -297,7 +308,7 @@ def bench_icp_64k():
         from pgslam_tpu.ops.icp_pallas import prepare_fused_reference
         eng_b = ICPEngine(cfg_b)
         dummy_ref = stack_clouds([eng_b.prepare_reference(
-            make_cloud(pts, capacity=65536))] * B)
+            make_cloud(pts, capacity=NPTS))] * B)
         dummy_fref = prepare_fused_reference(dummy_ref)
         dummy_i16 = np.zeros((B, 2048, 3), np.int16)
         Ts = jnp.tile(T0, (B, 1, 1))
@@ -333,23 +344,23 @@ def bench_icp_64k():
 
         t0 = time.perf_counter()
         map_raw = np.stack([
-            render_scan(world, agent_pose(b), brng, 65536,
+            render_scan(world, agent_pose(b), brng, NPTS,
                         max_range=30.0, noise=0.01) for b in range(B)])
-        if map_raw.shape[1] != 65536:
+        if map_raw.shape[1] != NPTS:
             raise RuntimeError(f"render returned {map_raw.shape[1]} rows; "
-                               f"the fused-step shapes assume 65536")
+                               f"the fused-step shapes assume {NPTS}")
         # r4 protocol (VERDICT r3 weak #2): the timed loop streams
         # n_bat DISTINCT 128-scan blocks — every scan in the window is a
         # fresh independent render with its own offset; nothing repeats.
         # The per-agent reference maps stay persistent across blocks
         # (ICPSequence.setMap semantics: maps are rebuilt per keyframe in
         # production, not per scan).
-        n_bat = 8
+        n_bat = NBAT
         QS = QSCALE
 
         def render_block(bi):
             read_raw = np.stack([
-                render_scan(world, agent_pose(b), brng, 65536,
+                render_scan(world, agent_pose(b), brng, NPTS,
                             max_range=30.0, noise=0.01) for b in range(B)])
             twists = (brng.normal(size=(B, 6))
                       * [0.15, 0.15, 0.03, 0.005, 0.005, 0.02]
@@ -368,7 +379,7 @@ def bench_icp_64k():
             f"{time.perf_counter()-t0:.1f} s")
         t0 = time.perf_counter()
         refs = stack_clouds([eng_b.prepare_reference(
-            make_cloud(map_raw[b], capacity=65536)) for b in range(B)])
+            make_cloud(map_raw[b], capacity=NPTS)) for b in range(B)])
         fref = prepare_fused_reference(refs)
         jax.block_until_ready(refs.points)
         jax.block_until_ready(fref.refT)
@@ -388,7 +399,7 @@ def bench_icp_64k():
         # it is the sensor driver's job, and this box's shared host core
         # swings >2x minute-to-minute.
         def make_host_batch(rr):
-            q = np.clip(np.round(rr[:, ::32] * QSCALE),
+            q = np.clip(np.round(rr[:, ::RSTRIDE] * QSCALE),
                         -32767, 32767).astype(np.int16)
             return np.ascontiguousarray(q)
 
@@ -396,7 +407,7 @@ def bench_icp_64k():
         # h2d bandwidth swings 40-120 MB/s between sessions and decides
         # whether the full-prep protocol's transfers hide under compute.
         # Published in the JSON so a degraded session is legible.
-        probe_buf = np.ones((4 << 20) // 6, dtype=np.int16).reshape(-1, 3)
+        probe_buf = np.ones((699050, 3), dtype=np.int16)   # ~4.2 MB
         h2d_times = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -412,7 +423,7 @@ def bench_icp_64k():
             # on-sensor decimation straight to the 1024-pt working set
             # (rendered points are randomly ordered, so stride IS a
             # uniform random subsample)
-            q = np.clip(np.round(rr[:, ::64] * QSCALE),
+            q = np.clip(np.round(rr[:, ::LSTRIDE] * QSCALE),
                         -32767, 32767).astype(np.int16)
             return np.ascontiguousarray(q)
 
@@ -595,7 +606,7 @@ def bench_icp_64k():
                 s_pkts = []
                 for _ in range(2):
                     raw16 = np.stack([
-                        render_scan(world, agent_pose(0), brng, 65536,
+                        render_scan(world, agent_pose(0), brng, NPTS,
                                     max_range=30.0, noise=0.01)
                         for _ in range(B16)])
                     tw = (brng.normal(size=(B16, 6))
@@ -607,7 +618,7 @@ def bench_icp_64k():
                                       raw16)
                             + inv16[:, None, :3, 3]).astype(np.float32)
                     s_pkts.append(np.ascontiguousarray(np.clip(
-                        np.round(rr16[:, ::64] * QSCALE), -32767, 32767
+                        np.round(rr16[:, ::LSTRIDE] * QSCALE), -32767, 32767
                     ).astype(np.int16)))
                     s_off.append(offs16)
                 stream_batches = s_pkts

@@ -96,6 +96,17 @@ class LocalizerMT(Localizer, _Worker):
 
     def __init__(self, map_manager: MapManagerMT,
                  config: LocalizerConfig = LocalizerConfig()):
+        if config.micro_batch > 1:
+            # Streaming micro-batches buffer scans inside process_data;
+            # the MT worker's wait_idle has no flush hook, so buffered
+            # scans would strand silently between drains. The MT path
+            # already overlaps work via its thread + the sync_lag /
+            # deferred-resync machinery — use those here.
+            raise ValueError(
+                "LocalizerConfig.micro_batch is a single-threaded "
+                "streaming mode; the MT pipeline would strand buffered "
+                "scans. Use sync_lag (and deferred_verification) with "
+                "PoseGraphSlamMT instead.")
         Localizer.__init__(self, map_manager, config)
         _Worker.__init__(self, "LocalizerMT")
         self._outdated = False

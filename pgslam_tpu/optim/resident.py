@@ -420,7 +420,21 @@ class ResidentPGO:
         st["ne"] = prep.ne_graph + prep.n_pending
         self.last_upload_bytes = up if not prep.rebuild else \
             self.last_rebuild_bytes
-        vec = np.asarray(jax.device_get(packed))
+        if os.environ.get("PGSLAM_PGO_PROBE_TIMING", "") == "1":
+            # Probe instrumentation ONLY (adds one extra device sync —
+            # never enable in production): split the call into the
+            # dispatch+solve slice (the scope r4's probes measured) and
+            # the packed-result fetch (the relay's payload-independent
+            # d2h sync floor).
+            import time as _time
+            t0 = _time.perf_counter()
+            jax.block_until_ready(st["poses"])
+            self.last_solve_ms = (_time.perf_counter() - t0) * 1e3
+            t0 = _time.perf_counter()
+            vec = np.asarray(jax.device_get(packed))
+            self.last_fetch_ms = (_time.perf_counter() - t0) * 1e3
+        else:
+            vec = np.asarray(jax.device_get(packed))
         self.last_download_bytes = vec.nbytes
         poses = _unpack_poses_host(vec[:-4], st["V"], prep.pack)
         return poses[:prep.nv], _stats_dict(vec[-4:])

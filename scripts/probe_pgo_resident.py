@@ -106,7 +106,16 @@ def run_case(name, V, n_loops, resident, n_timed=10, kf_between=3,
     dt_first = one_call()
     compile_s = time.perf_counter() - t0
     dt_second = one_call()   # first DELTA call (new jit for delta path)
-    dts = [one_call() * 1e3 for _ in range(n_timed)]
+    if resident:
+        os.environ["PGSLAM_PGO_PROBE_TIMING"] = "1"
+    solve_ms, fetch_ms = [], []
+    dts = []
+    for _ in range(n_timed):
+        dts.append(one_call() * 1e3)
+        if resident and getattr(opt._mirror, "last_solve_ms", None):
+            solve_ms.append(opt._mirror.last_solve_ms)
+            fetch_ms.append(opt._mirror.last_fetch_ms)
+    os.environ.pop("PGSLAM_PGO_PROBE_TIMING", None)
     g = mm.get_graph()
     err = np.linalg.norm(
         g.optimized_poses[:g.n_vertices, :3, 3]
@@ -119,6 +128,10 @@ def run_case(name, V, n_loops, resident, n_timed=10, kf_between=3,
                  f"{opt._mirror.last_rebuild_bytes/1e6:.1f} MB)"
                  f", kind={opt._mirror._st['kind']}"
                  f", pack={opt._mirror._st['pack']}")
+        if solve_ms:
+            extra += (f", split solve {np.median(solve_ms):.1f} ms / "
+                      f"fetch {np.median(fetch_ms):.1f} ms "
+                      f"(the r4 probes' scope is the solve slice)")
     print(f"OK [{name} {'RESIDENT' if resident else 'classic'}] "
           f"V={g.n_vertices} E={g.n_edges}: median "
           f"{np.median(dts):.2f} ms/call, min {min(dts):.2f}, "

@@ -67,6 +67,187 @@ FULLPREP = None   # {"rate": regs/s, "loops_ms": [a, b]}
 # 0.025/0.049/0.086 vs 0.027/0.055/0.080 m; r4: 0.023/0.048/0.087).
 PROTOCOL = "sensor_decimated_1024pt_int16"
 
+# ---------------------------------------------------------------------------
+# Fixture cache (r5). The 2026-08-20 chip session burned BOTH supervisor
+# attempts before reaching the batched headline: the fixture-staging
+# phase (1,152 independent 64k raycast renders + per-block device
+# round-trips on a >2x-degraded shared host core, across a relay that
+# can stall for minutes at any sync) ran past the 420 s cap, and the
+# salvaged checkpoint was the single-stream number only. Fixture staging
+# is pre-window by protocol (packetization is the sensor driver's job),
+# so it is also CACHEABLE: stage A holds the rendered int16 packets +
+# ground-truth offsets + single-stream scans (host render, no device);
+# stage B holds the prepared per-agent reference working sets (the
+# one-time setMap prep, amortized across scans by protocol). A warm
+# cache takes the render/prep phases out of the timed budget entirely;
+# a cold run regenerates and saves both stages, so attempt 2 (and the
+# next session) starts at the timed phases. The cache keys on every
+# protocol constant — any change regenerates. The TIMED loops are
+# unchanged: h2d + dequant + (prep +) fused register per batch.
+QSCALE = 1000.0  # 1 mm fixed-point packet grid, range +-32.7 m
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_cache")
+_META = f"v1_n{NPTS}_b{BATCH}_k{NBAT}_r{RSTRIDE}_l{LSTRIDE}_q{int(QSCALE)}"
+_STAGE_A_PATH = os.path.join(_CACHE_DIR, f"fixtures_{_META}.npz")
+_STAGE_B_PATH = os.path.join(_CACHE_DIR, f"refs_{_META}.npz")
+
+
+def _np_se3_exp(twists: "np.ndarray") -> "np.ndarray":
+    """Batched SE(3) exp in pure numpy ([t; r] twist order, matching
+    se3.exp) — fixture ground truth must not ride a device round-trip
+    (the relay can stall minutes at any sync; CLAUDE.md)."""
+    tw = np.asarray(twists, np.float64)
+    v, w = tw[..., :3], tw[..., 3:]
+    th = np.linalg.norm(w, axis=-1)
+    th2 = th * th
+    small = th < 1e-4
+    A = np.where(small, 1.0 - th2 / 6.0, np.sin(th) / np.where(small, 1, th))
+    B_ = np.where(small, 0.5 - th2 / 24.0,
+                  (1 - np.cos(th)) / np.where(small, 1, th2))
+    C = np.where(small, 1.0 / 6.0 - th2 / 120.0,
+                 (1 - A) / np.where(small, 1, th2))
+    W = np.zeros(tw.shape[:-1] + (3, 3))
+    W[..., 0, 1], W[..., 0, 2] = -w[..., 2], w[..., 1]
+    W[..., 1, 0], W[..., 1, 2] = w[..., 2], -w[..., 0]
+    W[..., 2, 0], W[..., 2, 1] = -w[..., 1], w[..., 0]
+    WW = W @ W
+    I = np.broadcast_to(np.eye(3), W.shape)
+    R = I + A[..., None, None] * W + B_[..., None, None] * WW
+    V = I + B_[..., None, None] * W + C[..., None, None] * WW
+    T = np.tile(np.eye(4, dtype=np.float32), tw.shape[:-1] + (1, 1))
+    T[..., :3, :3] = R
+    T[..., :3, 3] = (V @ v[..., None])[..., 0]
+    return T
+
+
+def _agent_pose(b):
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = [5.0 + b * 0.85, 0.0, 1.8]
+    return T
+
+
+def _render_world():
+    from pgslam_tpu.datasets import corridor_world
+    return corridor_world(np.random.default_rng(0), n_points=300000,
+                          length=120.0, width=8.0, height=5.0)
+
+
+def generate_stage_a(world=None):
+    """Host-only fixture render (NO device calls — safe on a wedged
+    chip). Every scan is an independent raycast; every piece has its own
+    derived seed so stages regenerate independently. Deterministic."""
+    from pgslam_tpu.datasets import render_scan
+    if world is None:
+        world = _render_world()
+    ss_rng = np.random.default_rng(7)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [20.0, 0.0, 1.8]
+    ss_pts = render_scan(world, pose, ss_rng, NPTS, max_range=30.0,
+                         noise=0.01)
+    ss_reading = render_scan(world, pose, ss_rng, NPTS, max_range=30.0,
+                             noise=0.01)
+
+    def quant(rr, stride):
+        q = np.clip(np.round(rr[:, ::stride] * QSCALE), -32767, 32767)
+        return np.ascontiguousarray(q.astype(np.int16))
+
+    packets, lean_packets, offsets = [], [], []
+    for bi in range(NBAT):
+        brng = np.random.default_rng(1000 + bi)
+        read_raw = np.stack([
+            render_scan(world, _agent_pose(b), brng, NPTS,
+                        max_range=30.0, noise=0.01) for b in range(BATCH)])
+        twists = (brng.normal(size=(BATCH, 6))
+                  * [0.15, 0.15, 0.03, 0.005, 0.005, 0.02])
+        offs = _np_se3_exp(twists).astype(np.float32)
+        inv = np.linalg.inv(offs)
+        rr = (np.einsum("bij,bnj->bni", inv[:, :3, :3], read_raw)
+              + inv[:, None, :3, 3]).astype(np.float32)
+        packets.append(quant(rr, RSTRIDE))
+        lean_packets.append(quant(rr, LSTRIDE))
+        offsets.append(offs)
+
+    stream_pkts, stream_offs = [], []
+    B16 = 16
+    srng = np.random.default_rng(77)
+    for _ in range(2):
+        raw16 = np.stack([
+            render_scan(world, _agent_pose(0), srng, NPTS,
+                        max_range=30.0, noise=0.01) for _ in range(B16)])
+        tw = (srng.normal(size=(B16, 6))
+              * [0.15, 0.15, 0.03, 0.005, 0.005, 0.02])
+        offs16 = _np_se3_exp(tw).astype(np.float32)
+        inv16 = np.linalg.inv(offs16)
+        rr16 = (np.einsum("bij,bnj->bni", inv16[:, :3, :3], raw16)
+                + inv16[:, None, :3, 3]).astype(np.float32)
+        stream_pkts.append(quant(rr16, LSTRIDE))
+        stream_offs.append(offs16)
+
+    return {
+        "ss_pts": ss_pts, "ss_reading": ss_reading,
+        "packets": np.stack(packets), "lean_packets": np.stack(lean_packets),
+        "offsets": np.stack(offsets),
+        "stream_pkts": np.stack(stream_pkts),
+        "stream_offs": np.stack(stream_offs),
+    }
+
+
+def _load_npz(path, keys):
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as z:
+            return {k: z[k] for k in (keys if keys is not None else z.files)}
+    except Exception as e:
+        log(f"fixture cache unreadable ({path}: {e}); regenerating")
+        return None
+
+
+_STAGE_A_KEYS = ("ss_pts", "ss_reading", "packets", "lean_packets",
+                 "offsets", "stream_pkts", "stream_offs")
+
+
+def _save_npz(path, payload):
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        tmp = path + ".tmp.npz"   # .npz suffix so savez doesn't append one
+        np.savez(tmp, **payload)
+        os.replace(tmp, path)
+        log(f"fixture cache written: {path} "
+            f"({os.path.getsize(path)/1e6:.1f} MB)")
+    except Exception as e:  # cache is an optimization, never fatal
+        log(f"fixture cache write failed (non-fatal): {e}")
+
+
+def batched_icp_config():
+    """The batched-pipeline ICP profile (shared with
+    scripts/make_bench_cache.py so cached stage-B references can never
+    drift from the bench's reference chain).
+
+    mi=5: chip A/B sweep (scripts/archive/probe_aa_chip.py, late-r3) —
+    accuracy is within noise of mi=6/8/10 (q50/q90/max 0.0223/0.0580/
+    0.0868 m vs 0.0234/0.0561/0.0854 at mi=6) at 35.99 -> 34.15
+    ms/batch; mi=4 is another 6% but widens the tail (max 0.094).
+    eps-based early exit cannot fire earlier because non-coincident
+    matches keep per-iter deltas above trans_eps even after accuracy has
+    converged. In-kernel Anderson LOSES on chip (AA scalar row-math ~ 1
+    fine iteration: aa=2/mi=4 = 35.34 ms vs plain mi=4 = 32.04) — the
+    CPU-probe matmul-count argument did not survive Mosaic; see
+    BENCH_NOTES "matcher-epilogue elimination"."""
+    from pgslam_tpu.ops import filters as F
+    from pgslam_tpu.ops import outlier as O
+    from pgslam_tpu.ops.icp import ICPConfig
+    return ICPConfig(
+        error="point_to_plane", matcher="pallas",
+        pallas_precision="high",
+        reference_filters=(F.VoxelGrid(voxel_size=0.2,
+                                       hash_size=1 << 18),
+                           F.Compact(8192),
+                           F.SurfaceNormal(knn=8, tile_query=4096)),
+        outlier=(O.TrimmedDist(0.9), O.MaxDist(1.0)),
+        coarse_div=8, coarse_iterations=8,
+        max_iterations=5, trans_eps=1e-4, rot_eps=1e-4)
+
 
 def _decorate(payload):
     if FUSED_FALLBACK:
@@ -112,7 +293,7 @@ def bench_icp_64k():
     import jax.numpy as jnp
     from pgslam_tpu import se3
     from pgslam_tpu.cloud import make_cloud
-    from pgslam_tpu.datasets import corridor_world, render_scan
+    from pgslam_tpu.datasets import render_scan
     from pgslam_tpu.ops import filters as F
     from pgslam_tpu.ops import outlier as O
     from pgslam_tpu.ops.icp import ICPConfig, ICPEngine
@@ -150,14 +331,17 @@ def bench_icp_64k():
         # in-loop Anderson was also A/B'd and LOSES single-stream (AA
         # overhead ~ 1 fine iteration: mi=4/aa=3 = 2.99 ms).
         max_iterations=5, trans_eps=1e-4, rot_eps=1e-4)
-    rng = np.random.default_rng(0)
-    world = corridor_world(rng, n_points=300000, length=120.0, width=8.0,
-                           height=5.0)
-    pose = np.eye(4, dtype=np.float32)
-    pose[:3, 3] = [20.0, 0.0, 1.8]
-    pts = render_scan(world, pose, rng, NPTS, max_range=30.0, noise=0.01)
-    reading_pts = render_scan(world, pose, rng, NPTS, max_range=30.0,
-                              noise=0.01)
+    fixA = _load_npz(_STAGE_A_PATH, _STAGE_A_KEYS)
+    if fixA is None:
+        t0 = time.perf_counter()
+        fixA = generate_stage_a()
+        log(f"stage-A fixtures rendered (host-only, no device calls): "
+            f"{time.perf_counter()-t0:.1f} s")
+        _save_npz(_STAGE_A_PATH, fixA)
+    else:
+        log(f"stage-A fixtures loaded from cache: {_STAGE_A_PATH}")
+    pts = fixA["ss_pts"]
+    reading_pts = fixA["ss_reading"]
 
     t0 = time.perf_counter()
     engine = ICPEngine(cfg)
@@ -226,34 +410,12 @@ def bench_icp_64k():
     try:
         from pgslam_tpu.cloud import Cloud, stack_clouds
         from pgslam_tpu.parallel.batched import batched_register
-        cfg_b = ICPConfig(
-            error="point_to_plane", matcher="pallas",
-            pallas_precision="high",
-            reference_filters=(F.VoxelGrid(voxel_size=0.2,
-                                           hash_size=1 << 18),
-                               F.Compact(8192),
-                               F.SurfaceNormal(knn=8, tile_query=4096)),
-            outlier=(O.TrimmedDist(0.9), O.MaxDist(1.0)),
-            coarse_div=8, coarse_iterations=8,
-            # mi=5: chip A/B sweep (scripts/archive/probe_aa_chip.py, late-r3) — accuracy
-            # is within noise of mi=6/8/10 (q50/q90/max 0.0223/0.0580/
-            # 0.0868 m vs 0.0234/0.0561/0.0854 at mi=6) at 35.99 ->
-            # 34.15 ms/batch; mi=4 is another 6% but widens the tail
-            # (max 0.094). eps-based early exit cannot fire earlier
-            # because non-coincident matches keep per-iter deltas above
-            # trans_eps even after accuracy has converged. In-kernel
-            # Anderson LOSES on chip (AA scalar row-math ~ 1 fine
-            # iteration: aa=2/mi=4 = 35.34 ms vs plain mi=4 = 32.04) —
-            # the CPU-probe matmul-count argument did not survive
-            # Mosaic; see BENCH_NOTES "matcher-epilogue elimination".
-            max_iterations=5, trans_eps=1e-4, rot_eps=1e-4)
+        cfg_b = batched_icp_config()
         B = BATCH
-        brng = np.random.default_rng(42)
 
         prep_chain = (F.VoxelGrid(voxel_size=0.4, hash_size=1 << 15),
                       F.Compact(1024))
         pkey = jax.random.PRNGKey(0)
-        QSCALE = 1000.0  # 1 mm fixed-point grid, range +-32.7 m
 
         def make_step(route):
             @jax.jit
@@ -298,25 +460,67 @@ def bench_icp_64k():
                 T_rec, T_gold)
             return jnp.linalg.norm(d, axis=1)
 
-        # Compile BEFORE the expensive renders, on dummy data built
-        # through the SAME call chain as the real batch (identical
-        # shapes/commitment — a silent retrace here costs minutes on a
-        # degraded relay session), so the persistent compilation cache
-        # keeps the entry even if this attempt is cut off by the
-        # supervisor's cap.
+        # Reference working sets: stage-B cache holds the PREPARED
+        # per-agent maps (the one-time ICPSequence.setMap prep — rebuilt
+        # per keyframe in production, amortized across scans, reported
+        # outside the timed loop since r3); a miss renders + preps +
+        # saves them for the next attempt/session. The timed loops below
+        # are identical either way.
         t0 = time.perf_counter()
         from pgslam_tpu.ops.icp_pallas import prepare_fused_reference
         eng_b = ICPEngine(cfg_b)
-        dummy_ref = stack_clouds([eng_b.prepare_reference(
-            make_cloud(pts, capacity=NPTS))] * B)
-        dummy_fref = prepare_fused_reference(dummy_ref)
-        dummy_i16 = np.zeros((B, 2048, 3), np.int16)
         Ts = jnp.tile(T0, (B, 1, 1))
-        dummy_lean = np.zeros((B, 1024, 3), np.int16)
+        refsnp = _load_npz(_STAGE_B_PATH, None)
+        if refsnp is not None:
+            refs = Cloud(
+                points=jax.device_put(refsnp["points"]),
+                mask=jax.device_put(refsnp["mask"]),
+                descriptors={k[5:]: jax.device_put(v)
+                             for k, v in refsnp.items()
+                             if k.startswith("desc_")})
+            fref = prepare_fused_reference(refs)
+            jax.block_until_ready(fref.refT)
+            log(f"stage-B reference operands loaded from cache: "
+                f"{time.perf_counter()-t0:.1f} s (h2d + fused-operand "
+                f"rebuild)")
+        else:
+            world = _render_world()
+            map_raw = np.stack([
+                render_scan(world, _agent_pose(b),
+                            np.random.default_rng(142 + b), NPTS,
+                            max_range=30.0, noise=0.01) for b in range(B)])
+            if map_raw.shape[1] != NPTS:
+                raise RuntimeError(
+                    f"render returned {map_raw.shape[1]} rows; "
+                    f"the fused-step shapes assume {NPTS}")
+            log(f"rendered {B} distinct 64k map scans: "
+                f"{time.perf_counter()-t0:.1f} s")
+            t0 = time.perf_counter()
+            refs = stack_clouds([eng_b.prepare_reference(
+                make_cloud(map_raw[b], capacity=NPTS)) for b in range(B)])
+            fref = prepare_fused_reference(refs)
+            jax.block_until_ready(refs.points)
+            jax.block_until_ready(fref.refT)
+            log(f"batched reference prep (one-time, {B} distinct maps, "
+                f"incl. fused kernel operands): "
+                f"{time.perf_counter()-t0:.1f} s")
+            pay = {"points": np.asarray(refs.points),
+                   "mask": np.asarray(refs.mask)}
+            pay.update({f"desc_{k}": np.asarray(v)
+                        for k, v in refs.descriptors.items()})
+            _save_npz(_STAGE_B_PATH, pay)
+
+        # Compile the batched steps against the REAL reference operands
+        # (dummy int16 zeros for the packet arg — same shape/dtype; the
+        # refs/fref operands are the very arrays the timed loops use, so
+        # no provenance retrace is possible on that side).
+        t0 = time.perf_counter()
+        dummy_i16 = np.zeros((B, NPTS // RSTRIDE, 3), np.int16)
+        dummy_lean = np.zeros((B, NPTS // LSTRIDE, 3), np.int16)
         try:
-            dres = fused_step(dummy_i16, dummy_ref, dummy_fref, Ts)
+            dres = fused_step(dummy_i16, refs, fref, Ts)
             jax.block_until_ready(dres.T)
-            dlres = lean_step(dummy_lean, dummy_ref, dummy_fref, Ts)
+            dlres = lean_step(dummy_lean, refs, fref, Ts)
             jax.block_until_ready(dlres.T)
         except Exception as e:
             # Fail-soft: if the fused kernel's compile/execute dies on
@@ -329,80 +533,38 @@ def bench_icp_64k():
             FUSED_FALLBACK = True
             fused_step = make_step("off")
             lean_step = make_lean_step("off")
-            dres = fused_step(dummy_i16, dummy_ref, dummy_fref, Ts)
+            dres = fused_step(dummy_i16, refs, fref, Ts)
             jax.block_until_ready(dres.T)
-            dlres = lean_step(dummy_lean, dummy_ref, dummy_fref, Ts)
+            dlres = lean_step(dummy_lean, refs, fref, Ts)
             jax.block_until_ready(dlres.T)
         jax.block_until_ready(pose_errs(dres.T, Ts))
-        del dummy_ref, dummy_fref, dres, dlres
+        del dres, dlres
         log(f"fused pipeline compile: {time.perf_counter()-t0:.1f} s")
 
-        def agent_pose(b):
-            T = np.eye(4, dtype=np.float32)
-            T[:3, 3] = [5.0 + b * 0.85, 0.0, 1.8]
-            return T
-
-        t0 = time.perf_counter()
-        map_raw = np.stack([
-            render_scan(world, agent_pose(b), brng, NPTS,
-                        max_range=30.0, noise=0.01) for b in range(B)])
-        if map_raw.shape[1] != NPTS:
-            raise RuntimeError(f"render returned {map_raw.shape[1]} rows; "
-                               f"the fused-step shapes assume {NPTS}")
         # r4 protocol (VERDICT r3 weak #2): the timed loop streams
         # n_bat DISTINCT 128-scan blocks — every scan in the window is a
         # fresh independent render with its own offset; nothing repeats.
-        # The per-agent reference maps stay persistent across blocks
-        # (ICPSequence.setMap semantics: maps are rebuilt per keyframe in
-        # production, not per scan).
+        # Packets + ground-truth offsets come from the stage-A fixture
+        # set (rendered above or loaded from cache).
         n_bat = NBAT
-        QS = QSCALE
-
-        def render_block(bi):
-            read_raw = np.stack([
-                render_scan(world, agent_pose(b), brng, NPTS,
-                            max_range=30.0, noise=0.01) for b in range(B)])
-            twists = (brng.normal(size=(B, 6))
-                      * [0.15, 0.15, 0.03, 0.005, 0.005, 0.02]
-                      ).astype(np.float32)
-            offs = np.asarray(jax.vmap(se3.exp)(jnp.asarray(twists)))
-            inv = np.linalg.inv(offs)
-            rr = (np.einsum("bij,bnj->bni", inv[:, :3, :3], read_raw)
-                  + inv[:, None, :3, 3]).astype(np.float32)
-            return rr, offs
-
-        blocks = [render_block(bi) for bi in range(n_bat)]
-        readings_raw, offsets = blocks[0]   # block 0 doubles as the
-        # operand for the sensor-decimated aux variant below
-        log(f"rendered {B + n_bat*B} independent 64k scans "
-            f"({n_bat} distinct timed blocks): "
-            f"{time.perf_counter()-t0:.1f} s")
-        t0 = time.perf_counter()
-        refs = stack_clouds([eng_b.prepare_reference(
-            make_cloud(map_raw[b], capacity=NPTS)) for b in range(B)])
-        fref = prepare_fused_reference(refs)
-        jax.block_until_ready(refs.points)
-        jax.block_until_ready(fref.refT)
-        log(f"batched reference prep (one-time, {B} distinct maps, "
-            f"incl. fused kernel operands): {time.perf_counter()-t0:.1f} s")
+        packets = [np.ascontiguousarray(p) for p in fixA["packets"]]
+        lean_packets = [np.ascontiguousarray(p)
+                        for p in fixA["lean_packets"]]
+        offs_list = [o for o in fixA["offsets"]]
 
         # Sensor-native fixed point: LiDAR packets carry fixed-point
-        # range words, so the stream arrives quantized — model that by
-        # quantizing the rendered scans ONCE here (1 mm grid, 0.5 mm max
-        # round-off against the 10 mm range noise; accuracy identical to
-        # f32 input, chip-verified r3). Stride-32 packet decimation:
-        # 2048 candidates for the in-graph VoxelGrid to equalize down to
-        # the 1024-pt working set (stride 16 / 3 MB was accuracy-
-        # identical but its h2d cannot hide under compute on slow relay
-        # sessions — bandwidth swings 40-120 MB/s; 1.5 MB always fits
-        # under the device window). Packetization is staged pre-window:
-        # it is the sensor driver's job, and this box's shared host core
-        # swings >2x minute-to-minute.
-        def make_host_batch(rr):
-            q = np.clip(np.round(rr[:, ::RSTRIDE] * QSCALE),
-                        -32767, 32767).astype(np.int16)
-            return np.ascontiguousarray(q)
-
+        # range words, so the stream arrives quantized — the stage-A
+        # fixtures quantize the rendered scans ONCE (1 mm grid, 0.5 mm
+        # max round-off against the 10 mm range noise; accuracy
+        # identical to f32 input, chip-verified r3). Stride-32 packet
+        # decimation for full-prep: 2048 candidates for the in-graph
+        # VoxelGrid to equalize down to the 1024-pt working set
+        # (stride 16 / 3 MB was accuracy-identical but its h2d cannot
+        # hide under compute on slow relay sessions — bandwidth swings
+        # 40-120 MB/s; 1.5 MB always fits under the device window).
+        # Packetization is staged pre-window: it is the sensor driver's
+        # job, and this box's shared host core swings >2x
+        # minute-to-minute.
         # Session-health measurement (VERDICT r4 item 2): the relay's
         # h2d bandwidth swings 40-120 MB/s between sessions and decides
         # whether the full-prep protocol's transfers hide under compute.
@@ -419,28 +581,18 @@ def bench_icp_64k():
         log(f"session h2d bandwidth: {H2D_MBPS} MB/s "
             f"({probe_buf.nbytes/1e6:.1f} MB probe, best of 2 warm)")
 
-        def make_lean_batch(rr):
-            # on-sensor decimation straight to the 1024-pt working set
-            # (rendered points are randomly ordered, so stride IS a
-            # uniform random subsample)
-            q = np.clip(np.round(rr[:, ::LSTRIDE] * QSCALE),
-                        -32767, 32767).astype(np.int16)
-            return np.ascontiguousarray(q)
-
         # Warm BOTH input provenances: the timed loop feeds
         # pre-transferred (committed) device arrays via the prefetcher,
         # and jit cache keys on this stack include arg provenance beyond
         # avals (the retrace trap above) — so warm the numpy-arg and the
         # device-arg signatures explicitly.
-        bres = fused_step(make_host_batch(readings_raw), refs, fref, Ts)
+        bres = fused_step(packets[0], refs, fref, Ts)
         jax.block_until_ready(bres.T)
-        bres = fused_step(jax.device_put(make_host_batch(readings_raw)),
-                          refs, fref, Ts)
+        bres = fused_step(jax.device_put(packets[0]), refs, fref, Ts)
         jax.block_until_ready(bres.T)
-        lres = lean_step(make_lean_batch(readings_raw), refs, fref, Ts)
+        lres = lean_step(lean_packets[0], refs, fref, Ts)
         jax.block_until_ready(lres.T)
-        lres = lean_step(jax.device_put(make_lean_batch(readings_raw)),
-                         refs, fref, Ts)
+        lres = lean_step(jax.device_put(lean_packets[0]), refs, fref, Ts)
         jax.block_until_ready(lres.T)
         try:   # diagnostic only — _cache_size is private jax API; never
             # let its absence zero the headline via the outer except
@@ -458,7 +610,6 @@ def bench_icp_64k():
         # under the device window, and its accuracy is chip-verified
         # equal. The full-prep number follows as a tagged secondary.)
         from pgslam_tpu.utils.prefetch import prefetch_batches
-        lean_packets = [make_lean_batch(rr) for rr, _ in blocks]
 
         def run_lean_timed():
             results = []
@@ -475,7 +626,7 @@ def bench_icp_64k():
         LOOP_TIMES_MS = [round(ldt1 * 1e3, 2), round(ldt2 * 1e3, 2)]
         len_ = np.concatenate([
             np.asarray(pose_errs(r.T, jnp.asarray(o)))
-            for r, (_, o) in zip(lress, blocks)])
+            for r, o in zip(lress, offs_list)])
         lerr_max = float(len_.max())
         batched_rate = B / ldt
         log(f"batched x{B} SENSOR-DECIMATED pipeline [HEADLINE] "
@@ -511,8 +662,6 @@ def bench_icp_64k():
         # conservative cross-check — its 1.6 MB/batch h2d is hostage to
         # session bandwidth (hence the h2d_MBps tag), so it reports but
         # no longer carries the headline.
-        packets = [make_host_batch(rr) for rr, _ in blocks]
-
         def run_timed():
             results = []
             t0 = time.perf_counter()
@@ -527,7 +676,7 @@ def bench_icp_64k():
         fullprep_rate = B / bdt
         en = np.concatenate([
             np.asarray(pose_errs(r.T, jnp.asarray(o)))
-            for r, (_, o) in zip(bress, blocks)])
+            for r, o in zip(bress, offs_list)])
         err_max = float(en.max())
         its = np.concatenate([np.asarray(r.iterations) for r in bress])
         log(f"batched x{B} FULL-PREP pipeline (secondary; {n_bat} "
@@ -559,8 +708,7 @@ def bench_icp_64k():
 
         # kernel-only reference point (the r2-style protocol, same
         # distinct scans, prep + h2d excluded) for comparison
-        host_i16 = make_host_batch(readings_raw)
-        pts_dev = jax.device_put(host_i16)
+        pts_dev = jax.device_put(packets[0])
         kres = fused_step(pts_dev, refs, fref, Ts)
         jax.block_until_ready(kres.T)
         t0 = time.perf_counter()
@@ -600,28 +748,11 @@ def bench_icp_64k():
                 # Single-robot stream: 32 fresh scans of agent 0's map
                 # (the product path broadcasts ONE persistent reference;
                 # feeding other agents' scans would register against the
-                # wrong map). Rendered pre-window like every other
-                # packetization.
-                s_off = []
-                s_pkts = []
-                for _ in range(2):
-                    raw16 = np.stack([
-                        render_scan(world, agent_pose(0), brng, NPTS,
-                                    max_range=30.0, noise=0.01)
-                        for _ in range(B16)])
-                    tw = (brng.normal(size=(B16, 6))
-                          * [0.15, 0.15, 0.03, 0.005, 0.005, 0.02]
-                          ).astype(np.float32)
-                    offs16 = np.asarray(jax.vmap(se3.exp)(jnp.asarray(tw)))
-                    inv16 = np.linalg.inv(offs16)
-                    rr16 = (np.einsum("bij,bnj->bni", inv16[:, :3, :3],
-                                      raw16)
-                            + inv16[:, None, :3, 3]).astype(np.float32)
-                    s_pkts.append(np.ascontiguousarray(np.clip(
-                        np.round(rr16[:, ::LSTRIDE] * QSCALE), -32767, 32767
-                    ).astype(np.int16)))
-                    s_off.append(offs16)
-                stream_batches = s_pkts
+                # wrong map). Rendered pre-window (stage-A fixtures)
+                # like every other packetization.
+                s_off = [o for o in fixA["stream_offs"]]
+                stream_batches = [np.ascontiguousarray(p)
+                                  for p in fixA["stream_pkts"]]
                 warm = _prepare_register_stream(
                     (), 1024, cfg_b, stream_cloud(stream_batches[0]),
                     T_rs16, seeds16, ref1, Ts16)

@@ -23,6 +23,16 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 import numpy as np
 
 _CHILD_T0 = time.monotonic()
+# The supervisor exports the child's subprocess-timeout cap so budget
+# gates can test REMAINING time, not a fixed elapsed threshold (the
+# fixture cache moved render time out of the run; a 240 s elapsed gate
+# tuned for the render era skipped the streaming phase even when half
+# the budget was left). Direct runs (no supervisor) have no cap.
+_CHILD_CAP_S = float(os.environ.get("PGSLAM_BENCH_CHILD_CAP", "inf"))
+
+
+def _child_budget_left():
+    return _CHILD_CAP_S - (time.monotonic() - _CHILD_T0)
 
 BASELINE_REGS_PER_SEC = 5.0
 
@@ -727,10 +737,13 @@ def bench_icp_64k():
         # one dispatch, and the per-scan packed result vectors are
         # fetched like the commit path does. Commit lag is 16 scans —
         # the documented sync_lag-style semantics contract
-        # (MIGRATION.md "Streaming mode"). Gated on elapsed child time
-        # < 240 s so it can never crowd out the headline phases.
+        # (MIGRATION.md "Streaming mode"). Gated on REMAINING child
+        # budget (>150 s: ~40 s streaming compile+loops plus headroom
+        # for the PGO aux phase and the final JSON print) so it can
+        # never push the end-of-run line past the supervisor's cap; a
+        # direct run (no supervisor cap) always measures it.
         try:
-            if time.monotonic() - _CHILD_T0 < 240.0:
+            if _child_budget_left() > 150.0:
                 from pgslam_tpu.localizer import (_prepare_register_stream,
                                                   _unpack_result_vec)
                 B16 = 16
@@ -962,11 +975,13 @@ def main(total_budget_s: float = 560.0, retry_sleep_s: float = 5.0):
         # compile-before-render ordering means attempt 2 rides the
         # persistent compilation cache.
         cap = 420.0 if attempt == 0 else remaining - 20
+        child_cap = min(cap, remaining - 20)
+        env["PGSLAM_BENCH_CHILD_CAP"] = str(child_cap)
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, stdout=subprocess.PIPE,
-                timeout=min(cap, remaining - 20))
+                timeout=child_cap)
         except subprocess.TimeoutExpired as e:
             errors.append(f"attempt{attempt}_timeout")
             out = (e.stdout or b"").decode(errors="replace")

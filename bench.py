@@ -11,6 +11,7 @@ driver's estimate of single-digit scans/sec on CPU for the
 libpointmatcher path — we use 5 regs/sec as the comparison point.
 """
 
+import hashlib
 import json
 import os
 import sys
@@ -95,9 +96,34 @@ PROTOCOL = "sensor_decimated_1024pt_int16"
 # protocol constant — any change regenerates. The TIMED loops are
 # unchanged: h2d + dequant + (prep +) fused register per batch.
 QSCALE = 1000.0  # 1 mm fixed-point packet grid, range +-32.7 m
+
+# Every constant the cached fixtures BAKE IN, in one literal dict:
+# stage A bakes the world/render/twist parameters and seeds; stage B
+# additionally bakes the reference-prep half of the ICP profile.
+# batched_icp_config() and the render helpers read from here, so
+# editing any of these changes the cache key and regenerates — an A/B
+# of, say, ref_voxel must never silently measure against stale
+# references prepped under the old value.
+FIXTURE_PARAMS = {
+    "world": {"seed": 0, "n_points": 300000, "length": 120.0,
+              "width": 8.0, "height": 5.0},
+    "scan": {"max_range": 30.0, "noise": 0.01},
+    "agent": {"x0": 5.0, "dx": 0.85, "z": 1.8},
+    "twist_scales": [0.15, 0.15, 0.03, 0.005, 0.005, 0.02],
+    "seeds": {"stage_a": 7, "stream": 77, "map0": 142},
+    "icp": {"error": "point_to_plane", "matcher": "pallas",
+            "pallas_precision": "high",
+            "ref_voxel": 0.2, "ref_hash": 1 << 18, "ref_compact": 8192,
+            "normal_knn": 8, "normal_tile": 4096,
+            "trim": 0.9, "maxdist": 1.0,
+            "coarse_div": 8, "coarse_iterations": 8,
+            "max_iterations": 5, "trans_eps": 1e-4, "rot_eps": 1e-4},
+}
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".bench_cache")
-_META = f"v1_n{NPTS}_b{BATCH}_k{NBAT}_r{RSTRIDE}_l{LSTRIDE}_q{int(QSCALE)}"
+_FP_HASH = hashlib.md5(repr(FIXTURE_PARAMS).encode()).hexdigest()[:10]
+_META = (f"v2_n{NPTS}_b{BATCH}_k{NBAT}_r{RSTRIDE}_l{LSTRIDE}"
+         f"_q{int(QSCALE)}_{_FP_HASH}")
 _STAGE_A_PATH = os.path.join(_CACHE_DIR, f"fixtures_{_META}.npz")
 _STAGE_B_PATH = os.path.join(_CACHE_DIR, f"refs_{_META}.npz")
 
@@ -131,15 +157,18 @@ def _np_se3_exp(twists: "np.ndarray") -> "np.ndarray":
 
 
 def _agent_pose(b):
+    ap = FIXTURE_PARAMS["agent"]
     T = np.eye(4, dtype=np.float32)
-    T[:3, 3] = [5.0 + b * 0.85, 0.0, 1.8]
+    T[:3, 3] = [ap["x0"] + b * ap["dx"], 0.0, ap["z"]]
     return T
 
 
 def _render_world():
     from pgslam_tpu.datasets import corridor_world
-    return corridor_world(np.random.default_rng(0), n_points=300000,
-                          length=120.0, width=8.0, height=5.0)
+    wp = FIXTURE_PARAMS["world"]
+    return corridor_world(np.random.default_rng(wp["seed"]),
+                          n_points=wp["n_points"], length=wp["length"],
+                          width=wp["width"], height=wp["height"])
 
 
 def generate_stage_a(world=None):
@@ -149,13 +178,13 @@ def generate_stage_a(world=None):
     from pgslam_tpu.datasets import render_scan
     if world is None:
         world = _render_world()
-    ss_rng = np.random.default_rng(7)
+    SCAN = FIXTURE_PARAMS["scan"]
+    TW = FIXTURE_PARAMS["twist_scales"]
+    ss_rng = np.random.default_rng(FIXTURE_PARAMS["seeds"]["stage_a"])
     pose = np.eye(4, dtype=np.float32)
-    pose[:3, 3] = [20.0, 0.0, 1.8]
-    ss_pts = render_scan(world, pose, ss_rng, NPTS, max_range=30.0,
-                         noise=0.01)
-    ss_reading = render_scan(world, pose, ss_rng, NPTS, max_range=30.0,
-                             noise=0.01)
+    pose[:3, 3] = [20.0, 0.0, FIXTURE_PARAMS["agent"]["z"]]
+    ss_pts = render_scan(world, pose, ss_rng, NPTS, **SCAN)
+    ss_reading = render_scan(world, pose, ss_rng, NPTS, **SCAN)
 
     def quant(rr, stride):
         q = np.clip(np.round(rr[:, ::stride] * QSCALE), -32767, 32767)
@@ -165,10 +194,9 @@ def generate_stage_a(world=None):
     for bi in range(NBAT):
         brng = np.random.default_rng(1000 + bi)
         read_raw = np.stack([
-            render_scan(world, _agent_pose(b), brng, NPTS,
-                        max_range=30.0, noise=0.01) for b in range(BATCH)])
-        twists = (brng.normal(size=(BATCH, 6))
-                  * [0.15, 0.15, 0.03, 0.005, 0.005, 0.02])
+            render_scan(world, _agent_pose(b), brng, NPTS, **SCAN)
+            for b in range(BATCH)])
+        twists = brng.normal(size=(BATCH, 6)) * TW
         offs = _np_se3_exp(twists).astype(np.float32)
         inv = np.linalg.inv(offs)
         rr = (np.einsum("bij,bnj->bni", inv[:, :3, :3], read_raw)
@@ -179,13 +207,12 @@ def generate_stage_a(world=None):
 
     stream_pkts, stream_offs = [], []
     B16 = 16
-    srng = np.random.default_rng(77)
+    srng = np.random.default_rng(FIXTURE_PARAMS["seeds"]["stream"])
     for _ in range(2):
         raw16 = np.stack([
-            render_scan(world, _agent_pose(0), srng, NPTS,
-                        max_range=30.0, noise=0.01) for _ in range(B16)])
-        tw = (srng.normal(size=(B16, 6))
-              * [0.15, 0.15, 0.03, 0.005, 0.005, 0.02])
+            render_scan(world, _agent_pose(0), srng, NPTS, **SCAN)
+            for _ in range(B16)])
+        tw = srng.normal(size=(B16, 6)) * TW
         offs16 = _np_se3_exp(tw).astype(np.float32)
         inv16 = np.linalg.inv(offs16)
         rr16 = (np.einsum("bij,bnj->bni", inv16[:, :3, :3], raw16)
@@ -247,16 +274,20 @@ def batched_icp_config():
     from pgslam_tpu.ops import filters as F
     from pgslam_tpu.ops import outlier as O
     from pgslam_tpu.ops.icp import ICPConfig
+    P = FIXTURE_PARAMS["icp"]
     return ICPConfig(
-        error="point_to_plane", matcher="pallas",
-        pallas_precision="high",
-        reference_filters=(F.VoxelGrid(voxel_size=0.2,
-                                       hash_size=1 << 18),
-                           F.Compact(8192),
-                           F.SurfaceNormal(knn=8, tile_query=4096)),
-        outlier=(O.TrimmedDist(0.9), O.MaxDist(1.0)),
-        coarse_div=8, coarse_iterations=8,
-        max_iterations=5, trans_eps=1e-4, rot_eps=1e-4)
+        error=P["error"], matcher=P["matcher"],
+        pallas_precision=P["pallas_precision"],
+        reference_filters=(F.VoxelGrid(voxel_size=P["ref_voxel"],
+                                       hash_size=P["ref_hash"]),
+                           F.Compact(P["ref_compact"]),
+                           F.SurfaceNormal(knn=P["normal_knn"],
+                                           tile_query=P["normal_tile"])),
+        outlier=(O.TrimmedDist(P["trim"]), O.MaxDist(P["maxdist"])),
+        coarse_div=P["coarse_div"],
+        coarse_iterations=P["coarse_iterations"],
+        max_iterations=P["max_iterations"],
+        trans_eps=P["trans_eps"], rot_eps=P["rot_eps"])
 
 
 def _decorate(payload):
@@ -495,10 +526,11 @@ def bench_icp_64k():
                 f"rebuild)")
         else:
             world = _render_world()
+            _s0 = FIXTURE_PARAMS["seeds"]["map0"]
             map_raw = np.stack([
                 render_scan(world, _agent_pose(b),
-                            np.random.default_rng(142 + b), NPTS,
-                            max_range=30.0, noise=0.01) for b in range(B)])
+                            np.random.default_rng(_s0 + b), NPTS,
+                            **FIXTURE_PARAMS["scan"]) for b in range(B)])
             if map_raw.shape[1] != NPTS:
                 raise RuntimeError(
                     f"render returned {map_raw.shape[1]} rows; "

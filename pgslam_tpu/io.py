@@ -93,9 +93,13 @@ def load_checkpoint(path: str, map_manager: MapManager,
     g.edge_weight[:ne] = data["edge_weight"]
     g.clouds = [_cloud_from(f"cloud/{v}", data) for v in range(nv)]
     # Restore is a non-append mutation: any device-resident optimizer
-    # mirror of the old graph object must not survive it (a fresh
-    # PoseGraph starts at epoch 0 with an empty mirror anyway; the bump
-    # covers callers that kept the old graph alive).
+    # mirror of the old graph object must not survive it. The bump
+    # alone cannot guarantee that (it marks the NEW graph; every
+    # restored graph lands at epoch 1, and CPython can reuse the old
+    # object's address) — mirror identity therefore uses a
+    # process-global per-object token (resident._graph_token), with
+    # this bump as belt-and-suspenders for same-object in-place
+    # restores.
     g.mutation_epoch += 1
     map_manager.graph = g
     fixed = int(data["fixed_vertex"])

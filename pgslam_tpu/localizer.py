@@ -349,6 +349,23 @@ def _orthonormalize(T: np.ndarray) -> np.ndarray:
     return out
 
 
+def _rigid_inverse(T: np.ndarray) -> np.ndarray:
+    """fp64 inverse of a rigid 4x4 (R.T / -R.T t) on host.
+
+    Every re-anchoring site composes through this instead of a device
+    ``se3.inverse`` (the eager-device form chip-measured ~250 ms/call on
+    the relay — op-by-op dispatch, not math) or ``np.linalg.inv`` (whose
+    general LU path does not preserve the rigid structure). fp64 because
+    the compose sites feed ``_orthonormalize``'s scale-error discipline
+    — see its docstring on the squaring landmine."""
+    T = np.asarray(T, np.float64)
+    R = T[:3, :3]
+    Tinv = np.eye(4, dtype=np.float64)
+    Tinv[:3, :3] = R.T
+    Tinv[:3, 3] = -R.T @ T[:3, 3]
+    return Tinv
+
+
 @dataclasses.dataclass(frozen=True)
 class LocalizerConfig:
     # Reference defaults: Localizer.hpp:25-28
@@ -640,10 +657,7 @@ class Localizer:
             T_world_refkf = np.asarray(
                 self.local_map.reference_keyframe().optimized_T_world_kf,
                 np.float64)
-            R = T_world_refkf[:3, :3]
-            Tinv = np.eye(4, dtype=np.float64)
-            Tinv[:3, :3] = R.T
-            Tinv[:3, 3] = -R.T @ T_world_refkf[:3, 3]
+            Tinv = _rigid_inverse(T_world_refkf)
             T0 = _orthonormalize((Tinv @ T_pred_world).astype(np.float32))
             T_world_refkf32 = T_world_refkf.astype(np.float32)
             T_pred32 = T_pred_world.astype(np.float32)
@@ -790,13 +804,8 @@ class Localizer:
         # Odometry-extrapolated initial guesses from the last COMMITTED
         # pose (every scan in the batch predicts against the same
         # reference keyframe snapshot — the accepted staleness).
-        T_world_refkf = np.asarray(
-            self.local_map.reference_keyframe().optimized_T_world_kf,
-            np.float64)
-        R = T_world_refkf[:3, :3]
-        Tinv = np.eye(4, dtype=np.float64)
-        Tinv[:3, :3] = R.T
-        Tinv[:3, 3] = -R.T @ T_world_refkf[:3, 3]
+        Tinv = _rigid_inverse(
+            self.local_map.reference_keyframe().optimized_T_world_kf)
         base = (np.asarray(self.T_world_robot, np.float64)
                 @ np.linalg.inv(np.asarray(self._committed_odom,
                                            np.float64)))
@@ -1041,13 +1050,8 @@ class Localizer:
         the cost, not the math (probe_config4_stages). fp64 compose, like
         every other re-anchoring site (see _orthonormalize's docstring on
         scale-error squaring)."""
-        T_ref = np.asarray(
-            self.local_map.reference_keyframe().optimized_T_world_kf,
-            np.float64)
-        R = T_ref[:3, :3]
-        Tinv = np.eye(4, dtype=np.float64)
-        Tinv[:3, :3] = R.T
-        Tinv[:3, 3] = -R.T @ T_ref[:3, 3]
+        Tinv = _rigid_inverse(
+            self.local_map.reference_keyframe().optimized_T_world_kf)
         self.T_refkf_robot = _orthonormalize(
             (Tinv @ np.asarray(self.T_world_robot, np.float64)
              ).astype(np.float32))

@@ -323,11 +323,9 @@ class LoopCloser:
         (jnp se3.inverse + matmul + d2h) costs ~250 ms per call on the
         relay chip (op-by-op dispatch, localizer.update_refkf_robot_pose
         had the same pathology, chip-measured in probe_config4_stages)."""
+        from .localizer import _rigid_inverse
         ref_kf = self.candidate_local_map.reference_keyframe()
-        Tr = np.asarray(ref_kf.optimized_T_world_kf, np.float64)
-        Tinv = np.eye(4, dtype=np.float64)
-        Tinv[:3, :3] = Tr[:3, :3].T
-        Tinv[:3, 3] = -Tr[:3, :3].T @ Tr[:3, 3]
+        Tinv = _rigid_inverse(ref_kf.optimized_T_world_kf)
         return (Tinv @ np.asarray(self.input_T_world_kf, np.float64)
                 ).astype(np.float32)
 

@@ -62,6 +62,23 @@ from .lm_pallas import (RangesPlan, _host_claim, _lm_optimize_jit,  # noqa: E501
 # exact [V, 12] pack keeps host poses bit-identical to the device result.
 QUAT_MIN_V = 4096
 
+# Process-global monotonic graph identity. ``id(graph)`` can ALIAS: two
+# consecutive checkpoint restores both produce graphs with
+# mutation_epoch == 1, and CPython may reuse the freed first graph's
+# address for the second — the mirror would then take the delta path
+# against stale device arrays. A token minted per PoseGraph instance on
+# first contact can never repeat for a different object.
+_graph_token_counter = [0]
+
+
+def _graph_token(graph) -> int:
+    tok = getattr(graph, "_resident_mirror_token", None)
+    if tok is None:
+        _graph_token_counter[0] += 1
+        tok = _graph_token_counter[0]
+        graph._resident_mirror_token = tok
+    return tok
+
 
 # --------------------------------------------------------------------------
 # Packing
@@ -293,7 +310,7 @@ class ResidentPGO:
         st = self._st
         rebuild = (st is None or st["V"] != V or st["E"] != E
                    or st["epoch"] != graph.mutation_epoch
-                   or st["graph_id"] != id(graph)
+                   or st["graph_id"] != _graph_token(graph)
                    or st["pack"] != pack)
 
         # Delta population (host copies; cheap — a handful of rows).
@@ -347,8 +364,15 @@ class ResidentPGO:
                 # Hysteresis: keep a working ranges layout when the tile
                 # model flips marginally (a kind switch is a full
                 # re-upload); switch TO ranges eagerly (better steady
-                # state), away from it only on rebuild.
-                if not (st["kind"] == "ranges" and decision[0] == "jit"):
+                # state), away from it only on rebuild. The kept frozen
+                # plan must still absorb this batch's lanes — the
+                # capacity dry-run applies on EVERY path that keeps a
+                # ranges layout, or _route_new_edges raises mid-execute
+                # after partially mutating the fill state.
+                if st["kind"] == "ranges" and decision[0] == "jit":
+                    if not self._ranges_fits(st, e_from, e_to):
+                        rebuild = True
+                else:
                     rebuild = True
             elif decision[0] == "ranges" and not self._ranges_fits(
                     st, e_from, e_to):
@@ -375,7 +399,7 @@ class ResidentPGO:
                      e_cov=e_cov, e_rm=e_rm, full=full)
         prep._V, prep._E = V, E
         prep._epoch = graph.mutation_epoch
-        prep._graph_id = id(graph)
+        prep._graph_id = _graph_token(graph)
         prep._ef_h, prep._et_h = ef_h, et_h
         return prep
 
@@ -445,7 +469,8 @@ class ResidentPGO:
         graph landed where the mirror thinks it is; invalidate if not
         (e.g. an insert raised mid-batch)."""
         if self._st is not None and (graph.n_edges != self._st["ne"]
-                                     or id(graph) != self._st["graph_id"]
+                                     or _graph_token(graph)
+                                     != self._st["graph_id"]
                                      or graph.mutation_epoch
                                      != self._st["epoch"]):
             # Also covers the MT interleave: a keyframe spawned between

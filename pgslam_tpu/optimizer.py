@@ -133,9 +133,16 @@ class Optimizer:
             # delta-apply + solve dispatch, ONE packed d2h for poses +
             # stats (the classic path's per-stat float() fetches each
             # paid a device round-trip).
-            prep = self.prepare_for_optimization_resident()
             log.info("[Optimizer] Optimizing using the factor graph")
             try:
+                # The prepare is inside the fail-soft too: a host-side
+                # bookkeeping error (layout decision, routing plan,
+                # stale dirty index) must degrade to the classic path
+                # the same way a device failure does. prepare consumes
+                # pose_dirty, but the classic fallback rebuilds from
+                # the full graph and invalidate() forces the mirror's
+                # own full re-upload next call, so nothing is lost.
+                prep = self.prepare_for_optimization_resident()
                 new_poses, self.last_stats = self._mirror.execute(prep)
             except Exception as e:
                 # Fail-soft (chip r5: a fused-tier kernel can OOM scoped

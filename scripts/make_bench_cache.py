@@ -53,10 +53,11 @@ def main():
     world = bench._render_world()
     t0 = time.perf_counter()
     prepped = []
+    s0 = bench.FIXTURE_PARAMS["seeds"]["map0"]
     for b in range(bench.BATCH):
         raw = render_scan(world, bench._agent_pose(b),
-                          np.random.default_rng(142 + b), bench.NPTS,
-                          max_range=30.0, noise=0.01)
+                          np.random.default_rng(s0 + b), bench.NPTS,
+                          **bench.FIXTURE_PARAMS["scan"])
         prepped.append(eng_b.prepare_reference(
             make_cloud(raw, capacity=bench.NPTS)))
         if b % 16 == 0:

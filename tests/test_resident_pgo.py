@@ -386,3 +386,156 @@ def test_resident_ranges_path_matches_classic(monkeypatch):
                              closures=((5, 35), (2, 30)))
     assert opt._mirror._st["kind"] == "ranges"
     np.testing.assert_allclose(classic, res, atol=1e-5)
+
+
+def test_graph_token_survives_id_reuse():
+    """Mirror identity must not rely on id(graph): consecutive
+    checkpoint restores all produce graphs at mutation_epoch 1, and
+    CPython can hand the second restored graph the first one's freed
+    address. The per-object token can never alias."""
+    from pgslam_tpu.graph.pose_graph import PoseGraph
+    from pgslam_tpu.optim.resident import _graph_token
+
+    g1 = PoseGraph()
+    t1 = _graph_token(g1)
+    assert _graph_token(g1) == t1            # stable per object
+    g2 = PoseGraph()
+    assert _graph_token(g2) != t1            # distinct objects differ
+    # token survives (and distinguishes) even when epochs match
+    g1.mutation_epoch = g2.mutation_epoch = 1
+    assert _graph_token(g1) != _graph_token(g2)
+
+
+def test_double_restore_rebuilds_each_time(tmp_path):
+    """Two restores in a row: the mirror must rebuild after EACH (both
+    restored graphs sit at epoch 1 — only object identity separates
+    them), and results stay bit-equal to the classic path."""
+    from pgslam_tpu.io import load_checkpoint, save_checkpoint
+    rng = np.random.default_rng(11)
+    mm = MapManager()
+    opt = Optimizer(mm, OptimizerConfig(resident="auto"))
+    poses = _chain_world(mm, 16, rng)
+    opt.add_new_data(2, 12, _closure(poses, 2, 12),
+                     np.eye(6, dtype=np.float32) * 0.01)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, mm)
+    for k, (a, b) in enumerate(((1, 14), (3, 10))):
+        load_checkpoint(path, mm)
+        st = opt._mirror._st
+        opt.add_new_data(a, b, _closure(poses, a, b),
+                         np.eye(6, dtype=np.float32) * 0.01)
+        assert opt._mirror._st is not st
+        assert opt._mirror._st["graph_id"] == \
+            mm.get_graph()._resident_mirror_token
+
+
+def test_prepare_failure_falls_back_to_classic(monkeypatch):
+    """A HOST-side error in the resident prepare (layout decision,
+    routing plan, stale bookkeeping) must take the same fail-soft road
+    as a device failure: classic path for the batch, mirror
+    invalidated, SLAM loop alive."""
+    from pgslam_tpu.optim import resident
+
+    rng = np.random.default_rng(7)
+    mm = MapManager()
+    opt = Optimizer(mm, OptimizerConfig(resident="auto"))
+    poses = _chain_world(mm, 20, rng)
+
+    calls = {"n": 0}
+    orig = resident.ResidentPGO.prepare
+
+    def flaky(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise IndexError("synthetic host bookkeeping error")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(resident.ResidentPGO, "prepare", flaky)
+    opt.add_new_data(2, 15, _closure(poses, 2, 15),
+                     np.eye(6, dtype=np.float32) * 0.01)   # classic fallback
+    assert opt.last_stats is not None
+    assert opt._mirror._st is None
+    opt.add_new_data(1, 18, _closure(poses, 1, 18),
+                     np.eye(6, dtype=np.float32) * 0.01)   # rebuilds
+    assert opt._mirror._st is not None
+    mm2 = MapManager()
+    opt2 = Optimizer(mm2, OptimizerConfig(resident="off"))
+    poses2 = _chain_world(mm2, 20, np.random.default_rng(7))
+    opt2.add_new_data(2, 15, _closure(poses2, 2, 15),
+                      np.eye(6, dtype=np.float32) * 0.01)
+    opt2.add_new_data(1, 18, _closure(poses2, 1, 18),
+                      np.eye(6, dtype=np.float32) * 0.01)
+    g, g2 = mm.get_graph(), mm2.get_graph()
+    np.testing.assert_array_equal(g.optimized_poses[:g.n_vertices],
+                                  g2.optimized_poses[:g2.n_vertices])
+
+
+def test_hysteresis_dry_runs_capacity(monkeypatch):
+    """When the layout decision flips ranges -> jit and the hysteresis
+    keeps the frozen ranges layout, the capacity dry-run must still
+    gate it: an overflowing batch forces a rebuild instead of letting
+    _route_new_edges raise mid-execute."""
+    from pgslam_tpu.optim import resident
+
+    monkeypatch.setenv("PGSLAM_PGO_FORCE_CHAIN", "1")
+    monkeypatch.setenv("PGSLAM_PGO_FORCE_FACTORED", "1")
+    monkeypatch.setenv("PGSLAM_PGO_FORCE_RANGES", "1")
+    from pgslam_tpu.optim.pgo import PGOConfig
+    cfg = OptimizerConfig(pgo=PGOConfig(solver="lm_pallas",
+                                        max_iterations=2,
+                                        cg_iterations=5))
+    rng = np.random.default_rng(9)
+    mm = MapManager()
+    opt = Optimizer(mm, dataclasses.replace(cfg, resident="auto"))
+    poses = _chain_world(mm, 40, rng)
+    opt.add_new_data(5, 35, _closure(poses, 5, 35),
+                     np.eye(6, dtype=np.float32) * 0.01)
+    assert opt._mirror._st["kind"] == "ranges"
+
+    # Decision now flips to jit while the frozen plan cannot absorb the
+    # batch — prepare must answer rebuild=True, not carry a doomed
+    # delta into execute.
+    monkeypatch.setattr(resident.ResidentPGO, "_decide",
+                        lambda self, *a: ("jit", "factored", 128, False,
+                                          None))
+    monkeypatch.setattr(resident.ResidentPGO, "_ranges_fits",
+                        lambda self, st, ef, et: False)
+    g = mm.get_graph()
+    prep = opt._mirror.prepare(
+        g, 0, [(2, 30, _closure(poses, 2, 30),
+                np.eye(6, dtype=np.float32) * 0.01)])
+    assert prep.rebuild
+
+    # ...and when the batch DOES fit, hysteresis keeps the layout.
+    monkeypatch.setattr(resident.ResidentPGO, "_ranges_fits",
+                        lambda self, st, ef, et: True)
+    prep2 = opt._mirror.prepare(
+        g, 0, [(3, 28, _closure(poses, 3, 28),
+                np.eye(6, dtype=np.float32) * 0.01)])
+    assert not prep2.rebuild
+
+
+def test_host_loop_count_matches_dict_reference():
+    """The vectorized chain-lane count against the original
+    dict-setdefault form, across duplicates, reversed edges,
+    out-of-range ids and interleaved loop closures."""
+    from pgslam_tpu.optim.lm_pallas import host_loop_count
+
+    def ref_count(ef, et, V):
+        is_pair = (et == ef + 1) & (ef >= 0) & (et < V)
+        first = {}
+        for e in np.nonzero(is_pair)[0]:
+            first.setdefault(int(ef[e]), int(e))
+        return int(len(ef) - len(first))
+
+    rng = np.random.default_rng(13)
+    for V, E in ((10, 14), (64, 100), (257, 600)):
+        ef = rng.integers(-2, V + 2, E).astype(np.int32)
+        et = np.where(rng.random(E) < 0.6, ef + 1,
+                      rng.integers(0, V, E)).astype(np.int32)
+        assert host_loop_count(ef, et, V) == ref_count(ef, et, V)
+    # pure chain and empty
+    ef = np.arange(9, dtype=np.int32)
+    assert host_loop_count(ef, ef + 1, 10) == 0
+    assert host_loop_count(np.zeros(0, np.int32),
+                           np.zeros(0, np.int32), 10) == 0

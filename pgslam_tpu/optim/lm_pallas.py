@@ -284,6 +284,38 @@ def vmem_estimate_ranges_hbm(Vp: int, Lq: int, Tq: int, s: int,
     return bufs + pt_copy + scratch + edge_rows + vert_rows
 
 
+def _ranges_plan_sweep(n_vertices, loop_from, loop_to, budget_bytes,
+                       estimate) -> RangesPlan | None:
+    """Shared trips-doubling sweep for both ranges tiers: minimize the
+    modeled movement weight-tile count subject to the VMEM budget, where
+    ``estimate(plan) -> bytes`` is the tier's VMEM model. (One body for
+    both tiers — a fix to the sweep must not need applying twice.)"""
+    Vp0 = _pad128(n_vertices)
+    lf = np.asarray(loop_from, np.int64)
+    lt = np.asarray(loop_to, np.int64)
+    best = None
+    trips = 2
+    while True:
+        s = -(-Vp0 // (128 * trips)) * 128
+        cntF = np.bincount(np.minimum(lf // s, trips - 1),
+                           minlength=trips) if lf.size else \
+            np.zeros(trips, np.int64)
+        cntT = np.bincount(np.minimum(lt // s, trips - 1),
+                           minlength=trips) if lt.size else \
+            np.zeros(trips, np.int64)
+        capF = _pad128(int(cntF.max()) if lf.size else 1)
+        capT = _pad128(int(cntT.max()) if lt.size else 1)
+        plan = RangesPlan(s, trips, capF, capT)
+        if estimate(plan) <= budget_bytes:
+            if best is None or plan.movement_tiles() \
+                    < best.movement_tiles():
+                best = plan
+        if s == 128:
+            break
+        trips *= 2
+    return best
+
+
 def ranges_plan_hbm(n_vertices: int, loop_from, loop_to,
                     budget_bytes: int | None = None) -> RangesPlan | None:
     """Capacity tier above ``ranges_plan``: same sorted-ranges layout,
@@ -295,31 +327,10 @@ def ranges_plan_hbm(n_vertices: int, loop_from, loop_to,
     Returns the minimum-movement-tile plan that fits, or None."""
     if budget_bytes is None:
         budget_bytes = VMEM_LIMIT_HBM_BYTES - 8 * 1024 * 1024
-    Vp0 = _pad128(n_vertices)
-    lf = np.asarray(loop_from, np.int64)
-    lt = np.asarray(loop_to, np.int64)
-    best = None
-    trips = 2
-    while True:
-        s = -(-Vp0 // (128 * trips)) * 128
-        cntF = np.bincount(np.minimum(lf // s, trips - 1),
-                           minlength=trips) if lf.size else \
-            np.zeros(trips, np.int64)
-        cntT = np.bincount(np.minimum(lt // s, trips - 1),
-                           minlength=trips) if lt.size else \
-            np.zeros(trips, np.int64)
-        capF = _pad128(int(cntF.max()) if lf.size else 1)
-        capT = _pad128(int(cntT.max()) if lt.size else 1)
-        plan = RangesPlan(s, trips, capF, capT)
-        if vmem_estimate_ranges_hbm(s * trips, plan.Lq, plan.Tq, s,
-                                    capF, capT) <= budget_bytes:
-            if best is None or plan.movement_tiles() \
-                    < best.movement_tiles():
-                best = plan
-        if s == 128:
-            break
-        trips *= 2
-    return best
+    return _ranges_plan_sweep(
+        n_vertices, loop_from, loop_to, budget_bytes,
+        lambda p: vmem_estimate_ranges_hbm(p.s * p.trips, p.Lq, p.Tq,
+                                           p.s, p.capF, p.capT))
 
 
 def ranges_plan(n_vertices: int, loop_from, loop_to,
@@ -330,31 +341,43 @@ def ranges_plan(n_vertices: int, loop_from, loop_to,
     budget; returns None when nothing fits or the loop set is empty."""
     if budget_bytes is None:
         budget_bytes = VMEM_LIMIT_BYTES - 8 * 1024 * 1024
-    Vp0 = _pad128(n_vertices)
-    lf = np.asarray(loop_from, np.int64)
-    lt = np.asarray(loop_to, np.int64)
-    best = None
-    trips = 2
-    while True:
-        s = -(-Vp0 // (128 * trips)) * 128
-        cntF = np.bincount(np.minimum(lf // s, trips - 1),
-                           minlength=trips) if lf.size else \
-            np.zeros(trips, np.int64)
-        cntT = np.bincount(np.minimum(lt // s, trips - 1),
-                           minlength=trips) if lt.size else \
-            np.zeros(trips, np.int64)
-        capF = _pad128(int(cntF.max()) if lf.size else 1)
-        capT = _pad128(int(cntT.max()) if lt.size else 1)
-        plan = RangesPlan(s, trips, capF, capT)
-        if vmem_estimate_ranges(s * trips, plan.Lq, plan.Tq, s) \
-                <= budget_bytes:
-            if best is None or plan.movement_tiles() \
-                    < best.movement_tiles():
-                best = plan
-        if s == 128:
-            break
-        trips *= 2
-    return best
+    return _ranges_plan_sweep(
+        n_vertices, loop_from, loop_to, budget_bytes,
+        lambda p: vmem_estimate_ranges(p.s * p.trips, p.Lq, p.Tq, p.s))
+
+
+def ranges_candidate(V, E, ef, et, em, fp, force: str, rescue: bool):
+    """Shared ranges-take decision for the classic dispatcher
+    (``lm_optimize_pallas``) and the resident mirror
+    (``resident.ResidentPGO._decide``) — ONE implementation of the
+    claim -> loop-set -> plan -> HBM-tier -> movement-tile-threshold
+    chain, so the two callers cannot drift gate-for-gate (the r4 notes
+    record a probe-vs-production mislabeling caused by exactly this
+    kind of decision divergence).
+
+    Returns ``(claimed, le, rp, hbm, take)``: the chain-claim mask, the
+    valid loop-edge indices, the chosen RangesPlan (or None), whether it
+    is the HBM-streamed tier, and whether to take the ranges layout.
+    """
+    claimed = _host_claim(ef, et, V)
+    le = np.nonzero(~claimed & em)[0]
+    rp = ranges_plan(V, ef[le], et[le])
+    hbm = False
+    if rp is None or os.environ.get(
+            "PGSLAM_PGO_FORCE_RANGES_HBM", "") == "1":
+        # Capacity tier: stream the panels from HBM (see
+        # ranges_plan_hbm) — covers ~32k-pose sparse graphs.
+        rph = ranges_plan_hbm(V, ef[le], et[le])
+        if rph is not None:
+            rp, hbm = rph, True
+    take = rp is not None and (force == "1" or rescue)
+    if rp is not None and not take:
+        fori_s, fori_t = (fp[0], fp[1]) if fp else \
+            (128, _pad128(V) // 128)
+        fori_tiles = (fori_s * fori_t // 128) \
+            * (2 * _pad128(max(int(len(le)), 1)) // 128)
+        take = rp.movement_tiles() < 0.7 * fori_tiles
+    return claimed, le, rp, hbm, take
 
 
 def host_loop_count(edge_from, edge_to, n_vertices: int) -> int | None:
@@ -1180,24 +1203,8 @@ def lm_optimize_pallas(poses, vmask, edge_from, edge_to, edge_T, edge_cov,
             ef = np.asarray(edge_from, np.int64)
             et = np.asarray(edge_to, np.int64)
             em = np.asarray(emask, bool)
-            claimed = _host_claim(ef, et, V)
-            le = np.nonzero(~claimed & em)[0]
-            rp = ranges_plan(V, ef[le], et[le])
-            hbm = False
-            if rp is None or os.environ.get(
-                    "PGSLAM_PGO_FORCE_RANGES_HBM", "") == "1":
-                # Capacity tier: stream the panels from HBM (see
-                # ranges_plan_hbm) — covers ~32k-pose sparse graphs.
-                rph = ranges_plan_hbm(V, ef[le], et[le])
-                if rph is not None:
-                    rp, hbm = rph, True
-            take = rp is not None and (force == "1" or rescue)
-            if rp is not None and not take:
-                fori_s, fori_t = (fp[0], fp[1]) if fp else \
-                    (128, _pad128(V) // 128)
-                fori_tiles = (fori_s * fori_t // 128) \
-                    * (2 * _pad128(max(int(len(le)), 1)) // 128)
-                take = rp.movement_tiles() < 0.7 * fori_tiles
+            claimed, le, rp, hbm, take = ranges_candidate(
+                V, E, ef, et, em, fp, force, rescue)
             if take:
                 if os.environ.get("PGSLAM_PGO_DEBUG", "") == "1":
                     print(f"[lm_pallas] RANGES{' HBM' if hbm else ''} "

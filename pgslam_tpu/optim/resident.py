@@ -43,7 +43,9 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import itertools
 import os
+import threading
 from typing import List, Optional, Tuple
 
 import jax
@@ -55,7 +57,7 @@ from .lm_pallas import (RangesPlan, _host_claim, _lm_optimize_jit,  # noqa: E501
                         _lm_optimize_ranges_jit, _on_accelerator,
                         _pad128, factored_plan, fits_vmem,
                         host_loop_count, host_route_ranges, layout_plan,
-                        ranges_plan, ranges_plan_hbm)
+                        ranges_candidate)
 
 # Graphs at or above this padded-V bucket use the [V, 7] quat+translation
 # writeback under pack="auto" (0.45 MB vs 3.1 MB at 16k); below it the
@@ -68,15 +70,23 @@ QUAT_MIN_V = 4096
 # address for the second — the mirror would then take the delta path
 # against stale device arrays. A token minted per PoseGraph instance on
 # first contact can never repeat for a different object.
-_graph_token_counter = [0]
+# itertools.count().__next__ is a single C call (atomic under the GIL),
+# and the mint itself is guarded by a lock so two optimizer threads
+# first-touching the same graph cannot each stamp a different token
+# (the list-increment form this replaces could also DUPLICATE a token
+# across two graphs — the exact aliasing this exists to prevent).
+_graph_token_counter = itertools.count(1)
+_graph_token_lock = threading.Lock()
 
 
 def _graph_token(graph) -> int:
     tok = getattr(graph, "_resident_mirror_token", None)
     if tok is None:
-        _graph_token_counter[0] += 1
-        tok = _graph_token_counter[0]
-        graph._resident_mirror_token = tok
+        with _graph_token_lock:
+            tok = getattr(graph, "_resident_mirror_token", None)
+            if tok is None:
+                tok = next(_graph_token_counter)
+                graph._resident_mirror_token = tok
     return tok
 
 
@@ -255,7 +265,7 @@ class _Prep:
     n_pending: int
     fixed: int
     rebuild: bool
-    decision: tuple               # (kind, incidence, n_loop, hbm)
+    decision: tuple   # (kind, incidence, n_loop_bucket, hbm, RangesPlan)
     pack: str
     # deltas (vertex poses to (re)upload: appended + host-dirty)
     pose_idx: np.ndarray
@@ -313,39 +323,24 @@ class ResidentPGO:
                    or st["graph_id"] != _graph_token(graph)
                    or st["pack"] != pack)
 
-        # Delta population (host copies; cheap — a handful of rows).
+        # Delta INDEX population (cheap int arrays; the payload gathers
+        # — pose matrices, edge transforms/covariances — are deferred
+        # until the rebuild decision is FINAL below, so a rebuild never
+        # materializes a full O(V)+O(E) host copy it would immediately
+        # discard in favor of _full_arrays's own).
         ne_synced = 0 if rebuild else st["ne"]
         nv_synced = 0 if rebuild else st["nv"]
         dirty = sorted(graph.pose_dirty & set(range(nv_synced)))
         graph.pose_dirty.clear()
-        pose_idx = list(range(nv_synced, nv)) + dirty
-        if not rebuild and len(pose_idx) > max(512, V // 2):
+        if not rebuild and (nv - nv_synced) + len(dirty) \
+                > max(512, V // 2):
             rebuild = True   # bulk host writes: re-upload beats scatter
-        pose_idx = np.asarray(pose_idx, np.int32)
-        pose_val = graph.optimized_poses[pose_idx].copy() \
-            if len(pose_idx) else np.zeros((0, 4, 4), np.float32)
-
-        n_new_g = ne - ne_synced
-        e_idx = np.arange(ne_synced, ne + k, dtype=np.int32)
         e_from = np.concatenate([graph.edge_from[ne_synced:ne],
                                  np.asarray([p[0] for p in pending],
                                             np.int32)]).astype(np.int32)
         e_to = np.concatenate([graph.edge_to[ne_synced:ne],
                                np.asarray([p[1] for p in pending],
                                           np.int32)]).astype(np.int32)
-        e_T = np.concatenate(
-            [graph.edge_T[ne_synced:ne]]
-            + [np.asarray(p[2], np.float32)[None] for p in pending]) \
-            if (n_new_g + k) else np.zeros((0, 4, 4), np.float32)
-        e_cov = np.concatenate(
-            [graph.edge_cov[ne_synced:ne]]
-            + [np.asarray(p[3], np.float32)[None] for p in pending]) \
-            if (n_new_g + k) else np.zeros((0, 6, 6), np.float32)
-        from ..graph.pose_graph import LOOP_CONSTRAINT
-        e_rm = np.concatenate([
-            (graph.edge_type[ne_synced:ne] == LOOP_CONSTRAINT
-             ).astype(np.float32),
-            np.ones(k, np.float32)])
 
         # Padded host id arrays (the layout decision + ranges routing
         # need concrete ids; the graph IS host memory, so this is free
@@ -380,8 +375,8 @@ class ResidentPGO:
 
         full = None
         if rebuild:
-            # The full arrays already carry every edge and pose —
-            # empty the delta sets so execute() doesn't double-apply
+            # The full arrays already carry every edge and pose — the
+            # delta sets stay empty so execute() doesn't double-apply
             # (and, on the ranges path, doesn't double-route lanes).
             full = self._full_arrays(graph, fixed, pending, V, E)
             pose_idx = np.zeros(0, np.int32)
@@ -392,6 +387,28 @@ class ResidentPGO:
             e_T = np.zeros((0, 4, 4), np.float32)
             e_cov = np.zeros((0, 6, 6), np.float32)
             e_rm = np.zeros(0, np.float32)
+        else:
+            # Delta payload gathers — a handful of rows on the steady
+            # path, and only materialized once rebuild is settled.
+            pose_idx = np.asarray(list(range(nv_synced, nv)) + dirty,
+                                  np.int32)
+            pose_val = graph.optimized_poses[pose_idx].copy() \
+                if len(pose_idx) else np.zeros((0, 4, 4), np.float32)
+            n_new_g = ne - ne_synced
+            e_idx = np.arange(ne_synced, ne + k, dtype=np.int32)
+            e_T = np.concatenate(
+                [graph.edge_T[ne_synced:ne]]
+                + [np.asarray(p[2], np.float32)[None] for p in pending]) \
+                if (n_new_g + k) else np.zeros((0, 4, 4), np.float32)
+            e_cov = np.concatenate(
+                [graph.edge_cov[ne_synced:ne]]
+                + [np.asarray(p[3], np.float32)[None] for p in pending]) \
+                if (n_new_g + k) else np.zeros((0, 6, 6), np.float32)
+            from ..graph.pose_graph import LOOP_CONSTRAINT
+            e_rm = np.concatenate([
+                (graph.edge_type[ne_synced:ne] == LOOP_CONSTRAINT
+                 ).astype(np.float32),
+                np.ones(k, np.float32)])
         prep = _Prep(nv=nv, ne_graph=ne, n_pending=k, fixed=int(fixed),
                      rebuild=rebuild, decision=decision, pack=pack,
                      pose_idx=pose_idx, pose_val=pose_val,
@@ -428,7 +445,6 @@ class ResidentPGO:
             # decision under the ranges hysteresis, which this branch
             # never is.
             _, incidence, n_loop_b, _, _ = prep.decision
-            st["incidence"], st["n_loop"] = incidence, n_loop_b
             final, ef, et, eT, ec, rm, packed = _step_raw(
                 st["poses"], st["ef"], st["et"], st["eT"], st["ec"],
                 st["rm"], jnp.int32(prep.nv),
@@ -507,24 +523,13 @@ class ResidentPGO:
                 and force != "0":
             fp = factored_plan(V, E, nb)
             if force == "1" or fp is None or not fp[2]:
-                claimed = _host_claim(ef_h, et_h, V)
+                # Shared take decision with the classic dispatcher —
+                # lm_pallas.ranges_candidate is the ONE implementation
+                # of the claim/plan/threshold chain for both.
                 em = np.zeros(E, bool)
                 em[:ne_total] = True
-                le = np.nonzero(~claimed & em)[0]
-                rp = ranges_plan(V, ef_h[le], et_h[le])
-                hbm = False
-                if rp is None or os.environ.get(
-                        "PGSLAM_PGO_FORCE_RANGES_HBM", "") == "1":
-                    rph = ranges_plan_hbm(V, ef_h[le], et_h[le])
-                    if rph is not None:
-                        rp, hbm = rph, True
-                take = rp is not None and (force == "1" or rescue)
-                if rp is not None and not take:
-                    fori_s, fori_t = (fp[0], fp[1]) if fp else \
-                        (128, _pad128(V) // 128)
-                    fori_tiles = (fori_s * fori_t // 128) \
-                        * (2 * _pad128(max(int(len(le)), 1)) // 128)
-                    take = rp.movement_tiles() < 0.7 * fori_tiles
+                _, _, rp, hbm, take = ranges_candidate(
+                    V, E, ef_h, et_h, em, fp, force, rescue)
                 if take:
                     return ("ranges", None, nb, hbm, rp)
         if rescue:
@@ -542,13 +547,20 @@ class ResidentPGO:
         fillsT = st["fillsT"].copy()
         claimed = st["claimed_pairs"]
         V = st["V"]
+        batch_claimed = set()   # in-batch chain claims (dry, not st's)
         for f, t in zip(e_from, e_to):
             f, t = int(f), int(t)
-            if t == f + 1 and 0 <= f and t < V and not claimed[f]:
-                claimed = claimed  # chain lane: no capacity consumed
-                # NOTE: the dry run must not mutate claimed; a second
-                # (duplicate) chain pair in the same batch is impossible
-                # (duplicate-edge guard), so not marking it is safe.
+            if (t == f + 1 and 0 <= f and t < V and not claimed[f]
+                    and f not in batch_claimed):
+                # Chain lane: no capacity consumed. The local set mirrors
+                # _route_new_edges's in-batch claimed_pairs mutation —
+                # the graph's duplicate-edge guard fires only at INSERT
+                # time, so one batch CAN carry the same (f, f+1) twice
+                # (e.g. an appended odometry edge plus a pending
+                # constraint on the same pair under queue_mode); the
+                # router sends the second to loop lanes, so the dry run
+                # must cost it there too.
+                batch_claimed.add(f)
                 continue
             tf = min(f // plan.s, plan.trips - 1)
             tt = min(t // plan.s, plan.trips - 1)
@@ -666,10 +678,12 @@ class ResidentPGO:
         kind, incidence, n_loop, hbm, rp = prep.decision
         fa = prep.full
         V, E = prep._V, prep._E
+        # (incidence/n_loop are per-call statics fed straight from
+        # prep.decision — deliberately NOT mirrored into st: nothing
+        # reads them back, and stale copies would only mislead.)
         st = {"V": V, "E": E, "epoch": prep._epoch,
               "graph_id": prep._graph_id, "pack": prep.pack,
-              "kind": kind, "incidence": incidence, "n_loop": n_loop,
-              "hbm": hbm, "nv": 0, "ne": 0,
+              "kind": kind, "hbm": hbm, "nv": 0, "ne": 0,
               "poses": jnp.asarray(fa["poses"])}
         bytes_up = fa["poses"].nbytes
         ne_total = prep.ne_graph + prep.n_pending

@@ -154,7 +154,8 @@ class Optimizer:
                 log.warning("[Optimizer] resident optimize failed "
                             "(%s: %s) — falling back to the classic "
                             "path for this batch", type(e).__name__, e)
-                self._mirror.invalidate()
+                if self._mirror is not None:   # prepare may have died
+                    self._mirror.invalidate()  # before constructing it
                 resident_failed = True
         if not self._resident_enabled() or resident_failed:
             poses, vmask, ef, et, eT, ec, emask, fixed, rmask, n_loop = \
